@@ -1,0 +1,59 @@
+"""psweep_spark — a PySpark-native parameter-study / experiment-database
+engine with the capabilities of elcorto/psweep (reference read-only at
+/root/reference), re-architected Spark-first:
+
+* grid DSL (plist/pgrid/stargrid/...) — eager list API for reference
+  parity + lazy DataFrame builders for 10^9-row grids
+* canonical sha256 pset hash as a Catalyst expression (no UDF hot path)
+* ``run()``: grid → skip-dups anti-join → id stamping → mapInPandas(func)
+  → Parquet append with union-of-keys schema evolution
+* query surface (+ full Spark SQL passthrough) and LLM-data-pipeline
+  operators (dedup, similarity search, text analysis) under
+  ``psweep_spark.operators``
+"""
+
+from .database import Database
+from .grid import (
+    filter_params_dup_hash,
+    filter_params_unique,
+    flatten,
+    flatten_dict,
+    intspace,
+    itr2params,
+    logspace,
+    merge_dicts,
+    pgrid,
+    pgrid_df,
+    plist,
+    plist_df,
+    stargrid,
+    stargrid_df,
+    zip_df,
+)
+from .hashing import (
+    RESERVED_COLS,
+    canon_pset,
+    canon_value,
+    col_kind,
+    filter_cols,
+    hash_expr,
+    hash_sql,
+    pset_hash,
+)
+from .query import (
+    check_calc_dir,
+    df_extract_dicts,
+    df_extract_params,
+    df_extract_pset,
+    df_extract_row,
+    df_filter_conds,
+    df_print,
+    df_to_json,
+    df_to_table,
+    failed_psets,
+    latest_per_pset,
+)
+from .runner import infer_schema, prepare_params_df, run, uuid5_expr
+from .session import get_spark
+
+__version__ = "0.1.0"

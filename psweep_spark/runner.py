@@ -1,0 +1,523 @@
+"""The ``run`` operator — SURVEY §2.2 #12-26, M3/M5.
+
+Reference lifecycle (``/root/reference/src/psweep/psweep.py:1295-1492``)
+re-expressed as one lazy Spark plan:
+
+    grid DataFrame
+      → hash stamp  (JVM-side canonical sha256, hashing.hash_expr)
+      → skip-dups anti-join against DB hashes      (#11/#20)
+      → id/seq stamping (_run_id/_pset_id/_run_seq/_pset_seq) (#18)
+      → mapInPandas(func)  — executors replace mp.Pool AND Dask (#15-17)
+      → append to Parquet DB with schema evolution (#21/#28)
+
+Retry idempotence (SURVEY §4b): ``_pset_id`` is **UUIDv5 of
+(run_id, pset_seq)**, not a random UUID4 — a re-executed Spark task
+mints the same id, so task retries cannot violate the uniqueness
+contract of reference tests/test_all.py:179-199.
+
+Execution semantics parity:
+
+* ``func(pset) -> dict`` receives the fully-stamped pset dict and its
+  result is merged back (reference func_wrapper, psweep.py:1197-1238).
+* ``_time_utc`` is second-resolution UTC (PANDAS_TIME_UNIT="s",
+  psweep.py:32), ``_pset_runtime`` wall-clock seconds, ``_exec_host``
+  the executor hostname.
+* an exception in ``func`` fails the run (reference parity) unless
+  ``safe=True``, which emits ``_failed``/``_exc_txt`` columns instead
+  (the documented safe_func pattern, manual.md:891-944).
+* ``capture_logs`` ∈ {'db','file','db+file'} (psweep.py:1241-1276).
+* ``simulate=True`` clones the DB to ``<calc_dir>.simulate`` and runs
+  the whole pipeline with ``func`` skipped (psweep.py:1279-1292).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import io
+import os
+import pickle
+import socket
+import time
+import traceback
+import uuid
+from collections.abc import Callable, Sequence
+from contextlib import redirect_stderr, redirect_stdout
+from copy import deepcopy
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .database import Database
+from .hashing import filter_cols, hash_expr, pset_hash
+
+__all__ = ["run", "prepare_params_df", "uuid5_expr", "infer_schema"]
+
+
+# ---------------------------------------------------------------------------
+# schema inference for eager (list-of-dicts) params
+# ---------------------------------------------------------------------------
+
+
+def _spark_type_of(v) -> T.DataType:
+    if isinstance(v, (bool, np.bool_)):
+        return T.BooleanType()
+    if isinstance(v, (int, np.integer)):
+        return T.LongType()
+    if isinstance(v, (float, np.floating)):
+        return T.DoubleType()
+    if isinstance(v, complex):
+        return T.StructType(
+            [T.StructField("re", T.DoubleType()), T.StructField("im", T.DoubleType())]
+        )
+    if isinstance(v, str):
+        return T.StringType()
+    if isinstance(v, (bytes, bytearray)):
+        return T.BinaryType()
+    if isinstance(v, _dt.datetime):
+        return T.TimestampType()
+    if isinstance(v, _dt.date):
+        return T.DateType()
+    if isinstance(v, np.ndarray):
+        return _seq_type(v.tolist())
+    if isinstance(v, (list, tuple)):
+        return _seq_type(list(v))
+    if isinstance(v, set):
+        return _seq_type(sorted(v, key=repr))
+    if isinstance(v, dict):
+        raise TypeError(
+            "nested dict params: flatten first with flatten_dict() "
+            "(reference psweep.py:130-151), or store as a struct column "
+            "explicitly"
+        )
+    raise TypeError(
+        f"cannot infer a typed column for {type(v).__name__}; the typed "
+        "core replaces the reference's dtype=object escape — pickle to "
+        "bytes explicitly for arbitrary objects"
+    )
+
+
+def _seq_type(vals: list) -> T.ArrayType:
+    elems = [x for x in vals if x is not None]
+    if not elems:
+        return T.ArrayType(T.NullType())
+    et = _merge_types([_spark_type_of(x) for x in elems])
+    return T.ArrayType(et)
+
+
+def _merge_types(ts: list[T.DataType]) -> T.DataType:
+    out = ts[0]
+    for t in ts[1:]:
+        if t == out:
+            continue
+        pair = {type(out), type(t)}
+        if isinstance(out, T.NullType):
+            out = t
+        elif isinstance(t, T.NullType):
+            pass
+        elif pair == {T.LongType, T.DoubleType}:
+            out = T.DoubleType()
+        elif isinstance(out, T.ArrayType) and isinstance(t, T.ArrayType):
+            out = T.ArrayType(_merge_types([out.elementType, t.elementType]))
+        else:
+            raise TypeError(
+                f"mixed types in one column: {out.simpleString()} vs "
+                f"{t.simpleString()} — type-stable columns required"
+            )
+    return out
+
+
+def infer_schema(params: Sequence[dict]) -> T.StructType:
+    """Union-of-keys, type-merged schema for a list of psets."""
+    cols: dict[str, list] = {}
+    for pset in params:
+        for k, v in pset.items():
+            cols.setdefault(k, [])
+            if v is not None and not (isinstance(v, float) and np.isnan(v)):
+                cols[k].append(v)
+    fields = []
+    for name, vals in cols.items():
+        dt = _merge_types([_spark_type_of(v) for v in vals]) if vals else T.StringType()
+        fields.append(T.StructField(name, dt, nullable=True))
+    return T.StructType(fields)
+
+
+def _to_row_value(v, dt: T.DataType):
+    if v is None or (isinstance(v, float) and np.isnan(v) and not isinstance(dt, T.DoubleType)):
+        return None
+    if isinstance(dt, T.BooleanType):
+        return bool(v)
+    if isinstance(dt, T.LongType):
+        return int(v)
+    if isinstance(dt, T.DoubleType):
+        return float(v)
+    if isinstance(dt, T.StructType) and isinstance(v, complex):
+        return (v.real, v.imag)
+    if isinstance(dt, T.ArrayType):
+        seq = v.tolist() if isinstance(v, np.ndarray) else (
+            sorted(v, key=repr) if isinstance(v, set) else list(v)
+        )
+        return [_to_row_value(x, dt.elementType) for x in seq]
+    if isinstance(dt, T.BinaryType):
+        return bytes(v)
+    return v
+
+
+def prepare_params_df(
+    spark: SparkSession, params: Sequence[dict] | DataFrame
+) -> DataFrame:
+    """List-of-psets → typed DataFrame (union-of-keys, NULL back-fill)."""
+    if isinstance(params, DataFrame):
+        return params
+    if len(params) == 0:
+        raise ValueError("empty params")
+    schema = infer_schema(params)
+    rows = [
+        tuple(_to_row_value(p.get(f.name), f.dataType) for f in schema.fields)
+        for p in params
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# UUIDv5 as a Catalyst expression (retry-idempotent _pset_id)
+# ---------------------------------------------------------------------------
+
+
+def uuid5_expr(run_id_col: Column, name_col: Column) -> Column:
+    """RFC-4122 UUIDv5(namespace=run_id, name) built from sha1 — pure
+    Catalyst, bit-identical to Python ``uuid.uuid5``.
+
+    JVM-side so stamping 10^9 psets stays in codegen, and deterministic
+    so Spark task retries regenerate identical ids (SURVEY §4b).
+    """
+    ns_bytes = F.unhex(F.regexp_replace(run_id_col, "-", ""))
+    h = F.sha1(F.concat(ns_bytes, name_col.cast("binary")))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("5"), F.substring(h, 14, 3)),
+        F.concat(
+            F.translate(
+                F.substring(h, 17, 1), "0123456789abcdef", "89ab89ab89ab89ab"
+            ),
+            F.substring(h, 18, 3),
+        ),
+        F.substring(h, 21, 12),
+    )
+
+
+# ---------------------------------------------------------------------------
+# executor-side func wrapper
+# ---------------------------------------------------------------------------
+
+_PANDAS_TIME_UNIT = "s"  # reference psweep.py:32
+
+
+def _pyval(v):
+    """Arrow/pandas cell → plain Python value for the user's func."""
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    return v
+
+
+def _make_mapper(
+    func: Callable[[dict], dict],
+    out_schema: T.StructType,
+    *,
+    calc_dir: str,
+    capture_logs: str | None,
+    safe: bool,
+    tmpsave: bool,
+    simulate: bool,
+):
+    out_names = out_schema.names
+    double_cols = {
+        f.name for f in out_schema.fields if isinstance(f.dataType, T.DoubleType)
+    }
+
+    def mapper(batches):
+        import pandas as pd
+
+        host = socket.gethostname()
+        for pdf in batches:
+            out_rows = []
+            for rec in pdf.to_dict("records"):
+                pset = {k: _pyval(v) for k, v in rec.items()}
+                t0 = time.time()
+                pset["_time_utc"] = _dt.datetime.utcfromtimestamp(int(t0))
+                pset["_exec_host"] = host
+                if simulate:
+                    result: dict = {}
+                elif safe or capture_logs:
+                    buf = io.StringIO()
+                    try:
+                        if capture_logs:
+                            with redirect_stdout(buf), redirect_stderr(buf):
+                                result = func(pset) or {}
+                        else:
+                            result = func(pset) or {}
+                        if safe:
+                            result["_failed"] = False
+                            result["_exc_txt"] = None
+                    except Exception:
+                        if not safe:
+                            raise
+                        result = {
+                            "_failed": True,
+                            "_exc_txt": traceback.format_exc(),
+                        }
+                    if capture_logs:
+                        logs = buf.getvalue()
+                        if "db" in capture_logs:
+                            result["_logs"] = logs
+                        if "file" in capture_logs:
+                            d = os.path.join(calc_dir, str(pset["_pset_id"]))
+                            os.makedirs(d, exist_ok=True)
+                            with open(os.path.join(d, "logs.txt"), "w") as fh:
+                                fh.write(logs)
+                else:
+                    result = func(pset) or {}
+                pset.update(result)
+                pset["_pset_runtime"] = time.time() - t0
+                if tmpsave and not simulate:
+                    d = os.path.join(
+                        calc_dir, "tmpsave", str(pset["_run_id"])
+                    )
+                    os.makedirs(d, exist_ok=True)
+                    with open(
+                        os.path.join(d, f"{pset['_pset_id']}.pk"), "wb"
+                    ) as fh:
+                        pickle.dump(pset, fh)
+                out_rows.append(tuple(pset.get(c) for c in out_names))
+            out = pd.DataFrame(out_rows, columns=out_names)
+            # object → float for double columns so Arrow doesn't choke on
+            # None-mixed python floats
+            for c in double_cols:
+                if c in out and out[c].dtype == object:
+                    out[c] = pd.to_numeric(out[c], errors="coerce")
+            yield out
+
+    return mapper
+
+
+# ---------------------------------------------------------------------------
+# git hooks (reference psweep.py:406-446 — driver-side orchestration)
+# ---------------------------------------------------------------------------
+
+
+def _git(cmd: list[str], cwd: str) -> str:
+    import subprocess
+
+    return subprocess.run(
+        ["git"] + cmd, cwd=cwd, check=True, capture_output=True, text=True
+    ).stdout
+
+
+def git_clean(cwd: str = ".") -> bool:
+    return _git(["status", "--porcelain"], cwd).strip() == ""
+
+
+def git_enter(use_git: bool, cwd: str = ".") -> None:
+    if use_git and not git_clean(cwd):
+        raise RuntimeError("dirty git repo; commit first (run(..., git=True))")
+
+
+def git_exit(use_git: bool, run_id: str, cwd: str = ".") -> None:
+    if use_git and not git_clean(cwd):
+        _git(["add", "-A"], cwd)
+        _git(["commit", "-m", f"psweep_spark: run_id={run_id}"], cwd)
+
+
+# ---------------------------------------------------------------------------
+# run()
+# ---------------------------------------------------------------------------
+
+
+def run(
+    spark: SparkSession,
+    func: Callable[[dict], dict] | None,
+    params: Sequence[dict] | DataFrame,
+    *,
+    calc_dir: str = "calc",
+    database_dir: str | None = None,
+    save: bool = True,
+    simulate: bool = False,
+    skip_dups: bool = False,
+    poolsize: int | None = None,
+    capture_logs: str | None = None,
+    safe: bool = False,
+    result_schema: T.StructType | None = None,
+    tmpsave: bool = False,
+    backup: bool = False,
+    git: bool = False,
+    git_dir: str = ".",
+    verbose: bool = False,
+) -> DataFrame:
+    """Dispatch ``func`` over every pset; append results to the DB.
+
+    Returns the full accumulated database as a (lazy) DataFrame.
+    """
+    if capture_logs not in (None, "db", "file", "db+file"):
+        raise ValueError(f"capture_logs must be db|file|db+file, got {capture_logs!r}")
+
+    git_enter(git, git_dir)
+
+    if simulate:
+        calc_dir_real = calc_dir + ".simulate"
+        src_db = Database(database_dir or os.path.join(calc_dir, "database"))
+        db = src_db.clone_to(os.path.join(calc_dir_real, "database"))
+        calc_dir = calc_dir_real
+    else:
+        db = Database(database_dir or os.path.join(calc_dir, "database"))
+    os.makedirs(calc_dir, exist_ok=True)
+
+    params_df = prepare_params_df(spark, params)
+    pset_cols = filter_cols(params_df.columns)
+    if not pset_cols:
+        raise ValueError("params contain no pset (bare-named) columns")
+
+    # preserve submission order for _pset_seq (reference: seq == index)
+    eager = not isinstance(params, DataFrame)
+    if eager:
+        from pyspark.sql.window import Window
+
+        order = Window.orderBy(F.monotonically_increasing_id())
+        params_df = params_df.withColumn(
+            "__order", F.row_number().over(order) - 1
+        )
+    else:
+        # scale path: a global row_number would single-partition the grid;
+        # monotonically_increasing_id keeps seq unique + per-partition
+        # monotone without a shuffle (documented deviation: not contiguous)
+        params_df = params_df.withColumn(
+            "__order", F.monotonically_increasing_id()
+        )
+
+    params_df = params_df.withColumn(
+        "_pset_hash", hash_expr(params_df.schema, pset_cols)
+    )
+
+    max_run_seq, max_pset_seq = db.max_seqs(spark)
+
+    if skip_dups and db.exists():
+        hashes = db.distinct_hashes(spark)
+        # grid is usually the small side but the DB hash set is bounded by
+        # distinct psets ever run — let AQE pick the join strategy
+        params_df = params_df.join(hashes, "_pset_hash", "left_anti")
+
+    # skip_dups may have filtered everything → return DB unchanged
+    # (reference: re-run of identical params appends 0 rows)
+    first_rows = params_df.select(*pset_cols).take(1)
+    if not first_rows:
+        full = db.load(spark)
+        if full is None:
+            raise ValueError("empty params and empty database")
+        git_exit(git, "no-op", git_dir)
+        return full
+
+    run_id = str(uuid.uuid4())
+    if backup and db.exists():
+        db.backup(f"{time.strftime('%Y-%m-%dT%H-%M-%SZ', time.gmtime())}_run_id_{run_id}")
+
+    from pyspark.sql.window import Window
+
+    if eager:
+        # small human-authored grids: contiguous seq == submission order
+        # (reference contract: _pset_seq == df.index)
+        seq_col = (
+            F.lit(max_pset_seq)
+            + F.row_number().over(Window.orderBy("__order"))
+        ).cast("long")
+    else:
+        # scale path: no global window; monotonic ids are unique and
+        # per-partition monotone but NOT contiguous (documented deviation)
+        seq_col = (F.lit(max_pset_seq + 1) + F.col("__order")).cast("long")
+
+    params_df = (
+        params_df.withColumn("_run_id", F.lit(run_id))
+        .withColumn("_run_seq", F.lit(max_run_seq + 1).cast("long"))
+        .withColumn("_pset_seq", seq_col)
+        .withColumn(
+            "_pset_id", uuid5_expr(F.col("_run_id"), F.col("_pset_seq").cast("string"))
+        )
+        .withColumn("_calc_dir", F.lit(os.path.abspath(calc_dir)))
+        .drop("__order")
+    )
+
+    # --- result schema ------------------------------------------------------
+    if simulate:
+        res_fields: list[T.StructField] = []
+    elif result_schema is not None:
+        res_fields = list(result_schema.fields)
+    else:
+        probe_row = first_rows[0]
+        probe = {
+            k: _pyval(v) for k, v in probe_row.asDict(recursive=True).items()
+        }
+        probe.update(
+            _run_id=run_id,
+            _pset_id="00000000-0000-5000-8000-000000000000",
+            _run_seq=max_run_seq + 1,
+            _pset_seq=max_pset_seq + 1,
+            _calc_dir=os.path.abspath(calc_dir),
+            _time_utc=_dt.datetime.utcnow(),
+            _exec_host=socket.gethostname(),
+        )
+        assert func is not None, "func required unless simulate=True"
+        probe_res = func(deepcopy(probe)) or {}
+        res_fields = list(infer_schema([probe_res]).fields)
+
+    in_schema = params_df.schema
+    out_fields = list(in_schema.fields)
+    out_fields += [f for f in res_fields if f.name not in in_schema.names]
+    for name, dt in (
+        ("_time_utc", T.TimestampType()),
+        ("_pset_runtime", T.DoubleType()),
+        ("_exec_host", T.StringType()),
+    ):
+        if name not in [f.name for f in out_fields]:
+            out_fields.append(T.StructField(name, dt, True))
+    if safe:
+        for name, dt in (("_failed", T.BooleanType()), ("_exc_txt", T.StringType())):
+            if name not in [f.name for f in out_fields]:
+                out_fields.append(T.StructField(name, dt, True))
+    if capture_logs and "db" in capture_logs:
+        if "_logs" not in [f.name for f in out_fields]:
+            out_fields.append(T.StructField("_logs", T.StringType(), True))
+    out_schema = T.StructType(out_fields)
+
+    if poolsize:
+        params_df = params_df.repartition(poolsize)
+
+    mapper = _make_mapper(
+        func if func is not None else (lambda p: {}),
+        out_schema,
+        calc_dir=os.path.abspath(calc_dir),
+        capture_logs=capture_logs,
+        safe=safe,
+        tmpsave=tmpsave,
+        simulate=simulate,
+    )
+    result_df = params_df.mapInPandas(mapper, out_schema)
+
+    if save:
+        db.append(result_df)
+        full = db.load(spark)
+        assert full is not None
+    else:
+        old = db.load(spark)
+        full = (
+            old.unionByName(result_df, allowMissingColumns=True)
+            if old is not None
+            else result_df
+        )
+
+    git_exit(git, run_id, git_dir)
+    if verbose:
+        full.orderBy("_pset_seq").show(truncate=False)
+    return full

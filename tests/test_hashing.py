@@ -1,0 +1,143 @@
+"""Canonical hash invariants — mirrors reference tests/test_all.py:619-704.
+
+The keystone contract: Python pset_hash == Spark hash_expr == DuckDB
+hash_sql, key-order invariant, type-sensitive, kind-filtering.
+"""
+
+import datetime as dt
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from psweep_spark.hashing import (
+    canon_value,
+    col_kind,
+    filter_cols,
+    hash_expr,
+    hash_sql,
+    pset_hash,
+)
+
+
+def test_key_order_invariance():
+    # reference tests/test_all.py:619-626
+    assert pset_hash({"a": 1, "b": 2}) == pset_hash({"b": 2, "a": 1})
+
+
+def test_type_sensitivity():
+    assert pset_hash({"a": 1}) != pset_hash({"a": 1.0})
+    assert pset_hash({"a": 1}) != pset_hash({"a": "1"})
+    assert pset_hash({"a": True}) != pset_hash({"a": 1})
+
+
+def test_prefix_postfix_skipped():
+    # reference tests/test_all.py:658-676
+    base = pset_hash({"a": 1})
+    assert pset_hash({"a": 1, "_run_id": "x", "result_": 99}) == base
+    # all-special edge case == empty pset hash (tests/test_all.py:1527-1535)
+    assert pset_hash({"_x": 1, "y_": 2}) == pset_hash({})
+
+
+def test_numpy_type_mapping():
+    # typed core: np.int64 == python int (documented deviation from joblib)
+    assert pset_hash({"a": np.int64(7)}) == pset_hash({"a": 7})
+    assert pset_hash({"a": np.float64(7.5)}) == pset_hash({"a": 7.5})
+    assert pset_hash({"a": np.array([1.0, 2.0])}) == pset_hash({"a": [1.0, 2.0]})
+
+
+def test_none_and_nan():
+    assert canon_value(None) == "n"
+    assert canon_value(float("nan")) == "n"
+    assert pset_hash({"a": None}) != pset_hash({})  # null col still keyed
+
+
+def test_canon_value_formats():
+    assert canon_value(5) == "i:5"
+    assert canon_value(True) == "b:true"
+    assert canon_value("héllo") == f"s{len('héllo'.encode())}:héllo"
+    assert canon_value(1.5) == "d:1.500000000000000000"
+    assert canon_value(0.1) == "d:0.100000000000000000"
+    assert canon_value(-0.0) == "d:0.000000000000000000"
+    assert canon_value(1e17) == "d:100000000000000000.000000000000000000"
+    assert canon_value([1, None, 2]) == "[i:1,n,i:2]"
+    assert canon_value({"b": 1, "a": 2}) == "{a=i:2,b=i:1}"
+    with pytest.raises(ValueError):
+        canon_value(1e19)
+
+
+ZOO_PSETS = [
+    {"a": 1, "b": "x", "c": 1.5, "d": True, "e": None},
+    {"a": -7, "b": "", "c": 0.1, "d": False, "e": "z"},
+    {"a": 0, "b": "héllo wörld", "c": -2.25, "d": True, "e": None},
+    {"a": 2**40, "b": "s;=,k1:", "c": 1.23456789e-10, "d": False, "e": "q"},
+    {"a": 5, "b": "x", "c": float(np.float32(0.1)), "d": True, "e": None},
+]
+
+
+def test_python_vs_spark_hash_parity(spark):
+    """The same psets must hash identically via the Python mirror and the
+    Catalyst expression — the engine's core determinism contract."""
+    from psweep_spark.runner import prepare_params_df
+
+    df = prepare_params_df(spark, ZOO_PSETS)
+    got = (
+        df.withColumn("h", hash_expr(df.schema))
+        .select("a", "h")
+        .orderBy("a")
+        .collect()
+    )
+    expected = {p["a"]: pset_hash(p) for p in ZOO_PSETS}
+    for r in got:
+        assert r["h"] == expected[r["a"]], f"mismatch for a={r['a']}"
+
+
+def test_python_vs_duckdb_hash_parity():
+    """hash_sql (the oracle emitter) agrees with pset_hash for scalar
+    int/string/bool psets."""
+    psets = [
+        {"a": 1, "b": "x", "d": True},
+        {"a": -5, "b": "héllo", "d": False},
+        {"a": None, "b": None, "d": None},
+    ]
+    expr = hash_sql({"a": "bigint", "b": "varchar", "d": "boolean"})
+    con = duckdb.connect()
+    for p in psets:
+        a = "NULL" if p["a"] is None else str(p["a"])
+        b = "NULL" if p["b"] is None else f"'{p['b']}'"
+        d = "NULL" if p["d"] is None else str(p["d"]).lower()
+        got = con.sql(
+            f"SELECT {expr} AS h FROM (SELECT {a}::BIGINT AS a, {b}::VARCHAR AS b, {d}::BOOLEAN AS d)"
+        ).fetchone()[0]
+        assert got == pset_hash(p), f"duckdb mismatch for {p}"
+
+
+def test_spark_hash_array_struct(spark):
+    psets = [{"a": [1, 2, 3], "b": "q"}, {"a": [], "b": None}]
+    from psweep_spark.runner import prepare_params_df
+
+    df = prepare_params_df(spark, psets)
+    got = df.withColumn("h", hash_expr(df.schema)).select("b", "h").collect()
+    exp = {p["b"]: pset_hash(p) for p in psets}
+    for r in got:
+        assert r["h"] == exp[r["b"]]
+
+
+def test_timestamp_hash_parity(spark):
+    ts = dt.datetime(2024, 5, 1, 12, 30, 15, 123456)
+    psets = [{"a": 1, "t": ts}]
+    from psweep_spark.runner import prepare_params_df
+
+    df = prepare_params_df(spark, psets)
+    got = df.withColumn("h", hash_expr(df.schema)).first()["h"]
+    assert got == pset_hash(psets[0])
+
+
+def test_col_kind():
+    assert col_kind("_run_id") == "prefix"
+    assert col_kind("result_") == "postfix"
+    assert col_kind("a") == "pset"
+    assert filter_cols(["a", "_x", "y_", "b"]) == ["a", "b"]
+    assert filter_cols(["a", "_x", "y_"], "prefix") == ["_x"]
+    assert filter_cols(["a", "_x", "y_"], "postfix") == ["y_"]

@@ -1,0 +1,210 @@
+"""run() lifecycle invariants — mirror reference tests/test_all.py:170-315.
+
+2 runs x 4 psets -> 8 rows, 2 distinct _run_id, 8 distinct _pset_id,
+4 distinct _pset_hash; skip_dups re-run adds 0 rows; simulate appends
+null-result rows to a shadow DB; schema evolution rehashes history.
+"""
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from psweep_spark import (
+    RESERVED_COLS,
+    Database,
+    df_extract_params,
+    failed_psets,
+    latest_per_pset,
+    pgrid,
+    plist,
+    pset_hash,
+    run,
+    uuid5_expr,
+)
+
+
+def func_a(pset):
+    return {"result_": pset["a"] * 10.0}
+
+
+@pytest.fixture()
+def calc_dir(tmp_path):
+    return str(tmp_path / "calc")
+
+
+def test_run_basic_invariants(spark, calc_dir):
+    params = pgrid([plist("a", [1, 2, 3, 4])])
+    df = run(spark, func_a, params, calc_dir=calc_dir)
+    assert df.count() == 4
+    df2 = run(spark, func_a, params, calc_dir=calc_dir)
+    rows = df2.collect()
+    assert len(rows) == 8
+    assert df2.select("_run_id").distinct().count() == 2
+    assert df2.select("_pset_id").distinct().count() == 8
+    assert df2.select("_pset_hash").distinct().count() == 4
+    # reserved column set parity (reference tests/test_all.py:200-214)
+    for c in RESERVED_COLS:
+        assert c in df2.columns, c
+    # _pset_seq == 0..7 contiguous (reference: seq == df.index)
+    seqs = sorted(r["_pset_seq"] for r in rows)
+    assert seqs == list(range(8))
+    # run seqs 0 then 1
+    assert {r["_run_seq"] for r in rows} == {0, 1}
+    # results
+    for r in rows:
+        assert r["result_"] == r["a"] * 10.0
+        assert r["_pset_runtime"] >= 0
+        assert r["_time_utc"] is not None
+        assert r["_exec_host"]
+    # stored hash equals recomputed python hash over pset cols
+    for r in rows:
+        assert r["_pset_hash"] == pset_hash({"a": r["a"]})
+
+
+def test_skip_dups(spark, calc_dir):
+    params = pgrid([plist("a", [1, 2, 3, 4])])
+    run(spark, func_a, params, calc_dir=calc_dir)
+    df = run(spark, func_a, params, calc_dir=calc_dir, skip_dups=True)
+    assert df.count() == 4  # no new rows
+    params2 = pgrid([plist("a", [3, 4, 5])])
+    df = run(spark, func_a, params2, calc_dir=calc_dir, skip_dups=True)
+    assert df.count() == 5  # only a=5 added
+    assert df.filter(F.col("a") == 5).count() == 1
+    assert df.select("_pset_hash").distinct().count() == 5
+
+
+def test_uuid5_expr_matches_python(spark):
+    run_id = str(uuid.uuid4())
+    df = spark.range(5).select(
+        F.col("id"),
+        uuid5_expr(F.lit(run_id), F.col("id").cast("string")).alias("u"),
+    )
+    for r in df.collect():
+        assert r["u"] == str(uuid.uuid5(uuid.UUID(run_id), str(r["id"])))
+
+
+def test_simulate(spark, calc_dir):
+    params = pgrid([plist("a", [1, 2])])
+    real = run(spark, func_a, params, calc_dir=calc_dir)
+    assert real.count() == 2
+    sim = run(spark, func_a, pgrid([plist("a", [3, 4])]), calc_dir=calc_dir, simulate=True)
+    # shadow DB holds old rows + new null-result rows
+    assert sim.count() == 4
+    assert sim.filter(F.col("result_").isNull()).count() == 2
+    # real DB untouched
+    db = Database(os.path.join(calc_dir, "database"))
+    assert db.load(spark).count() == 2
+    assert os.path.isdir(calc_dir + ".simulate")
+
+
+def test_schema_evolution_rehash(spark, calc_dir):
+    # reference tests/test_all.py:1440-1524: run 1 has (a), run 2 adds (b);
+    # old rows get b=NULL and are REHASHED over (a, b)
+    run(spark, func_a, pgrid([plist("a", [1, 2])]), calc_dir=calc_dir)
+    df = run(
+        spark,
+        lambda p: {"result_": p["a"] * 10.0 + p["b"]},
+        pgrid([plist("a", [1]), plist("b", [5, 6])]),
+        calc_dir=calc_dir,
+    )
+    assert df.count() == 4
+    rows = {(r["a"], r["b"]): r for r in df.collect()}
+    assert rows[(1, None)]["_pset_hash"] == pset_hash({"a": 1, "b": None})
+    assert rows[(1, 5)]["_pset_hash"] == pset_hash({"a": 1, "b": 5})
+    # widened old rows must NOT collide with new psets
+    assert df.select("_pset_hash").distinct().count() == 4
+
+
+def test_save_false(spark, calc_dir):
+    df = run(spark, func_a, pgrid([plist("a", [1, 2])]), calc_dir=calc_dir, save=False)
+    assert df.count() == 2
+    assert not Database(os.path.join(calc_dir, "database")).exists()
+
+
+def test_safe_mode_and_failed_psets(spark, calc_dir):
+    def flaky(pset):
+        if pset["a"] % 2 == 0:
+            raise RuntimeError(f"boom {pset['a']}")
+        return {"result_": float(pset["a"])}
+
+    df = run(spark, flaky, pgrid([plist("a", [1, 2, 3, 4])]), calc_dir=calc_dir, safe=True)
+    assert df.filter(F.col("_failed")).count() == 2
+    failed = failed_psets(df)
+    assert {r["a"] for r in failed.collect()} == {2, 4}
+    assert all("boom" in r["_exc_txt"] for r in failed.collect())
+    # repeat-failed pattern: re-run only failed psets
+    redo = [{"a": r["a"]} for r in failed.select("a").collect()]
+    df2 = run(spark, lambda p: {"result_": float(p["a"])}, redo, calc_dir=calc_dir, safe=True)
+    latest = latest_per_pset(df2)
+    assert latest.filter(F.col("_failed")).count() == 0
+
+
+def test_unsafe_mode_raises(spark, calc_dir):
+    def bad(pset):
+        raise RuntimeError("boom")
+
+    with pytest.raises(Exception):
+        run(spark, bad, pgrid([plist("a", [1, 2])]), calc_dir=calc_dir)
+
+
+def test_capture_logs_db_and_file(spark, calc_dir):
+    def noisy(pset):
+        print(f"hello from {pset['a']}")
+        return {"result_": 1.0}
+
+    df = run(
+        spark, noisy, pgrid([plist("a", [1, 2])]), calc_dir=calc_dir,
+        capture_logs="db+file",
+    )
+    rows = df.collect()
+    for r in rows:
+        assert f"hello from {r['a']}" in r["_logs"]
+        logfile = os.path.join(calc_dir, r["_pset_id"], "logs.txt")
+        assert os.path.isfile(logfile)
+        assert f"hello from {r['a']}" in open(logfile).read()
+
+
+def test_tmpsave(spark, calc_dir):
+    df = run(spark, func_a, pgrid([plist("a", [1, 2])]), calc_dir=calc_dir, tmpsave=True)
+    run_id = df.first()["_run_id"]
+    d = os.path.join(calc_dir, "tmpsave", run_id)
+    assert len(os.listdir(d)) == 2
+
+
+def test_backup(spark, calc_dir):
+    run(spark, func_a, pgrid([plist("a", [1])]), calc_dir=calc_dir)
+    run(spark, func_a, pgrid([plist("a", [2])]), calc_dir=calc_dir, backup=True)
+    baks = [d for d in os.listdir(calc_dir) if d.startswith("database.bak_")]
+    assert len(baks) == 1
+    bak = Database(os.path.join(calc_dir, baks[0]))
+    assert bak.load(spark).count() == 1  # pre-append snapshot
+
+
+def test_params_roundtrip_study_chaining(spark, calc_dir):
+    # df_extract_params reproduces original params; hashes round-trip
+    # (reference tests/test_all.py:679-704)
+    params = pgrid([plist("a", [1, 2]), plist("b", ["x", "y"])])
+    df = run(spark, func_a, params, calc_dir=calc_dir)
+    back = df_extract_params(df)
+    assert sorted(back, key=lambda p: (p["a"], p["b"])) == sorted(
+        params, key=lambda p: (p["a"], p["b"])
+    )
+    for p in back:
+        assert pset_hash(p) in {r["_pset_hash"] for r in df.collect()}
+
+
+def test_lazy_df_params(spark, calc_dir):
+    # the 100 TB path: params as a lazy DataFrame grid
+    from psweep_spark import pgrid_df, plist_df
+
+    grid = pgrid_df(
+        plist_df(spark, "a", [1, 2, 3]), plist_df(spark, "b", [10, 20])
+    )
+    df = run(spark, lambda p: {"result_": p["a"] * p["b"] * 1.0}, grid, calc_dir=calc_dir)
+    assert df.count() == 6
+    assert df.select("_pset_id").distinct().count() == 6
+    rows = df.collect()
+    for r in rows:
+        assert r["result_"] == r["a"] * r["b"]
