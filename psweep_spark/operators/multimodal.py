@@ -1,0 +1,127 @@
+"""Multimodal column plumbing — image/audio/video as opaque binary
+columns with typed metadata (BASELINE north star).
+
+The decode step is STUBBED (no image/audio libs in this container):
+``decode_images(..., fake=True)`` produces deterministic fake features
+so the Spark-side plumbing — schema, Arrow batch shape, mapInPandas
+signature, partitioning — is real and tested; ``fake=False`` raises
+``NotImplementedError`` at the exact seam where Pillow/librosa/ffmpeg
+would plug in.
+
+Scale notes: binary payloads ride in parquet as-is (no row-group
+bloat if media is chunked < ~64 MB); decode is a mapInPandas stage —
+embarrassingly parallel, Arrow-batched, no shuffle; frame sampling is
+an explode (flatMap) whose output is repartitionable downstream.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MEDIA_META_TYPE",
+    "attach_fake_media",
+    "decode_images",
+    "sample_frames",
+]
+
+#: typed metadata carried alongside every opaque media payload
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake media: payload = sha2 bytes of the id (stand-in
+    for real image bytes), metadata derived from the id.  Lets every
+    downstream operator run without real media libs."""
+    idc = F.col(id_col)
+    payload = F.sha2(idc.cast("string"), 256).cast("binary")
+    meta = F.struct(
+        F.lit("fake/raw").alias("format"),
+        (F.pmod(idc, F.lit(64)) + 32).cast("int").alias("width"),
+        (F.pmod(idc, F.lit(48)) + 24).cast("int").alias("height"),
+        (F.pmod(idc, F.lit(16)) + 1).cast("int").alias("n_frames"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+    )
+    return df.withColumn("media", payload).withColumn("media_meta", meta)
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_images(
+    df: DataFrame, id_col: str = "doc_id", fake: bool = True
+) -> DataFrame:
+    """Decode/feature-extract stage over (media, media_meta).
+
+    Arrow-batched mapInPandas; with ``fake=True`` emits deterministic
+    8-dim features from the payload bytes.  ``fake=False`` is the seam
+    for a real decoder (Pillow etc.) — not available in this container.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image decode requires Pillow/opencv — not present in "
+            "this environment; pass fake=True for the deterministic stub"
+        )
+
+    def _decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload: bytes = row["media"]
+                meta = row["media_meta"]
+                digest = hashlib.sha256(payload).digest()
+                feat = [b / 255.0 for b in digest[:8]]
+                out.append(
+                    (
+                        int(row[id_col]),
+                        int(meta["width"]),
+                        int(meta["height"]),
+                        sum(payload) / len(payload) if len(payload) else 0.0,
+                        feat,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "mean_byte", "feature"]
+            )
+
+    return df.select(id_col, "media", "media_meta").mapInPandas(
+        _decode, _DECODE_SCHEMA
+    )
+
+
+def sample_frames(df: DataFrame, every_n: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Video-style frame sampling: one output row per sampled frame
+    index (explode of a sequence — flatMap, no shuffle)."""
+    nf = F.col("media_meta")["n_frames"]
+    idxs = F.filter(
+        F.sequence(F.lit(0), nf - 1),
+        lambda i: i % every_n == 0,
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(idxs).alias("frame_idx"),
+        F.col("media"),
+    )

@@ -1,0 +1,153 @@
+"""Text-analysis operators over a documents table.
+
+Every operator is a pure Catalyst expression pipeline (split/filter/
+aggregate on the JVM, whole-stage codegen, no Python) and is designed to
+be **bit-deterministic across engines**: the same formula evaluated in
+DuckDB produces identical doubles, so these are oracle-checkable.
+
+Scale: all operators are embarrassingly parallel per-row maps — no
+shuffle at all; they run at 100 TB as a single scan stage with column
+pruning (only ``text`` + keys read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count",
+    "text_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "STOPWORDS",
+    "LANG_STOPWORDS",
+]
+
+# small deterministic stopword list (English function words; the
+# synthetic corpus vocabulary includes 'the'/'a')
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+# per-language marker words for the n-gram/stopword language heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "et", "est", "les"),
+}
+
+_WS = r"\s+"
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(col), _WS)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(
+        F.size(_tokens(col))
+    ).cast("long")
+
+
+def _stop_hits(col: Column, words=STOPWORDS) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(_tokens(col), lambda t: F.array_contains(arr, t)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: token count, char count, mean token length,
+    punctuation/digit ratios, stopword ratio."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chr = F.length(t).cast("long")
+    punct = n_chr - F.length(F.regexp_replace(t, r"[.,;:!?()'\"]", ""))
+    digit = n_chr - F.length(F.regexp_replace(t, "[0-9]", ""))
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        n_chr.alias("n_chars_calc"),
+        (n_chr.cast("double") / n_tok.cast("double")).alias("mean_token_len"),
+        (punct.cast("double") / n_chr.cast("double")).alias("punct_ratio"),
+        (digit.cast("double") / n_chr.cast("double")).alias("digit_ratio"),
+        (
+            _stop_hits(t).cast("double") / n_tok.cast("double")
+        ).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document quality score in [0, 1].
+
+    Fixed rational arithmetic only (no exp/log) so the identical SQL
+    formula in any engine yields bit-identical doubles:
+
+        0.4 * stopword_ratio
+      + 0.3 * least(n_tokens, 256)/256
+      + 0.3 * (1 - punct_ratio)
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chr = F.length(t).cast("long")
+    punct = n_chr - F.length(F.regexp_replace(t, r"[.,;:!?()'\"]", ""))
+    stop_r = _stop_hits(t).cast("double") / n_tok.cast("double")
+    len_r = F.least(n_tok, F.lit(256)).cast("double") / F.lit(256.0)
+    punct_r = punct.cast("double") / n_chr.cast("double")
+    score = (
+        F.lit(0.4) * stop_r + F.lit(0.3) * len_r + F.lit(0.3) * (F.lit(1.0) - punct_r)
+    )
+    return df.withColumn("quality_score", score)
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language heuristic → ``lang_pred`` column.
+
+    Per language: hit count of its marker words; argmax with
+    deterministic lexicographic tie-break.  One scan, no shuffle.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    scored = F.array(
+        *[
+            F.struct(
+                (_stop_hits(t, words).cast("double") / n_tok.cast("double")).alias(
+                    "score"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+    # array_max on struct compares field-by-field: score desc then lang;
+    # to get lexicographically-smallest lang on ties, compare (score, reversed-lang)
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(-1.0).alias("score"), F.lit("").alias("lang")),
+        lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
+    )
+    return df.withColumn("lang_pred", best["lang"]).withColumn(
+        "lang_score", best["score"]
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two fingerprints per document:
+
+    * ``fp_exact``: md5 of the normalized text (lowercase, collapsed
+      whitespace) — exact-duplicate key.
+    * ``fp_min3gram``: minimum md5 over word 3-gram shingles — a 1-hash
+      MinHash; equal fingerprints ⇒ likely near-duplicates (rolling-
+      hash-style content fingerprint, cf. winnowing).
+    """
+    t = F.col(text_col)
+    norm = F.lower(F.regexp_replace(F.trim(t), _WS, " "))
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    shingles = F.when(n >= 3, F.transform(
+        F.sequence(F.lit(0), n - F.lit(3)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )).otherwise(F.array(norm))
+    return df.withColumn("fp_exact", F.md5(norm)).withColumn(
+        "fp_min3gram", F.array_min(F.transform(shingles, F.md5))
+    )

@@ -1,0 +1,428 @@
+"""Declared query inventory — the driver-facing catalog behind
+``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Every entry pairs a Spark DataFrame program (built from this engine's
+operators) with an ANSI-SQL oracle that DuckDB runs on the same parquet
+tables.  **Cross-engine determinism rules** used throughout:
+
+* money aggregates go through ``CAST(x AS DECIMAL(p,s))`` before SUM —
+  decimal addition is exact, so partial-aggregation order (Spark) vs
+  sequential order (DuckDB) cannot change the result; the final value
+  is cast back to double in both engines.
+* averages are ``CAST(sum_dec AS DOUBLE) / CAST(count AS DOUBLE)`` —
+  one IEEE division of identical operands.
+* cosine similarities are rounded to 6 dp (summation-order noise is
+  ~1e-16, far below the rounding grain).
+* every computed column is aliased identically on both sides.
+* hashes (pset hash, minhash, simhash) are md5/sha256 over explicit
+  strings — bit-identical in any engine.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _ld(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _ld_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet is written with TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects; read nanos as long and truncate to µs
+    (DuckDB's CAST(ts_ns AS TIMESTAMP) truncates identically)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _ld(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def _dsum(col, scale_type="decimal(18,4)"):
+    """Order-insensitive SUM: exact decimal accumulation, double out."""
+    return F.sum(col.cast(scale_type)).cast("double")
+
+
+def _m(col):
+    """Money column → exact decimal(12,2).
+
+    The base columns are 2-decimal doubles (exactly representable in
+    shortest-repr), so this cast is lossless and bit-identical across
+    engines; all downstream arithmetic stays in decimal (exact,
+    order-insensitive) until the final cast to double."""
+    return col.cast("decimal(12,2)")
+
+
+def _one():
+    return F.lit(1).cast("decimal(12,2)")
+
+
+def _revenue_expr():
+    """Per-row revenue in exact decimal: price * (1 - discount)."""
+    return _m(F.col("l_extendedprice")) * (_one() - _m(F.col("l_discount")))
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+)
+
+
+# ===========================================================================
+# A. relational surface (classic OLAP over the star schema)
+# ===========================================================================
+
+
+@_q(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_REV_SQL} * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate. Filter + the two grouping
+    and seven aggregate columns are the only things read (column
+    pruning + predicate pushdown to parquet)."""
+    li = _ld(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(_revenue_expr()).cast("double").alias("sum_disc_price"),
+            F.sum(
+                _revenue_expr() * (_one() + _m(F.col("l_tax")))
+            ).cast("double").alias("sum_charge"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_qty"),
+            (
+                F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
+    customer is tiny → broadcast both joins; only the order-key agg
+    shuffles.  Deterministic top-k via (revenue desc, l_orderkey)."""
+    cu = _ld(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    od = _ld(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-15 00:00:00"
+    )
+    li = _ld(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-06-15 00:00:00"
+    )
+    return (
+        li.join(
+            F.broadcast(od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)),
+            li.l_orderkey == od.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue_expr()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@_q(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join.  All dims broadcast; the fact
+    table never shuffles before aggregation."""
+    cu = _ld(spark, sf_dir, "customer")
+    od = _ld(spark, sf_dir, "orders")
+    li = _ld(spark, sf_dir, "lineitem")
+    su = _ld(spark, sf_dir, "supplier")
+    na = _ld(spark, sf_dir, "nation")
+    re = _ld(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(od), li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(su),
+            (li.l_suppkey == su.s_suppkey)
+            & (cu.c_nationkey == su.s_nationkey),
+        )
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_revenue_expr()).cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "q_top_customers_per_nation",
+    """
+    SELECT n_name, c_custkey, revenue, rnk FROM (
+      SELECT n_name, c_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY n_name
+               ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) DESC,
+                        c_custkey) AS BIGINT) AS rnk
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, c_custkey
+    ) WHERE rnk <= 3
+    """,
+)
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k per group: agg → row_number over partition.
+    The window partitions by nation — bounded cardinality, no skew."""
+    cu = _ld(spark, sf_dir, "customer")
+    od = _ld(spark, sf_dir, "orders")
+    na = _ld(spark, sf_dir, "nation")
+    per_cust = (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(_dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        per_cust.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", "revenue", "rnk")
+    )
+
+
+@_q(
+    "q_order_priority_count",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _ld(spark, sf_dir, "orders")
+    return od.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@_q(
+    "q_part_brand_stats",
+    """
+    SELECT p_brand, COUNT(*) AS n_parts,
+           CAST(MAX(p_size) AS BIGINT) AS max_size,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+           COUNT(DISTINCT p_type) AS n_types
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = _ld(spark, sf_dir, "part")
+    return pa.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.max("p_size").cast("long").alias("max_size"),
+        (
+            F.sum(F.col("p_retailprice").cast("decimal(18,4)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_price"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
+# ===========================================================================
+# B. events (streaming-equivalent batch semantics; the live Structured
+#    Streaming versions of these live in psweep_spark.streaming)
+# ===========================================================================
+
+
+@_q(
+    "events_tumbling_5min",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate (batch twin of the streaming query)."""
+    ev = _ld_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@_q(
+    "events_sessionization",
+    """
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN date_diff('second',
+                       lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       CAST(ts AS TIMESTAMP)) > 600
+                  OR lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (gap > 10 min) via lag + running sum — the
+    batch twin of a session_window streaming query.  Window partitions
+    by user_id: parallel across users, no global sort."""
+    ev = _ld_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (
+            (F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 600
+        ),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).cast("long").alias("duration_sec"),
+    )
+
+
+@_q(
+    "events_hourly_by_type",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ld_events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@_q(
+    "events_user_props_json",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS VARCHAR) AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY user_id
+    """,
+)
+def events_user_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON props column → typed aggregation."""
+    ev = _ld_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias(
+                "sum_k"
+            ),
+        )
+    )

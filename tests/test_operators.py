@@ -1,0 +1,189 @@
+"""LLM-pipeline operators over the driver testdata (sf0.001)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from psweep_spark.operators import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_topk,
+    minhash_dedup,
+    minhash_signatures,
+    quality_score,
+    simhash,
+    text_stats,
+    word_shingles,
+)
+from psweep_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_images,
+    sample_frames,
+)
+from psweep_spark.operators.text import doc_fingerprint, lang_id
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_text_stats(docs):
+    out = text_stats(docs).limit(50).collect()
+    for r in out:
+        assert r["n_tokens"] > 0
+        assert r["n_chars_calc"] == len(r["text"])
+        assert 0 <= r["stopword_ratio"] <= 1
+        assert 0 <= r["punct_ratio"] <= 1
+
+
+def test_quality_score_bounds(docs):
+    out = quality_score(docs)
+    lo, hi = out.agg(F.min("quality_score"), F.max("quality_score")).first()
+    assert 0.0 <= lo <= hi <= 1.0
+
+
+def test_lang_id_deterministic(docs):
+    out = lang_id(docs).select("doc_id", "lang_pred").limit(20).collect()
+    assert all(r["lang_pred"] in ("en", "de", "es", "fr") for r in out)
+    again = lang_id(docs).select("doc_id", "lang_pred").limit(20).collect()
+    assert out == again
+
+
+def test_fingerprints(docs):
+    out = doc_fingerprint(docs).select("doc_id", "fp_exact", "fp_min3gram")
+    rows = out.collect()
+    assert all(len(r["fp_exact"]) == 32 for r in rows)
+    # identical texts share fp_exact; our corpus texts are all distinct
+    assert out.select("fp_exact").distinct().count() == out.count()
+
+
+def test_exact_dedup_with_injected_dups(spark, docs):
+    # inject exact duplicates with new ids
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(dup)
+    out = exact_dedup(both)
+    assert out.count() == docs.count()  # 5 dups collapsed
+    assert out.filter(F.col("dup_count") == 2).count() == 5
+    # winner is always the smaller id (original)
+    assert out.filter(
+        (F.col("dup_count") == 2) & (F.col("keep_id") >= 100000)
+    ).count() == 0
+
+
+def test_jaccard_pairs_self_similarity(spark, docs):
+    d5 = docs.limit(5)
+    dup = d5.withColumn("doc_id", F.col("doc_id") + 100000)
+    pairs = jaccard_pairs(d5.unionByName(dup), threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    exp = {(r["doc_id"], r["doc_id"] + 100000) for r in d5.collect()}
+    assert exp <= got
+
+
+def test_minhash_matches_exact_jaccard_on_dups(spark, docs):
+    d = docs.limit(30)
+    dup = d.limit(6).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = d.unionByName(dup)
+    near = minhash_dedup(both, num_hashes=12, bands=4, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in near.collect()}
+    exp = {(r["doc_id"], r["doc_id"] + 100000) for r in d.limit(6).collect()}
+    assert exp <= got
+    # verified jaccard values are exact
+    for r in near.collect():
+        if (r["id_a"], r["id_b"]) in exp:
+            assert r["jaccard"] == 1.0
+
+
+def test_minhash_signatures_shape(docs):
+    sig = minhash_signatures(docs.limit(10), num_hashes=8)
+    assert sig.count() == 10
+    assert sum(c.startswith("mh_") for c in sig.columns) == 8
+
+
+def test_simhash_identical_for_dups(spark, docs):
+    d = docs.limit(8)
+    dup = d.withColumn("doc_id", F.col("doc_id") + 100000)
+    fp = simhash(d.unionByName(dup))
+    rows = {r["id"]: r["simhash"] for r in fp.collect()}
+    for r in d.collect():
+        assert rows[r["doc_id"]] == rows[r["doc_id"] + 100000]
+
+
+def test_embedding_near_dup(spark, emb):
+    dup = emb.limit(4).withColumn("vec_id", F.col("vec_id") + 100000)
+    pairs = embedding_near_dup_pairs(emb.unionByName(dup), threshold=0.999999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    exp = {(r["vec_id"], r["vec_id"] + 100000) for r in emb.limit(4).collect()}
+    assert exp <= got
+
+
+def test_brute_force_topk(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert ranks == [1, 2, 3, 4, 5]
+        cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["vec_id"] != q for r in rs)
+
+
+def test_lsh_finds_near_duplicates(spark, emb):
+    # LSH's job: retrieve genuinely high-cosine neighbors.  A scaled
+    # copy has cosine 1.0 and the identical sign pattern -> same bucket.
+    dup = emb.limit(10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(dup)
+    queries = emb.limit(10).withColumnRenamed("vec_id", "query_id")
+    out = lsh_topk(corpus, queries, k=1, num_planes=8)
+    got = {(r["query_id"], r["vec_id"]): r["cosine"] for r in out.collect()}
+    for q in [r["query_id"] for r in queries.select("query_id").collect()]:
+        assert got.get((q, q + 100000)) == 1.0, f"near-dup of {q} not found"
+
+
+def test_lsh_multiprobe_beats_single_probe(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    exact = brute_force_topk(emb, queries, k=3)
+    single = lsh_topk(emb, queries, k=3, num_planes=4, multiprobe=0)
+    multi = lsh_topk(emb, queries, k=3, num_planes=4, multiprobe=1)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    s = {(r["query_id"], r["vec_id"]) for r in single.collect()}
+    m = {(r["query_id"], r["vec_id"]) for r in multi.collect()}
+    assert len(e & m) >= len(e & s)
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = attach_fake_media(docs.limit(20))
+    feats = decode_images(media)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert all(0 <= x <= 1 for x in r["feature"])
+        assert r["width"] >= 32
+    # determinism
+    again = decode_images(media).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in rows)
+    frames = sample_frames(media, every_n=4)
+    f = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] >= 1 for r in f)
+    with pytest.raises(NotImplementedError):
+        decode_images(media, fake=False)
