@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a full materialization (``collect`` of the
+result — results are small aggregates by design; we never collect a fact
+table).  Timing includes plan + execution, excludes session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline set: the data-heavy queries over the driver's star schema +
+# events + documents + embeddings.  Engine-parity microqueries (grid DSL,
+# run lifecycle) are correctness-gated but not perf-representative, so
+# they are excluded here.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_top_customers_per_nation",
+    "q_order_priority_count",
+    "q_part_brand_stats",
+    "events_tumbling_5min",
+    "events_sessionization",
+    "events_hourly_by_type",
+    "events_user_props_json",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_quality_scores",
+    "text_language_id",
+    "text_token_counts",
+    "text_fingerprint",
+    "sim_cosine_topk",
+    "sim_lsh_ann",
+    "embed_nearest_centroid",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    import __spark_entry__ as entrymod
+    from psweep_spark.session import get_spark
+
+    spark = get_spark("psweep-spark-bench")
+    queries = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # noqa: BLE001
+            print(f"# bench error {name}: {str(e)[:200]}", file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    total = round(sum(ok.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    return 0 if len(ok) == len(timings) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -231,8 +231,14 @@ def filter_params_dup_hash(
 
 
 def plist_df(spark: SparkSession, name: str, seq: Sequence[Any]) -> DataFrame:
-    """Single-axis grid as a one-column DataFrame."""
-    return spark.createDataFrame([(v,) for v in seq], [name])
+    """Single-axis grid as a one-column DataFrame.
+
+    Axes are tiny, human-authored lists → one partition.  Without the
+    coalesce, ``createDataFrame`` splits N values across
+    ``defaultParallelism`` partitions and a 3-axis cross product
+    explodes to 32^3 = 32768 tasks for a 24-row grid.
+    """
+    return spark.createDataFrame([(v,) for v in seq], [name]).coalesce(1)
 
 
 def pgrid_df(*dfs: DataFrame) -> DataFrame:
@@ -251,7 +257,11 @@ def pgrid_df(*dfs: DataFrame) -> DataFrame:
             seen.add(c)
     out = dfs[0]
     for df in dfs[1:]:
-        out = out.crossJoin(df)
+        # Broadcast the new axis: the running product keeps its
+        # partitioning (BroadcastNestedLoopJoin), so a 10^9-row grid
+        # built from `spark.range` axes parallelizes over the stream
+        # side without a partition-count explosion.
+        out = out.crossJoin(F.broadcast(df))
     return out
 
 

@@ -426,3 +426,232 @@ def events_user_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ===========================================================================
+# C. psweep-parity queries — the engine's own operators (grid DSL,
+#    canonical hash, run lifecycle) checked against constructed SQL
+# ===========================================================================
+
+
+def _vals(name: str, vals) -> str:
+    rows = ", ".join(f"({v!r})" if isinstance(v, str) else f"({v})" for v in vals)
+    return f"(VALUES {rows}) AS {name}_t({name})"
+
+
+@_q(
+    "pgrid_cartesian",
+    f"""
+    SELECT a, b, c FROM {_vals('a', [1, 2, 3, 4])}
+    CROSS JOIN {_vals('b', [10, 20, 30])}
+    CROSS JOIN {_vals('c', ['x', 'y'])}
+    """,
+)
+def pgrid_cartesian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #2 (pgrid): lazy cross-product grid — never materialized
+    driver-side (reference psweep.py:1002-1051 re-expressed as crossJoin)."""
+    from .grid import pgrid_df, plist_df
+
+    return pgrid_df(
+        plist_df(spark, "a", [1, 2, 3, 4]),
+        plist_df(spark, "b", [10, 20, 30]),
+        plist_df(spark, "c", ["x", "y"]),
+    )
+
+
+@_q(
+    "pgrid_zip",
+    f"""
+    SELECT a, b, c FROM (VALUES (1, 7), (2, 8), (3, 9)) AS ab(a, b)
+    CROSS JOIN {_vals('c', ['u', 'v'])}
+    """,
+)
+def pgrid_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #4 (zipped plists): positional co-variation then product
+    (reference manual.md:253-263)."""
+    from .grid import pgrid_df, plist_df, zip_df
+
+    zipped = zip_df(plist_df(spark, "a", [1, 2, 3]), plist_df(spark, "b", [7, 8, 9]))
+    return pgrid_df(zipped, plist_df(spark, "c", ["u", "v"]))
+
+
+@_q(
+    "stargrid_ofat",
+    """
+    SELECT DISTINCT a, b FROM (
+      SELECT a, 77 AS b FROM (VALUES (1), (2), (3), (4)) AS va(a)
+      UNION ALL
+      SELECT 1 AS a, b FROM (VALUES (77), (88), (99)) AS vb(b)
+    )
+    """,
+)
+def stargrid_ofat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #5 (stargrid): one-factor-at-a-time pattern with hash
+    dedup (reference psweep.py:1084-1183)."""
+    from .grid import plist, stargrid
+    from .runner import prepare_params_df
+
+    params = stargrid(
+        {"a": 1, "b": 77},
+        vary=[plist("a", [1, 2, 3, 4]), plist("b", [77, 88, 99])],
+    )
+    return prepare_params_df(spark, params)
+
+
+@_q("pset_hash_grid")  # oracle attached below (generated)
+def pset_hash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #19 (canonical pset hash) as a Catalyst expression over a
+    grid — the keystone determinism contract, oracle-checked."""
+    from .grid import pgrid_df, plist_df
+    from .hashing import hash_expr
+
+    g = pgrid_df(
+        plist_df(spark, "a", [1, 2, 3, 4, 5]),
+        plist_df(spark, "b", ["x", "héllo", ""]),
+        plist_df(spark, "flag", [True, False]),
+    )
+    return g.withColumn("_pset_hash", hash_expr(g.schema))
+
+
+def _pset_hash_grid_oracle() -> str:
+    from .hashing import hash_sql
+
+    h = hash_sql({"a": "bigint", "b": "varchar", "flag": "boolean"})
+    return f"""
+    SELECT a, b, flag, {h} AS _pset_hash
+    FROM {_vals('a', [1, 2, 3, 4, 5])}
+    CROSS JOIN {_vals('b', ['x', 'héllo', ''])}
+    CROSS JOIN (VALUES (true), (false)) AS flag_t(flag)
+    """
+
+
+ORACLES["pset_hash_grid"] = _pset_hash_grid_oracle()
+
+
+@_q(
+    "params_dedup_unique",
+    "SELECT a FROM (VALUES (1), (2), (3)) AS t(a)",
+)
+def params_dedup_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #10 (filter_params_unique): hash-dedup, first occurrence
+    wins (reference psweep.py:1054-1065)."""
+    from .grid import filter_params_unique
+    from .runner import prepare_params_df
+
+    params = [{"a": 1}, {"a": 2}, {"a": 2}, {"a": 3}, {"a": 1}]
+    return prepare_params_df(spark, filter_params_unique(params))
+
+
+@_q(
+    "skip_dups_antijoin",
+    "SELECT a FROM (VALUES (1), (2), (6), (7), (8)) AS t(a)",
+)
+def skip_dups_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operators #11/#20 (filter_params_dup_hash / skip-dups): drop psets
+    whose canonical hash is already known (reference psweep.py:1068-1081,
+    1438-1439) — the hash-memoization at the heart of incremental runs."""
+    from .grid import filter_params_dup_hash, plist
+    from .hashing import pset_hash
+    from .runner import prepare_params_df
+
+    params = plist("a", [1, 2, 3, 4, 5, 6, 7, 8])
+    done = [pset_hash({"a": v}) for v in (3, 4, 5)]
+    return prepare_params_df(spark, filter_params_dup_hash(params, done))
+
+
+@_q(
+    "run_sweep_deterministic",
+    None,
+)
+def run_sweep_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #12 (run): full lifecycle — grid → id/seq stamping →
+    mapInPandas(func) → Parquet append — projected to its deterministic
+    columns (reference psweep.py:1295-1492; tests/test_all.py:170-231)."""
+    from .grid import pgrid, plist
+    from .runner import run
+
+    def func(pset):
+        return {"result_": float(pset["a"] * 10 + pset["b"])}
+
+    calc = tempfile.mkdtemp(prefix="psq_run_")
+    df = run(spark, func, pgrid([plist("a", [0, 1, 2, 3]), plist("b", [0, 1])]),
+             calc_dir=os.path.join(calc, "calc"))
+    return df.select(
+        "a", "b", "result_", "_run_seq", "_pset_seq", "_pset_hash"
+    )
+
+
+def _run_sweep_oracle() -> str:
+    from .hashing import hash_sql
+
+    h = hash_sql({"a": "bigint", "b": "bigint"})
+    return f"""
+    SELECT a, b, CAST(a * 10 + b AS DOUBLE) AS result_,
+           CAST(0 AS BIGINT) AS _run_seq,
+           CAST(a * 2 + b AS BIGINT) AS _pset_seq,
+           {h} AS _pset_hash
+    FROM {_vals('a', [0, 1, 2, 3])} CROSS JOIN {_vals('b', [0, 1])}
+    """
+
+
+ORACLES["run_sweep_deterministic"] = _run_sweep_oracle()
+
+
+@_q(
+    "run_skip_dups_incremental",
+    """
+    SELECT a, CAST(a * 10.0 AS DOUBLE) AS result_,
+           CAST(CASE WHEN a <= 6 THEN 0 ELSE 1 END AS BIGINT) AS _run_seq
+    FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9)) AS t(a)
+    """,
+)
+def run_skip_dups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operators #12+#20: two-run incremental study; the second run
+    computes only the new psets (reference tests/test_all.py:234-283)."""
+    from .grid import plist
+    from .runner import run
+
+    def func(pset):
+        return {"result_": pset["a"] * 10.0}
+
+    calc = os.path.join(tempfile.mkdtemp(prefix="psq_inc_"), "calc")
+    run(spark, func, plist("a", [1, 2, 3, 4, 5, 6]), calc_dir=calc)
+    df = run(spark, func, plist("a", [4, 5, 6, 7, 8, 9]), calc_dir=calc,
+             skip_dups=True)
+    return df.select("a", "result_", "_run_seq")
+
+
+@_q("schema_evolution_nullfill")  # oracle below (generated)
+def schema_evolution_nullfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #21 (schema-evolve on append): run 2 widens the pset
+    schema; history is NULL-extended and REHASHED over the union column
+    set (reference psweep.py:1432-1437; tests/test_all.py:1440-1524)."""
+    from .runner import run
+
+    calc = os.path.join(tempfile.mkdtemp(prefix="psq_evo_"), "calc")
+    run(spark, lambda p: {"result_": float(p["a"])}, [{"a": 1}, {"a": 2}],
+        calc_dir=calc)
+    df = run(
+        spark,
+        lambda p: {"result_": float(p["a"] + p["b"])},
+        [{"a": 1, "b": 5}, {"a": 1, "b": 6}],
+        calc_dir=calc,
+    )
+    return df.select("a", "b", "result_", "_pset_hash")
+
+
+def _schema_evo_oracle() -> str:
+    from .hashing import hash_sql
+
+    h = hash_sql({"a": "bigint", "b": "bigint"})
+    return f"""
+    SELECT a, b, result_, {h} AS _pset_hash FROM (
+      SELECT 1 AS a, CAST(NULL AS BIGINT) AS b, CAST(1 AS DOUBLE) AS result_
+      UNION ALL SELECT 2, NULL, 2.0
+      UNION ALL SELECT 1, 5, 6.0
+      UNION ALL SELECT 1, 6, 7.0
+    )
+    """
+
+
+ORACLES["schema_evolution_nullfill"] = _schema_evo_oracle()
