@@ -139,9 +139,14 @@ def lsh_topk(
     q = q.select(
         "query_id", "qv", F.explode(probes).alias("bucket")
     )
-    scored = c.join(F.broadcast(q), "bucket").filter(
-        F.col("vec_id") != F.col("query_id")
-    ).withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
+    # a candidate can collide with a query in several probed buckets —
+    # dedup (query, candidate) before ranking or top-k repeats rows
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

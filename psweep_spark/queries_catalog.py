@@ -655,3 +655,446 @@ def _schema_evo_oracle() -> str:
 
 
 ORACLES["schema_evolution_nullfill"] = _schema_evo_oracle()
+
+
+# ===========================================================================
+# D. training-data pipeline operators (dedup / text / similarity) —
+#    first-class components beyond the reference surface (BASELINE north
+#    star).  Oracles re-express the SAME deterministic formulas in DuckDB
+#    SQL (md5-based hashes, exact rational divisions, 6-dp-rounded
+#    cosines), so even the *approximate* operators are hash-checkable.
+# ===========================================================================
+
+# DuckDB twins of the Spark-side text normalization / shingling exprs.
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_TOKS_SQL = r"string_split_regex(trim(text), '\s+')"
+_SHINGLES_CTE = f"""
+    norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+    toks AS (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM norm),
+    sh AS (
+      SELECT doc_id AS id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                i -> array_to_string(t[i:i+2], ' ')))
+             ELSE [nt] END) AS shingle
+      FROM toks
+    )"""
+
+
+@_q(
+    "dedup_exact_docs",
+    f"""
+    SELECT md5({_NORM_SQL}) AS text_hash,
+           MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy on normalized text).  Scale: groups on
+    md5(text) so the shuffle carries 32-byte keys, not document bodies;
+    map-side partial agg makes shuffle ∝ distinct texts."""
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_ld(spark, sf_dir, "documents")).select(
+        "text_hash", "keep_id", "dup_count"
+    )
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ 0.5 — the correctness oracle for
+    the LSH path.  All-pairs-ish (shingle self-join); at 100 TB this is
+    the *verification* stage only, candidates come from LSH."""
+    from .operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _ld(spark, sf_dir, "documents"), n=3, threshold=0.5
+    ).select("id_a", "id_b", "jaccard")
+
+
+def _minhash_lsh_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS bucket FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh_{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+    bands AS ({band_rows}),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+    FROM cands c JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes sa ON sa.id = c.id_a JOIN sizes sb ON sb.id = c.id_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+    """
+
+
+@_q("dedup_minhash_lsh", _minhash_lsh_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) + 4-band LSH candidates, exact-verified at τ=0.5.
+    The 100 TB dedup path: shuffles are per-doc signature agg + bounded
+    band-bucket join — never all-pairs."""
+    from .operators.dedup import minhash_dedup
+
+    return minhash_dedup(
+        _ld(spark, sf_dir, "documents"), num_hashes=12, bands=4, n=3, threshold=0.5
+    ).select("id_a", "id_b", "jaccard")
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s_{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS tok
+      FROM documents
+    ),
+    h AS (SELECT id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+    bitsums AS (SELECT id, {sums} FROM h GROUP BY id)
+    SELECT id, {fp} AS simhash FROM bitsums
+    """
+
+
+@_q("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints — near-dups differ in few bits.  One
+    aggregate over distinct tokens, bitwise ops only (JVM codegen)."""
+    from .operators.dedup import simhash
+
+    return simhash(_ld(spark, sf_dir, "documents")).select("id", "simhash")
+
+
+# single-quote doubled for SQL string literal; same regex as Spark side
+_PUNCT_RE = "[.,;:!?()''\"]"
+_STOP_SQL = "['the', 'a', 'of', 'to', 'and', 'in', 'is', 'it']"
+
+
+@_q(
+    "text_quality_scores",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens,
+             len(text) AS n_chars_calc,
+             len(text) - len(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS n_punct,
+             len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             len(list_filter({_TOKS_SQL}, t -> list_contains({_STOP_SQL}, t))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_chars_calc AS BIGINT) AS n_chars_calc,
+           CAST(n_chars_calc AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+           CAST(n_punct AS DOUBLE) / CAST(n_chars_calc AS DOUBLE) AS punct_ratio,
+           CAST(n_digit AS DOUBLE) / CAST(n_chars_calc AS DOUBLE) AS digit_ratio,
+           CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+           CAST(0.4 AS DOUBLE) * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             + CAST(0.3 AS DOUBLE) * (CAST(least(n_tokens, 256) AS DOUBLE) / CAST(256.0 AS DOUBLE))
+             + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(n_punct AS DOUBLE) / CAST(n_chars_calc AS DOUBLE))
+             AS quality_score
+    FROM s
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc stats + deterministic quality score (fixed rational
+    arithmetic, identical IEEE op order in both engines).  Pure per-row
+    map: zero shuffle, runs at 100 TB as one scan stage."""
+    from .operators.text import quality_score, text_stats
+
+    docs = _ld(spark, sf_dir, "documents")
+    return quality_score(text_stats(docs)).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_calc",
+        "mean_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+def _lang_id_oracle() -> str:
+    from .operators.text import LANG_STOPWORDS
+
+    per_lang = "\n      UNION ALL ".join(
+        "SELECT doc_id, '{lang}' AS cand, "
+        "CAST(len(list_filter(toks, t -> list_contains({words}, t))) AS DOUBLE)"
+        " / CAST(n_tok AS DOUBLE) AS score FROM base".format(
+            lang=lang,
+            words="[" + ", ".join(f"'{w}'" for w in words) + "]",
+        )
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, {_TOKS_SQL} AS toks,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END AS n_tok
+      FROM documents
+    ),
+    scored AS ({per_lang}),
+    ranked AS (
+      SELECT doc_id, cand, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+      FROM scored
+    )
+    SELECT b.doc_id, b.lang, r.cand AS lang_pred, r.score AS lang_score
+    FROM base b JOIN ranked r ON r.doc_id = b.doc_id AND r.rn = 1
+    """
+
+
+@_q("text_language_id", _lang_id_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (argmax with deterministic lexicographic
+    tie-break).  Per-row expression only — no shuffle."""
+    from .operators.text import lang_id
+
+    return lang_id(_ld(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "lang_pred", "lang_score"
+    )
+
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@_q(
+    "text_token_counts",
+    f"""
+    WITH t AS (
+      SELECT lang,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END AS n_ws,
+             len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS sum_ws_tokens,
+           CAST(MAX(n_ws) AS BIGINT) AS max_ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token stream,
+    aggregated per language.  Map-side partial agg → 5-group shuffle."""
+    from .operators.text import token_count
+
+    docs = _ld(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_bpe = F.size(F.regexp_extract_all(t, F.lit(_BPE_RE), F.lit(0)))
+    return (
+        docs.select(
+            "lang",
+            token_count(t).alias("n_ws"),
+            n_bpe.alias("n_bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws").cast("long").alias("sum_ws_tokens"),
+            F.max("n_ws").cast("long").alias("max_ws_tokens"),
+            F.sum("n_bpe").cast("long").alias("sum_bpe_tokens"),
+        )
+    )
+
+
+@_q(
+    "text_fingerprint",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+    toks AS (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM norm)
+    SELECT doc_id, md5(nt) AS fp_exact,
+           list_min(list_transform(
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' '))
+                  ELSE [nt] END,
+             s -> md5(s))) AS fp_min3gram
+    FROM toks
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact md5 + 1-hash MinHash over 3-gram
+    shingles (winnowing-style content fingerprint)."""
+    from .operators.text import doc_fingerprint
+
+    return doc_fingerprint(_ld(spark, sf_dir, "documents")).select(
+        "doc_id", "fp_exact", "fp_min3gram"
+    )
+
+
+_COS_SQL = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@_q(
+    "sim_cosine_topk",
+    f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             {_COS_SQL.format(a='q.qv', b='c.v')} AS cosine
+      FROM c, q WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 10 query vectors — the ANN
+    baseline/oracle.  Queries broadcast; corpus scanned once; only the
+    tiny per-query top-k windows shuffle."""
+    from .operators.similarity import brute_force_topk
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, query_id_col="vec_id"
+    )
+
+
+def _lsh_ann_oracle(num_planes: int = 8, seed: int = 42, dim: int = 64) -> str:
+    from .operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, num_planes, seed)
+    bucket = " + ".join(
+        "CASE WHEN list_dot_product(v, [{w}]) > 0 THEN {p2} ELSE 0 END".format(
+            w=", ".join(repr(float(x)) for x in plane), p2=2**p
+        )
+        for p, plane in enumerate(planes)
+    )
+    probes = ", ".join(
+        ["bucket0"] + [f"xor(bucket0, {2**p})" for p in range(num_planes)]
+    )
+    return f"""
+    WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM c0),
+    q0 AS (SELECT vec_id AS query_id, v AS qv, bucket AS bucket0 FROM c WHERE vec_id < 10),
+    q AS (SELECT query_id, qv, unnest([{probes}]) AS bucket FROM q0),
+    scored AS (
+      SELECT DISTINCT q.query_id, c.vec_id,
+             {_COS_SQL.format(a='q.qv', b='c.v')} AS cosine
+      FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= 5
+    """
+
+
+@_q("sim_lsh_ann", _lsh_ann_oracle())
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH (8 hyperplanes, seed 42) multiprobe ANN top-5, exact
+    rerank within probed buckets.  The 100 TB path: corpus bucketed
+    once (reusable), candidates ~ (1+planes)/2^planes of the corpus."""
+    from .operators.similarity import lsh_topk
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, num_planes=8, seed=42,
+        multiprobe=1, query_id_col="vec_id",
+    )
+
+
+@_q(
+    "embed_nearest_centroid",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (SELECT vec_id, label, unnest(v) AS x,
+                 unnest(range(1, len(v) + 1)) AS pos FROM e),
+    cd AS (SELECT label, pos, AVG(x) AS cx FROM d GROUP BY label, pos),
+    cent AS (SELECT label AS c_label, list(cx ORDER BY pos) AS cv FROM cd GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label, cent.c_label,
+             {_COS_SQL.format(a='e.v', b='cent.cv')} AS cosine
+      FROM e, cent
+    ),
+    ranked AS (
+      SELECT vec_id, label, c_label, cosine,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, c_label) AS rn
+      FROM scored
+    )
+    SELECT vec_id, label, c_label AS nearest_label, cosine
+    FROM ranked WHERE rn = 1
+    """,
+)
+def embed_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF building block: per-label centroids (elementwise mean), then
+    nearest-centroid assignment per vector.  Centroids are a tiny
+    relation → broadcast; the corpus never shuffles."""
+    from .operators.similarity import cosine_expr
+
+    emb = _ld(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    d = emb.select(
+        "label", F.posexplode("v").alias("pos", "x")
+    )
+    cd = d.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
+    cent = cd.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+            lambda s: s["cx"],
+        ).alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "cosine", F.round(cosine_expr(F.col("v"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("c_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("nearest_label"), "cosine")
+    )
