@@ -1,0 +1,233 @@
+"""Structured Streaming surface — the live twins of the batch `events_*`
+queries in the catalog plus psweep-DB integration (SURVEY §2.5 / M7).
+
+The reference has no streaming at all (psweep is batch-only —
+`/root/reference/doc/source/written/manual.md:1691-1693` explicitly
+refuses workflow/streaming scope); this module is part of the
+beyond-reference scale surface: ingest an event stream, window it, and
+append results into the same experiment database that `run()` writes,
+so streaming and sweep results share one queryable store.
+
+Scale posture: every aggregation here carries a watermark, so state is
+bounded and the same code runs on an unbounded Kafka source; the
+file-source used in tests is just a swap of ``format``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "events_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "running_user_stats",
+    "stream_to_database",
+    "run_available_now",
+]
+
+#: driver testdata events schema (ts stored as TIMESTAMP(NANOS) → long ns)
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos; converted on read
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over events parquet (glob or dir).
+
+    The nanosecond timestamp rides as long and is truncated to µs —
+    identical to the batch reader (`queries_catalog._ld_events`).  On a
+    real deployment the source swaps to Kafka/Kinesis; everything
+    downstream is source-agnostic.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(path):
+        # the file source requires a directory; wrap a bare file in a
+        # temp dir via symlink (local/test convenience — real deployments
+        # stream a landing directory or Kafka)
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="psq_stream_")
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+        path = d
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type (late data bounded by the
+    watermark; streaming twin of catalog `events_tumbling_5min`)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window event counts per type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Gap-based session windows per user (`session_window`) — the native
+    streaming form of catalog `events_sessionization`: same gap rule, so
+    per-user session row counts agree with the batch lag+cumsum query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_USER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_USER_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: cumulative per-user event count and value
+    sum across micro-batches via ``applyInPandasWithState`` — the escape
+    hatch for semantics windowed aggs can't express (state lives in the
+    state store, partitioned by user_id, no global structure)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator, state: GroupState
+    ) -> Iterator:
+        import pandas as pd
+
+        n, tot = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_USER_OUT_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_to_database(
+    result: DataFrame, database_dir: str, checkpoint_dir: str
+):
+    """Sink a streaming result into a psweep experiment ``Database`` via
+    ``foreachBatch`` — streaming rows land in the same append-only
+    Parquet store (schema-merged) that ``run()`` writes, queryable with
+    the same surface.  Returns the started StreamingQuery."""
+    import uuid
+
+    from ..database import Database
+
+    db = Database(database_dir)
+    # one streaming query = one run: same _run_id partition contract as
+    # ``run()``, so per-stream pruning works on the shared table
+    run_id = str(uuid.uuid4())
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        db.append(
+            batch_df.withColumn("_stream_batch_id", F.lit(batch_id))
+            .withColumn("_run_id", F.lit(run_id))
+        )
+
+    return (
+        result.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_available_now(
+    result: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drain all available input through the streaming query into an
+    in-memory table and return it as a DataFrame (test/inspection
+    helper; real deployments use a durable sink)."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = result.sparkSession
+    return spark.table(name)

@@ -1,0 +1,118 @@
+"""Structured Streaming surface: streaming results must agree with their
+batch twins on the same events data (availableNow drains the file source
+completely, so no late-data divergence)."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from psweep_spark import streaming as st
+from psweep_spark.database import Database
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+EVENTS = os.path.join(SF_DIR, "events.parquet")
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(EVENTS)
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_tumbling_matches_batch(spark, batch_events):
+    stream = st.events_stream(spark, EVENTS)
+    got = st.run_available_now(
+        st.tumbling_counts(stream), f"t_{uuid.uuid4().hex[:8]}"
+    )
+    exp = (
+        batch_events.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events",
+                "total_value")
+    )
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+
+
+def test_session_counts_match_batch_sessionization(spark, batch_events):
+    stream = st.events_stream(spark, EVENTS)
+    got = st.run_available_now(
+        st.session_counts(stream, gap="10 minutes"),
+        f"s_{uuid.uuid4().hex[:8]}",
+    )
+    # batch twin: gap-based sessions via lag + running sum (catalog query)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 600),
+        1,
+    ).otherwise(0)
+    batch_sessions = (
+        batch_events.withColumn("is_new", is_new)
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.count("*").alias("n_events"))
+    )
+    # same number of sessions and same multiset of (user, session size)
+    assert got.count() == batch_sessions.count()
+    g = got.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_ev")
+    )
+    b = batch_sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_ev")
+    )
+    assert g.exceptAll(b).count() == 0
+
+
+def test_sliding_counts_run(spark):
+    stream = st.events_stream(spark, EVENTS)
+    got = st.run_available_now(
+        st.sliding_counts(stream), f"w_{uuid.uuid4().hex[:8]}"
+    )
+    # every tumbling event lands in exactly 2 sliding windows (10m/5m)
+    total_batch = spark.read.parquet(EVENTS).count()
+    assert got.agg(F.sum("n_events")).first()[0] == 2 * total_batch
+
+
+def test_running_user_stats_stateful(spark, batch_events):
+    stream = st.events_stream(spark, EVENTS)
+    got = st.run_available_now(
+        st.running_user_stats(stream),
+        f"u_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    # update mode with availableNow: last row per user is the final state
+    final = got.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    exp = batch_events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    assert final.exceptAll(exp).count() == 0
+
+
+def test_stream_to_database(spark, tmp_path):
+    stream = st.events_stream(spark, EVENTS)
+    res = st.tumbling_counts(stream)
+    q = st.stream_to_database(
+        res, str(tmp_path / "db"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    df = Database(str(tmp_path / "db")).load(spark)
+    assert df is not None
+    assert "_stream_batch_id" in df.columns
+    assert df.count() > 0
