@@ -1098,3 +1098,65 @@ def embed_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "label", F.col("c_label").alias("nearest_label"), "cosine")
     )
+
+
+# ===========================================================================
+# E. multimodal plumbing — opaque binary media + typed metadata; decode is
+#    the documented stub (deterministic sha256 features), so the whole
+#    Arrow-batched mapInPandas path is value-checkable against SQL.
+# ===========================================================================
+
+
+@_q(
+    "multimodal_decode_features",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             sha256(CAST(doc_id AS VARCHAR)) AS payload_hex,
+             CAST(doc_id % 64 + 32 AS INTEGER) AS width,
+             CAST(doc_id % 48 + 24 AS INTEGER) AS height
+      FROM documents
+    ),
+    d AS (SELECT *, sha256(payload_hex) AS digest_hex FROM m)
+    SELECT doc_id, width, height,
+           CAST(list_sum(list_transform(range(1, 65),
+                  i -> ascii(substring(payload_hex, i, 1)))) AS DOUBLE)
+             / CAST(64 AS DOUBLE) AS mean_byte,
+           list_transform(range(0, 8),
+             i -> CAST(CAST('0x' || substring(digest_hex, 2*i + 1, 2) AS INTEGER) AS DOUBLE)
+                  / CAST(255.0 AS DOUBLE)) AS feature
+    FROM d
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode stage: opaque binary payload + typed metadata →
+    Arrow-batched mapInPandas feature extraction (the real-decoder seam
+    is stubbed with deterministic sha256 features; schema/partitioning/
+    batch plumbing is the real thing).  Embarrassingly parallel — no
+    shuffle at any scale."""
+    from .operators.multimodal import attach_fake_media, decode_images
+
+    docs = _ld(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(attach_fake_media(docs)).select(
+        "doc_id", "width", "height", "mean_byte", "feature"
+    )
+
+
+@_q(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id,
+           unnest(list_filter(range(0, CAST(doc_id % 16 + 1 AS INTEGER)),
+                              i -> i % 4 = 0)) AS frame_idx
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: explode every-4th frame index from the
+    media metadata (flatMap, no shuffle; output repartitionable)."""
+    from .operators.multimodal import attach_fake_media, sample_frames
+
+    docs = _ld(spark, sf_dir, "documents").select("doc_id")
+    return sample_frames(attach_fake_media(docs), every_n=4).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
