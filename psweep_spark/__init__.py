@@ -55,5 +55,12 @@ from .query import (
 )
 from .runner import infer_schema, prepare_params_df, run, uuid5_expr
 from .session import get_spark
+from .templates import (
+    FileTemplate,
+    Machine,
+    gather_calc_templates,
+    gather_machines,
+    prep_batch,
+)
 
 __version__ = "0.1.0"

@@ -1,0 +1,69 @@
+"""Plan introspection — the ".explain and iterate" feedback loop as
+code (SURVEY §4; the scale mandate: verify pushdown/broadcast/shuffle
+counts instead of guessing).
+
+Used by the perf tests to assert that the headline queries produce the
+*intended* physical plans: filters pushed to the parquet scan, dims
+broadcast, no stray exchanges, codegen spans intact.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "formatted_plan",
+    "count_exchanges",
+    "broadcast_join_count",
+    "pushed_filters",
+    "read_schema_columns",
+    "codegen_span_count",
+]
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """`df.explain("formatted")` as a string."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan (AQE may later
+    coalesce them, but each one is a materialization boundary)."""
+    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning",
+                          df._jdf.queryExecution().executedPlan().toString()))
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    # tree string (not formatted explain, which repeats each node in the
+    # details section and would double-count)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries of every scan node in the plan."""
+    plan = formatted_plan(df)
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists actually read by each parquet scan (column pruning
+    check: a 2-column projection must not scan 16 columns)."""
+    plan = formatted_plan(df)
+    out = []
+    for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c.split(":")[0].strip() for c in m.split(",") if c.strip()]
+        out.append(cols)
+    return out
+
+
+def codegen_span_count(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans (wider = fewer interpreter
+    boundaries; a Python UDF in the hot path splits these)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ids = re.findall(r"\*\((\d+)\)", plan)
+    return len(set(ids))

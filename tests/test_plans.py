@@ -1,0 +1,104 @@
+"""Physical-plan contracts for the headline queries — the scale posture
+as assertions: filters reach the parquet scan, projections prune
+columns, small dims broadcast, shuffle counts stay minimal.  A change
+that silently regresses any of these fails CI before it costs anything
+on a cluster."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from psweep_spark import plans
+from psweep_spark.queries_catalog import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(autouse=True)
+def _fresh_plans(spark):
+    # cached relations from other test modules would substitute
+    # InMemoryTableScan for the parquet scans these tests inspect
+    spark.catalog.clearCache()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    pushed = plans.pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    (read,) = plans.read_schema_columns(df)
+    # 7 of lineitem's 16 columns: group keys + aggregates + filter col
+    assert set(read) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+    # one exchange: the final group-by (partial agg is map-side)
+    assert plans.count_exchanges(df) == 1
+
+
+def test_q3_broadcasts_dims(spark):
+    df = QUERIES["q3_shipping_priority"](spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 2
+    # lineitem never shuffles before aggregation
+    assert plans.count_exchanges(df) <= 2  # agg + top-k sort
+
+
+def test_q5_star_join_no_fact_shuffle(spark):
+    df = QUERIES["q5_local_supplier_volume"](spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 5
+    assert plans.count_exchanges(df) == 1  # only the n_name agg
+
+
+def test_pgrid_stays_broadcast_nested_loop(spark):
+    from psweep_spark.grid import pgrid_df, plist_df
+
+    g = pgrid_df(
+        plist_df(spark, "a", list(range(4))),
+        plist_df(spark, "b", list(range(3))),
+        plist_df(spark, "c", ["x", "y"]),
+    )
+    assert plans.broadcast_join_count(g) == 2
+    assert plans.count_exchanges(g) == 0
+    # partition count must not multiply across axes
+    assert g.rdd.getNumPartitions() <= 2
+
+
+def test_exact_dedup_groups_on_hash_not_text(spark):
+    df = QUERIES["dedup_exact_docs"](spark, SF_DIR)
+    (read,) = plans.read_schema_columns(df)
+    assert set(read) == {"doc_id", "text"}
+    assert plans.count_exchanges(df) == 1
+
+
+def test_text_ops_zero_shuffle(spark):
+    for name in ("text_quality_scores", "text_fingerprint", "text_language_id"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert plans.count_exchanges(df) == 0, name
+
+
+def test_brute_force_topk_broadcasts_queries(spark):
+    df = QUERIES["sim_cosine_topk"](spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 1
+    # single shuffle: the per-query top-k window
+    assert plans.count_exchanges(df) == 1
+
+
+def test_skip_dups_is_join_not_collect(spark, tmp_path):
+    """skip_dups must plan as an anti-join against the DB hash relation —
+    never a driver-side collected filter."""
+    from psweep_spark import plist, run
+
+    calc = str(tmp_path / "calc")
+    run(spark, lambda p: {"r_": p["a"]}, plist("a", [1, 2, 3]), calc_dir=calc)
+    # build the incremental params plan and inspect before execution
+    from psweep_spark.database import Database
+    from psweep_spark.hashing import hash_expr
+    from psweep_spark.runner import prepare_params_df
+
+    params_df = prepare_params_df(spark, plist("a", [2, 3, 4, 5]))
+    params_df = params_df.withColumn("_pset_hash", hash_expr(params_df.schema))
+    hashes = Database(os.path.join(calc, "database")).distinct_hashes(spark)
+    plan = params_df.join(hashes, "_pset_hash", "left_anti")
+    s = plans.formatted_plan(plan)
+    assert "LeftAnti" in s or "left_anti" in s.lower()
