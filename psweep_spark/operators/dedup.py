@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "exact_dedup",
+    "shingled",
     "word_shingles",
     "jaccard_pairs",
     "minhash_signatures",
@@ -65,30 +66,64 @@ def exact_dedup(
     )
 
 
+def _shingle_parts(df: DataFrame, n: int, id_col: str, text_col: str):
+    """(projected df, distinct-shingle array expr) shared by the shingle
+    operators.
+
+    Two Catalyst pitfalls shape this construction (both measured >10×
+    at sf0.1):
+
+    * the token array is MATERIALIZED as a projection column before the
+      per-position lambda — expressions captured from outside a
+      higher-order lambda re-evaluate per element, so inlining ``split``
+      makes shingling O(tokens²);
+    * callers must place ``explode`` directly over the returned
+      EXPRESSION, not over an aliased column: explode-of-attribute makes
+      InferFiltersFromGenerate add a ``size(col) > 0`` filter that is
+      pushed below the repartition with the whole shingle expression
+      inlined — evaluated three extra times on the unparallelized scan.
+    """
+    from ..plans import ensure_parallelism
+
+    d = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), _norm(F.col(text_col)).alias("__norm"))
+        .withColumn("__toks", F.split(F.col("__norm"), " "))
+    )
+    toks = F.col("__toks")
+    cnt = F.size(toks)
+    sh = F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(0), cnt - F.lit(n)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.col("__norm")))
+    return d, F.array_distinct(sh)
+
+
+def shingled(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, __sh: array<string>) — distinct word n-gram shingles per doc.
+    Short texts (< n tokens) contribute the whole normalized text as the
+    single shingle."""
+    d, sh = _shingle_parts(df, n, id_col, text_col)
+    return d.select("id", sh.alias("__sh"))
+
+
 def word_shingles(
     df: DataFrame,
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
-
-    Pure expression (split → sequence → transform → explode); short
-    docs (< n tokens) contribute their whole normalized text as the
-    single shingle.
-    """
-    toks = F.split(_norm(F.col(text_col)), " ")
-    cnt = F.size(toks)
-    sh = F.when(
-        cnt >= n,
-        F.transform(
-            F.sequence(F.lit(0), cnt - F.lit(n)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array(_norm(F.col(text_col))))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
-    )
+    """Distinct word n-gram shingles per document, exploded to
+    (id, shingle) rows — the join-able form used by exact Jaccard."""
+    d, sh = _shingle_parts(df, n, id_col, text_col)
+    return d.select("id", F.explode(sh).alias("shingle"))
 
 
 def jaccard_pairs(
@@ -109,9 +144,16 @@ def jaccard_pairs(
     add candidates that exact verification would keep anyway.
     """
     sh = word_shingles(df, n=n, id_col=id_col, text_col=text_col)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # set sizes from the array form: per-row size(), no explode+groupBy
+    sizes = shingled(df, n=n, id_col=id_col, text_col=text_col).select(
+        "id", F.size("__sh").alias("sz")
+    )
+    # hash-partition both sides on the join key: the self-join fans out
+    # (docs-per-shingle)² pairs per shingle — it must run wide, and the
+    # identical child plans let Catalyst reuse one exchange for both sides
+    sh_parted = sh.repartition("shingle")
+    a = sh_parted.alias("a")
+    b = sh_parted.alias("b")
     inter = (
         a.join(b, F.col("a.shingle") == F.col("b.shingle"))
         .filter(F.col("a.id") < F.col("b.id"))
@@ -145,15 +187,20 @@ def minhash_signatures(
     string or number, which keeps the whole operator expressible in
     ANSI SQL (oracle parity) and JVM-side in Spark.
 
-    Scale: one groupBy(doc) with k min-aggregates — map-side combine
-    reduces the shuffle to one row per doc.
+    Scale: a pure per-row projection (array_min over the shingle array
+    per hash family) — zero explode, zero shuffle; the signature stage
+    rides inside the scan at any data size.
     """
-    sh = word_shingles(df, n=n, id_col=id_col, text_col=text_col)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+    out = shingled(df, n, id_col, text_col)
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col("__sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))
+            )
+        ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return out.select("id", *sigs)
 
 
 def minhash_dedup(
@@ -202,25 +249,72 @@ def minhash_dedup(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket"))
-    a = stacked.alias("a")
-    b = stacked.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    # candidate pairs via groupBy(bucket) + in-bucket pair expansion — ONE
+    # evaluation of the signature pipeline (a self-join would recompute it
+    # on both sides) and a shuffle bounded by doc count × bands.  Buckets
+    # are small by construction; a hot bucket (degenerate corpus) should
+    # be capped upstream, not joined through.
+    grouped = (
+        stacked.groupBy("band_idx", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .withColumn("__m", F.size("ids"))
     )
-    exact = jaccard_pairs(
-        df, n=n, threshold=0.0, id_col=id_col, text_col=text_col
-    ).withColumnRenamed("jaccard", "jaccard_exact")
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.col("__m")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    # persist: the candidate relation is small by construction (pairs
+    # surviving banding) but its subtree contains the whole signature
+    # pipeline — without a persist, every verification branch referencing
+    # it re-scans and re-hashes the corpus (measured 8 FileScans/query)
+    from pyspark import StorageLevel
+
+    cands = (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # exact verification restricted to CANDIDATE pairs only: fan each
+    # candidate pair out to id_a's shingles, match id_b's — cost
+    # O(|cands| · avg shingles/doc), never the all-pairs intersection
+    # table (which would defeat LSH's purpose at scale).
+    sh = word_shingles(df, n=n, id_col=id_col, text_col=text_col)
+    # set sizes from the array form: per-row size(), no explode+groupBy
+    sizes = shingled(df, n=n, id_col=id_col, text_col=text_col).select(
+        "id", F.size("__sh").alias("sz")
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
     return (
-        cands.join(exact, ["id_a", "id_b"])
-        .filter(F.col("jaccard_exact") >= threshold)
-        .select("id_a", "id_b", F.col("jaccard_exact").alias("jaccard"))
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -234,36 +328,39 @@ def simhash(
 
     Token weight-vector trick: token hash = low 60 bits of md5; bit b
     of the fingerprint is set iff Σ_tokens (bit_b(hash) ? +1 : −1) > 0.
-    Whole computation is one aggregate over distinct tokens — bitwise
-    ops only, identical semantics in DuckDB (& >> CASE SUM).
+
+    Implemented as ONE per-row higher-order expression (array fold over
+    the distinct tokens with a 32-counter accumulator) — zero shuffle,
+    zero explode; at 100 TB this is a pure projection inside the scan
+    stage.  Semantics identical to the explode+groupBy formulation
+    (same sums over distinct tokens), which remains the DuckDB oracle.
     """
-    toks = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.array_distinct(F.split(_norm(F.col(text_col)), " "))
-            ).alias("tok"),
-        )
-        .withColumn(
-            "h",
-            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"),
-        )
+    from ..plans import ensure_parallelism
+
+    if bits > 63:
+        raise ValueError("bits must fit a signed 64-bit fingerprint")
+    df = ensure_parallelism(df)
+    norm_sql = (
+        f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
     )
-    bit_sums = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s_{b}")
-            for b in range(bits)
-        ]
+    expr = f"""
+    aggregate(
+      zip_with(
+        aggregate(
+          transform(array_distinct(split({norm_sql}, ' ')),
+                    t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+          array_repeat(cast(0 as bigint), {bits}),
+          (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),
+                               (a, b) -> a + (case when (h >> b) & 1 = 1
+                                              then 1 else -1 end))),
+        sequence(0, {bits - 1}),
+        (s, b) -> case when s > 0 then shiftleft(cast(1 as bigint), b)
+                  else cast(0 as bigint) end),
+      cast(0 as bigint), (acc, x) -> acc + x)
+    """
+    return df.select(
+        F.col(id_col).alias("id"), F.expr(expr).alias("simhash")
     )
-    fp = None
-    for b in range(bits):
-        term = F.when(F.col(f"s_{b}") > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = term if fp is None else fp + term
-    return bit_sums.select("id", fp.alias("simhash"))
 
 
 def embedding_near_dup_pairs(

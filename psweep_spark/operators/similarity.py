@@ -51,10 +51,12 @@ def brute_force_topk(
     6 dp and deterministic tie-break on vec_id.  The queries relation
     is broadcast; the corpus is scanned once.
     """
+    from ..plans import ensure_parallelism
+
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
     )
     scored = c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).withColumn(

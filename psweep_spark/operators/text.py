@@ -141,13 +141,25 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
       hash-style content fingerprint, cf. winnowing).
     """
     t = F.col(text_col)
-    norm = F.lower(F.regexp_replace(F.trim(t), _WS, " "))
-    toks = F.split(norm, " ")
+    # materialize norm/tokens before the per-position lambda: outer
+    # expressions inlined into a higher-order lambda re-evaluate per
+    # element (O(tokens²) shingling — measured ~7× slower)
+    d = df.withColumn(
+        "__norm", F.lower(F.regexp_replace(F.trim(t), _WS, " "))
+    ).withColumn("__toks", F.split(F.col("__norm"), " "))
+    toks = F.col("__toks")
     n = F.size(toks)
     shingles = F.when(n >= 3, F.transform(
         F.sequence(F.lit(0), n - F.lit(3)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-    )).otherwise(F.array(norm))
-    return df.withColumn("fp_exact", F.md5(norm)).withColumn(
-        "fp_min3gram", F.array_min(F.transform(shingles, F.md5))
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )).otherwise(F.array(F.col("__norm")))
+    return (
+        d.withColumn("fp_exact", F.md5(F.col("__norm")))
+        .withColumn("fp_min3gram", F.array_min(F.transform(shingles, F.md5)))
+        .drop("__norm", "__toks")
     )

@@ -20,7 +20,25 @@ __all__ = [
     "pushed_filters",
     "read_schema_columns",
     "codegen_span_count",
+    "ensure_parallelism",
 ]
+
+
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition IFF the plan is under-parallel.
+
+    A single-row-group parquet file scans as ONE partition, serializing
+    every downstream per-row pipeline (measured: 26 s single-threaded vs
+    ~1 s at 32-way for the shingle self-join).  Large inputs (many
+    files/row groups) already exceed the target and pass through
+    untouched — no shuffle is added on the 100 TB path.
+    """
+    target = min_parts or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def formatted_plan(df: DataFrame) -> str:
