@@ -123,7 +123,11 @@ def word_shingles(
     """Distinct word n-gram shingles per document, exploded to
     (id, shingle) rows — the join-able form used by exact Jaccard."""
     d, sh = _shingle_parts(df, n, id_col, text_col)
-    return d.select("id", F.explode(sh).alias("shingle"))
+    # explode_outer, not explode: InferFiltersFromGenerate gives plain
+    # explode a `size(x)>0 AND isnotnull(x)` filter that duplicates the
+    # entire inline shingle expression 3× per row; the array is non-empty
+    # by construction (short docs yield [norm]), so outer ≡ inner here
+    return d.select("id", F.explode_outer(sh).alias("shingle"))
 
 
 def jaccard_pairs(
@@ -146,7 +150,12 @@ def jaccard_pairs(
     sh = word_shingles(df, n=n, id_col=id_col, text_col=text_col)
     # set sizes from the array form: per-row size(), no explode+groupBy
     sizes = shingled(df, n=n, id_col=id_col, text_col=text_col).select(
-        "id", F.size("__sh").alias("sz")
+        # coalesce makes sz provably non-nullable: otherwise the join
+        # constraint isnotnull(sz) is inferred, inlined through the
+        # projections as isnotnull(size(<full shingle expr>)), and pushed
+        # below the repartition onto the single-partition scan — measured
+        # as a 25 s single-task stage (the array is never null; -1 is dead)
+        "id", F.coalesce(F.size("__sh"), F.lit(-1)).alias("sz")
     )
     # hash-partition both sides on the join key: the self-join fans out
     # (docs-per-shingle)² pairs per shingle — it must run wide, and the
@@ -180,22 +189,35 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash signature per doc: columns mh_0..mh_{k-1}.
+    """MinHash signature per doc: bigint columns mh_0..mh_{k-1}.
 
-    Hash family i = md5('<i>|' || shingle); the signature entry is the
-    *minimum hex string* — fixed-width hex compares identically as
-    string or number, which keeps the whole operator expressible in
-    ANSI SQL (oracle parity) and JVM-side in Spark.
+    ONE md5 per shingle (materialized as a 30-bit int array), then the
+    k hash families are cheap universal-hash mixes
+    ``(a_i·h30 + b_i) mod (2^31−1)`` with ``a_i = 2i+1``,
+    ``b_i = 7919·i`` — pure 64-bit-safe integer arithmetic, identical
+    in any ANSI SQL engine (oracle parity), ~10× cheaper than one md5
+    per (family × shingle).
 
-    Scale: a pure per-row projection (array_min over the shingle array
-    per hash family) — zero explode, zero shuffle; the signature stage
-    rides inside the scan at any data size.
+    Scale: a pure per-row projection (array_min per family over the
+    materialized hash array) — zero explode, zero shuffle; the
+    signature stage rides inside the scan at any data size.
     """
-    out = shingled(df, n, id_col, text_col)
+    d, sh = _shingle_parts(df, n, id_col, text_col)
+    # one md5 per shingle; low 30 bits as the base hash (materialized so
+    # the 12 family mixes below reference it, not recompute it)
+    h30 = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit((1 << 30) - 1)),
+    )
+    out = d.select("id", h30.alias("__h30"))
     sigs = [
         F.array_min(
             F.transform(
-                F.col("__sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))
+                F.col("__h30"),
+                lambda h, i=i: (F.lit(2 * i + 1) * h + F.lit(7919 * i))
+                % F.lit(2147483647),
             )
         ).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -232,15 +254,23 @@ def minhash_dedup(
     band_cols = [
         F.md5(
             F.concat_ws(
-                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                "|",
+                *[
+                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             )
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
     banded = sig.select("id", *band_cols)
+    # explode_outer: avoids the InferFiltersFromGenerate duplication of
+    # the inline band/signature expressions (the array is always size
+    # `bands`, never empty — outer ≡ inner); measured 48 copies of the
+    # signature expr in the plan with plain explode
     stacked = banded.select(
         "id",
-        F.explode(
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("bucket"))
@@ -277,7 +307,7 @@ def minhash_dedup(
     from pyspark import StorageLevel
 
     cands = (
-        grouped.select(F.explode(pair_arr).alias("p"))
+        grouped.select(F.explode_outer(pair_arr).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -289,7 +319,12 @@ def minhash_dedup(
     sh = word_shingles(df, n=n, id_col=id_col, text_col=text_col)
     # set sizes from the array form: per-row size(), no explode+groupBy
     sizes = shingled(df, n=n, id_col=id_col, text_col=text_col).select(
-        "id", F.size("__sh").alias("sz")
+        # coalesce makes sz provably non-nullable: otherwise the join
+        # constraint isnotnull(sz) is inferred, inlined through the
+        # projections as isnotnull(size(<full shingle expr>)), and pushed
+        # below the repartition onto the single-partition scan — measured
+        # as a 25 s single-task stage (the array is never null; -1 is dead)
+        "id", F.coalesce(F.size("__sh"), F.lit(-1)).alias("sz")
     )
     sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
     sh_b = sh.select(F.col("id").alias("id_b"), "shingle")

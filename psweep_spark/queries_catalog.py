@@ -729,19 +729,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_lsh_oracle(num_hashes: int = 12, bands: int = 4) -> str:
     rpb = num_hashes // bands
+    # one md5 per shingle → 30-bit base hash; family i = (a_i·h+b_i) mod p
     mins = ", ".join(
-        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(num_hashes)
+        f"min(({2 * i + 1} * h30 + {7919 * i}) % 2147483647) AS mh_{i}"
+        for i in range(num_hashes)
     )
     band_rows = "\n      UNION ALL ".join(
         "SELECT id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS bucket FROM sig".format(
             b=b,
-            cols=", ".join(f"mh_{b * rpb + r}" for r in range(rpb)),
+            cols=", ".join(
+                f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
         )
         for b in range(bands)
     )
     return f"""
     WITH {_SHINGLES_CTE},
-    sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+    hashed AS (
+      SELECT id,
+             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) & 1073741823 AS h30
+      FROM sh
+    ),
+    sig AS (SELECT id, {mins} FROM hashed GROUP BY id),
     bands AS ({band_rows}),
     cands AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
