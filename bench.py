@@ -34,6 +34,7 @@ HEADLINE = [
     "q_order_priority_count",
     "q_part_brand_stats",
     "events_tumbling_5min",
+    "events_sliding_10m5m",
     "events_sessionization",
     "events_hourly_by_type",
     "events_user_props_json",
@@ -48,6 +49,9 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_lsh_ann",
     "embed_nearest_centroid",
+    "embedding_near_dup",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
 ]
 
 

@@ -1169,3 +1169,206 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_fake_media(docs), every_n=4).select(
         "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
     )
+
+
+# ===========================================================================
+# F. remaining §2 line items — embedding near-dup, sliding windows, and
+#    the run-lifecycle operators (simulate / safe-mode / latest-per-pset)
+#    plus grid constructors (stargrid labels, logspace/intspace, nested
+#    param flattening), each oracle-checked.
+# ===========================================================================
+
+
+@_q(
+    "embedding_near_dup",
+    f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS_SQL.format(a='a.v', b='b.v')} AS cosine
+    FROM c a JOIN c b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= 0.45
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force verification
+    path; τ=0.45 — the synthetic corpus has no true near-dups, max
+    cosine ≈0.51).  At 100 TB, pre-bucket with sign-LSH and run this
+    within buckets only."""
+    from .operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _ld(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+@_q(
+    "events_sliding_10m5m",
+    """
+    SELECT ws AS window_start, event_type, COUNT(*) AS n_events FROM (
+      SELECT event_type,
+             unnest([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '5 minutes',
+                     time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))]) AS ws
+      FROM events
+    ) GROUP BY 1, 2
+    """,
+)
+def events_sliding_10m5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts (10 min window, 5 min slide): every event
+    lands in exactly two windows (batch twin of streaming.sliding_counts)."""
+    ev = _ld_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+@_q(
+    "run_simulate_nulls",
+    """
+    SELECT a, result_, _run_seq FROM (
+      SELECT 1 AS a, CAST(1.0 AS DOUBLE) AS result_, CAST(0 AS BIGINT) AS _run_seq
+      UNION ALL SELECT 2, 2.0, 0
+      UNION ALL SELECT 3, NULL, 1
+      UNION ALL SELECT 4, NULL, 1
+    )
+    """,
+)
+def run_simulate_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #23 (simulate / dry-run): the second run validates grid +
+    append into a SHADOW database clone without calling func — result
+    columns NULL, history preserved (reference psweep.py:1279-1292,
+    1396-1400; tests/test_all.py:286-315)."""
+    from .grid import plist
+    from .runner import run
+
+    calc = os.path.join(tempfile.mkdtemp(prefix="psq_sim_"), "calc")
+    run(spark, lambda p: {"result_": p["a"] * 1.0}, plist("a", [1, 2]),
+        calc_dir=calc)
+    df = run(spark, None, plist("a", [3, 4]), calc_dir=calc, simulate=True)
+    return df.select("a", "result_", "_run_seq")
+
+
+@_q(
+    "run_safe_failed",
+    """
+    SELECT a,
+           CASE WHEN a % 2 = 0 THEN NULL ELSE CAST(a * 10.0 AS DOUBLE) END AS result_,
+           (a % 2 = 0) AS _failed
+    FROM (VALUES (1), (2), (3), (4), (5)) AS t(a)
+    """,
+)
+def run_safe_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF failure semantics (SURVEY §2.6): safe-mode run stamps
+    _failed/_exc_txt instead of killing the run (reference
+    manual.md:891-944; examples/repeat_failed.py:14-27)."""
+    from .grid import plist
+    from .runner import run
+
+    def func(pset):
+        if pset["a"] % 2 == 0:
+            raise ValueError(f"boom {pset['a']}")
+        return {"result_": pset["a"] * 10.0}
+
+    calc = os.path.join(tempfile.mkdtemp(prefix="psq_safe_"), "calc")
+    df = run(spark, func, plist("a", [1, 2, 3, 4, 5]), calc_dir=calc, safe=True)
+    return df.select("a", "result_", "_failed")
+
+
+@_q(
+    "latest_per_pset_window",
+    """
+    SELECT a, result_, _run_seq FROM (
+      SELECT 1 AS a, CAST(1.0 AS DOUBLE) AS result_, CAST(0 AS BIGINT) AS _run_seq
+      UNION ALL SELECT 2, 200.0, 1
+      UNION ALL SELECT 3, 300.0, 1
+      UNION ALL SELECT 4, 400.0, 1
+    )
+    """,
+)
+def latest_per_pset_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed "latest run per pset" (SURVEY §2.5): two overlapping runs,
+    row_number over (partitionBy _pset_hash orderBy _run_seq desc) keeps
+    the newest row per distinct pset."""
+    from .grid import plist
+    from .query import latest_per_pset
+    from .runner import run
+
+    calc = os.path.join(tempfile.mkdtemp(prefix="psq_latest_"), "calc")
+    run(spark, lambda p: {"result_": p["a"] * 1.0}, plist("a", [1, 2, 3]),
+        calc_dir=calc)
+    df = run(spark, lambda p: {"result_": p["a"] * 100.0}, plist("a", [2, 3, 4]),
+             calc_dir=calc)
+    return latest_per_pset(df).select("a", "result_", "_run_seq")
+
+
+@_q(
+    "stargrid_labeled",
+    """
+    SELECT a, b, _vary FROM (
+      SELECT 1 AS a, 77 AS b, 'va' AS _vary
+      UNION ALL SELECT 2, 77, 'va'
+      UNION ALL SELECT 3, 77, 'va'
+      UNION ALL SELECT 1, 88, 'vb'
+    )
+    """,
+)
+def stargrid_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #5 with vary_labels: the _vary bookkeeping column (a
+    prefix column — excluded from the pset hash, so the duplicate
+    center point keeps its first label; reference psweep.py:1084-1183)."""
+    from .grid import plist, stargrid
+    from .runner import prepare_params_df
+
+    params = stargrid(
+        {"a": 1, "b": 77},
+        vary=[plist("a", [1, 2, 3]), plist("b", [77, 88])],
+        vary_labels=["va", "vb"],
+    )
+    return prepare_params_df(spark, params)
+
+
+def _logspace_oracle() -> str:
+    from .grid import intspace, logspace
+
+    xs = ", ".join(f"({x!r})" for x in logspace(1.0, 100.0, num=5))
+    ks = ", ".join(f"({int(k)})" for k in intspace(0, 10, num=3))
+    return f"""
+    SELECT x, k FROM (VALUES {xs}) AS xs(x)
+    CROSS JOIN (VALUES {ks}) AS ks(k)
+    """
+
+
+@_q("grid_logspace_intspace", _logspace_oracle())
+def grid_logspace_intspace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operators #8/#9 (logspace/intspace): numeric axis generators with
+    true start/stop bounds feeding the lazy grid (reference
+    psweep.py:300-368); float literals round-trip via shortest repr."""
+    from .grid import intspace, logspace, pgrid_df, plist_df
+
+    return pgrid_df(
+        plist_df(spark, "x", [float(v) for v in logspace(1.0, 100.0, num=5)]),
+        plist_df(spark, "k", [int(v) for v in intspace(0, 10, num=3)]),
+    )
+
+
+@_q(
+    "flatten_nested_params",
+    """
+    SELECT a, b_c, b_d_e FROM (
+      SELECT 1 AS a, 2 AS b_c, 3 AS b_d_e
+      UNION ALL SELECT 10, 20, 30
+    )
+    """,
+)
+def flatten_nested_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #7 (flatten_dict): nested param dicts flatten to a_b_c
+    columns exactly as the reference (psweep.py:130-151)."""
+    from .grid import flatten_dict
+    from .runner import prepare_params_df
+
+    params = [
+        {"a": 1, "b": {"c": 2, "d": {"e": 3}}},
+        {"a": 10, "b": {"c": 20, "d": {"e": 30}}},
+    ]
+    return prepare_params_df(spark, [flatten_dict(p) for p in params])
