@@ -411,12 +411,21 @@ def embedding_near_dup_pairs(
     this only within buckets.  Cosine is rounded to 6 dp so the result
     is stable under summation-order differences between engines.
     """
-    v = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn(
-        "norm",
-        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
+    from ..plans import ensure_parallelism
+
+    # norms are per-VECTOR work — materialize them (and the double cast)
+    # once in the scan projection, so the O(n²) pair stage does only a
+    # dot product; parallelize the stream side (single-row-group guard)
+    v = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn(
+            "norm",
+            F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
+        )
     )
     a = v.alias("a")
     b = v.alias("b")
