@@ -48,6 +48,7 @@ HEADLINE = [
     "text_fingerprint",
     "sim_cosine_topk",
     "sim_lsh_ann",
+    "sim_ivf_ann",
     "embed_nearest_centroid",
     "embedding_near_dup",
     "multimodal_decode_features",

@@ -18,7 +18,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["brute_force_topk", "random_hyperplanes", "lsh_topk", "cosine_expr"]
+__all__ = [
+    "brute_force_topk",
+    "random_hyperplanes",
+    "lsh_topk",
+    "cosine_expr",
+    "centroids_by_label",
+    "ivf_topk",
+]
 
 
 def _as_double(vec: Column) -> Column:
@@ -152,6 +159,84 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    )
+
+
+def centroids_by_label(
+    corpus: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label centroid vectors (elementwise mean) — the IVF coarse
+    quantizer.  Output (c_label, cv) is tiny: |labels| rows — always
+    broadcastable, so downstream assignment never shuffles the corpus."""
+    d = corpus.select(
+        F.col(label_col).alias("c_label"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"),
+    )
+    cd = d.groupBy("c_label", "pos").agg(F.avg("x").alias("cx"))
+    return cd.groupBy("c_label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+            lambda s: s["cx"],
+        ).alias("cv")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are
+    assigned to their nearest centroid cell once; each query probes its
+    ``nprobe`` nearest cells and reranks exactly inside them.
+
+    Scale path: centroids broadcast both ways, so the expensive side is
+    one corpus scan scoring |corpus|·|cells| JVM-side dot products for
+    the assignment (amortizable: persist the cell assignment and reuse
+    it across query batches), then an equi-join on cell id that touches
+    only ~nprobe/|cells| of the corpus per query.
+    """
+    from ..plans import ensure_parallelism
+
+    cent = centroids_by_label(corpus, vec_col, label_col)
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+
+    def assign(df: DataFrame, idc: str, vc: str, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).withColumn(
+            "sim", F.round(cosine_expr(F.col(vc), F.col("cv2")), 6)
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("sim"), F.asc("c_label"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .select(idc, vc, F.col("c_label").alias("cell"))
+        )
+
+    cent = cent.withColumnRenamed("cv", "cv2")
+    cells = assign(c, "vec_id", "cv", 1)
+    qcells = assign(q, "query_id", "qv", nprobe)
+    cand = (
+        cells.join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine")
     )

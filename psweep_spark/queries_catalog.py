@@ -1372,3 +1372,262 @@ def flatten_nested_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"a": 10, "b": {"c": 20, "d": {"e": 30}}},
     ]
     return prepare_params_df(spark, [flatten_dict(p) for p in params])
+
+
+# ===========================================================================
+# G. query surface + lifecycle + IVF — the remaining §2 line items, each
+#    oracle-checked: df_filter_conds (#29), extraction round-trip (#33/34),
+#    capture_logs (#14), templates/prep_batch (#41/44), backup (#25),
+#    check_calc_dir (#36), JSON sink/source (#27/37), full IVF ANN path.
+# ===========================================================================
+
+
+@_q(
+    "filter_conds_fused",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount >= 0.09 AND l_returnflag = 'R'
+    """,
+)
+def filter_conds_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #29 (df_filter_conds): N boolean masks fused with AND and
+    pushed into the scan as one conjunctive predicate (reference
+    psweep.py:622-679) — Catalyst folds it into PushedFilters."""
+    from .query import df_filter_conds
+
+    li = _ld(spark, sf_dir, "lineitem")
+    return df_filter_conds(
+        li,
+        [
+            F.col("l_quantity") > 45,
+            F.col("l_discount") >= 0.09,
+            F.col("l_returnflag") == "R",
+        ],
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+
+
+@_q(
+    "extract_params_roundtrip",
+    f"""
+    SELECT a, b FROM {_vals('a', [1, 2, 3])} CROSS JOIN {_vals('b', ['x', 'y'])}
+    """,
+)
+def extract_params_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operators #33/34 (df_extract_dicts/df_extract_params): DB → the
+    original params, pset columns only (reference psweep.py:713-795;
+    round-trip contract tests/test_all.py:679-704)."""
+    from .grid import pgrid, plist
+    from .query import df_extract_params
+    from .runner import prepare_params_df, run
+
+    calc = os.path.join(tempfile.mkdtemp(prefix="psq_xtr_"), "calc")
+    df = run(
+        spark,
+        lambda p: {"result_": float(p["a"])},
+        pgrid([plist("a", [1, 2, 3]), plist("b", ["x", "y"])]),
+        calc_dir=calc,
+    )
+    return prepare_params_df(spark, df_extract_params(df))
+
+
+@_q(
+    "run_capture_logs",
+    """
+    SELECT a, CAST(a * 2.0 AS DOUBLE) AS result_,
+           'computing a=' || a || chr(10) AS _logs
+    FROM (VALUES (1), (2), (3)) AS t(a)
+    """,
+)
+def run_capture_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #14 (capture_logs_wrapper): per-pset stdout/stderr of
+    func lands in the _logs DB column, captured executor-side inside the
+    mapInPandas stage (reference psweep.py:1241-1276; exact-text parity
+    contract tests/test_all.py:1104-1261)."""
+    from .grid import plist
+    from .runner import run
+
+    def func(pset):
+        print(f"computing a={pset['a']}")
+        return {"result_": pset["a"] * 2.0}
+
+    calc = os.path.join(tempfile.mkdtemp(prefix="psq_logs_"), "calc")
+    df = run(spark, func, plist("a", [1, 2, 3]), calc_dir=calc,
+             capture_logs="db")
+    return df.select("a", "result_", "_logs")
+
+
+@_q(
+    "templates_render_distributed",
+    """
+    SELECT a, b, 'nx=' || a || ' ny=' || b || chr(10) AS rendered
+    FROM (VALUES (1), (2)) AS ta(a) CROSS JOIN (VALUES (10), (20)) AS tb(b)
+    """,
+)
+def templates_render_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operators #41/44 (FileTemplate/prep_batch): jinja templates
+    rendered per pset into <calc_dir>/<pset_id>/ inside the distributed
+    mapInPandas stage (reference psweep.py:1524-1549,1566-1660); the
+    rendered bytes are read back and value-checked."""
+    from .grid import pgrid, plist
+    from .templates import prep_batch
+
+    base = tempfile.mkdtemp(prefix="psq_tmpl_")
+    ct = os.path.join(base, "templates", "calc")
+    mt = os.path.join(base, "templates", "machines", "local")
+    os.makedirs(ct)
+    os.makedirs(mt)
+    with open(os.path.join(ct, "input.txt"), "w") as fh:
+        fh.write("nx={{a}} ny={{b}}\n")
+    with open(os.path.join(mt, "info.yaml"), "w") as fh:
+        fh.write("subcmd: sh\n")
+    with open(os.path.join(mt, "jobscript"), "w") as fh:
+        fh.write("echo {{machine}}\n")
+    calc = os.path.join(base, "calc")
+    df = prep_batch(
+        spark,
+        pgrid([plist("a", [1, 2]), plist("b", [10, 20])]),
+        calc_dir=calc,
+        calc_templ_dir=ct,
+        machine_templ_dir=os.path.dirname(mt),
+    )
+    out = []
+    for r in df.select("a", "b", "_pset_id").collect():
+        with open(os.path.join(calc, r["_pset_id"], "input.txt")) as fh:
+            out.append((r["a"], r["b"], fh.read()))
+    return spark.createDataFrame(out, "a bigint, b bigint, rendered string")
+
+
+@_q(
+    "run_backup_snapshot",
+    """
+    SELECT a, CAST(a * 1.0 AS DOUBLE) AS result_
+    FROM (VALUES (1), (2)) AS t(a)
+    """,
+)
+def run_backup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #25 (backup): run 2 with backup=True snapshots the DB
+    *before* appending — the snapshot holds exactly run 1's rows
+    (reference psweep.py:1417-1427; tests/test_all.py:449-493).  Local-FS
+    stand-in for Delta/Iceberg table versioning."""
+    import glob
+
+    from .database import Database
+    from .grid import plist
+    from .runner import run
+
+    calc = os.path.join(tempfile.mkdtemp(prefix="psq_bak_"), "calc")
+    run(spark, lambda p: {"result_": p["a"] * 1.0}, plist("a", [1, 2]),
+        calc_dir=calc)
+    run(spark, lambda p: {"result_": p["a"] * 1.0}, plist("a", [3]),
+        calc_dir=calc, backup=True)
+    bak = sorted(glob.glob(os.path.join(calc, "database.bak_*")))[-1]
+    snap = Database(bak).load(spark)
+    return snap.select("a", "result_")
+
+
+@_q(
+    "check_calc_dir_recon",
+    "SELECT CAST(1 AS BIGINT) AS n_db_not_disk, CAST(1 AS BIGINT) AS n_disk_not_db",
+)
+def check_calc_dir_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #36 (check_calc_dir): set reconciliation of DB pset_ids
+    vs pset-id-named dirs on disk (reference psweep.py:273-297; CLI
+    cli.py:8-24) — one id missing on disk, one orphan dir."""
+    from .grid import plist
+    from .query import check_calc_dir
+    from .runner import run
+
+    calc = os.path.join(tempfile.mkdtemp(prefix="psq_ccd_"), "calc")
+    df = run(spark, lambda p: {"result_": 1.0}, plist("a", [1, 2, 3]),
+             calc_dir=calc)
+    ids = sorted(r["_pset_id"] for r in df.select("_pset_id").collect())
+    for pid in ids[:2]:
+        os.makedirs(os.path.join(calc, pid), exist_ok=True)
+    os.makedirs(os.path.join(calc, "00000000-dead-4bee-8000-000000000000"),
+                exist_ok=True)
+    rec = check_calc_dir(calc, df)
+    return spark.createDataFrame(
+        [(len(rec["db_not_disk"]), len(rec["disk_not_db"]))],
+        "n_db_not_disk bigint, n_disk_not_db bigint",
+    )
+
+
+@_q(
+    "db2json_roundtrip",
+    """
+    SELECT a, CAST(a * 3.0 AS DOUBLE) AS result_
+    FROM (VALUES (1), (2), (3), (4)) AS t(a)
+    """,
+)
+def db2json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operators #27/37 (df_to_json / psweep-db2json): DB → distributed
+    JSON-lines sink → read back (reference psweep.py:454-512,
+    bin/psweep-db2json) — the jq-pipeline surface, value-checked through
+    the round-trip."""
+    from .grid import plist
+    from .query import df_to_json
+    from .runner import run
+
+    base = tempfile.mkdtemp(prefix="psq_json_")
+    df = run(spark, lambda p: {"result_": p["a"] * 3.0}, plist("a", [1, 2, 3, 4]),
+             calc_dir=os.path.join(base, "calc"))
+    out = os.path.join(base, "db.json")
+    df_to_json(df.select("a", "result_", "_pset_seq"), out)
+    back = spark.read.json(out)
+    return back.select("a", F.col("result_").cast("double").alias("result_"))
+
+
+@_q(
+    "sim_ivf_ann",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e),
+    cd AS (SELECT label AS c_label, pos, AVG(x) AS cx FROM d GROUP BY label, pos),
+    cent AS (SELECT c_label, list(cx ORDER BY pos) AS cv FROM cd GROUP BY c_label),
+    scored0 AS (
+      SELECT e.vec_id, e.v, cent.c_label,
+             {_COS_SQL.format(a='e.v', b='cent.cv')} AS sim
+      FROM e, cent
+    ),
+    cells AS (
+      SELECT vec_id, v, c_label AS cell FROM (
+        SELECT vec_id, v, c_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, c_label) AS rn
+        FROM scored0) WHERE rn = 1
+    ),
+    qc AS (
+      SELECT vec_id AS query_id, v AS qv, c_label AS cell FROM (
+        SELECT vec_id, v, c_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, c_label) AS rn
+        FROM scored0 WHERE vec_id < 10) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT qc.query_id, cells.vec_id,
+             {_COS_SQL.format(a='qc.qv', b='cells.v')} AS cosine
+      FROM cells JOIN qc ON cells.cell = qc.cell
+      WHERE cells.vec_id <> qc.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+      FROM cand
+    )
+    SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (nprobe=2) with per-label centroids as the coarse
+    quantizer: corpus assigned to cells once (reusable), queries probe
+    their 2 nearest cells, exact rerank inside — the inverted-file scale
+    path next to sign-LSH (sim_lsh_ann)."""
+    from .operators.similarity import ivf_topk
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2,
+        query_id_col="vec_id",
+    )
