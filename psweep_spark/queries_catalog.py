@@ -1631,3 +1631,105 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2,
         query_id_col="vec_id",
     )
+
+
+# ===========================================================================
+# H. Structured Streaming — bounded availableNow drains of the live
+#    operators; results are deterministic, so the streaming path itself is
+#    oracle-checked against batch SQL (watermarked state: the same code
+#    runs unbounded on Kafka; the file source is a format swap).
+# ===========================================================================
+
+
+def _mem_name(prefix: str) -> str:
+    import uuid as _uuid
+
+    return f"{prefix}_{_uuid.uuid4().hex[:8]}"
+
+
+@_q(
+    "stream_tumbling_counts",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_tumbling_5min: watermarked
+    tumbling-window agg over a file-source stream, drained with
+    Trigger.AvailableNow into a memory sink — the bounded drain must
+    equal the batch SQL exactly."""
+    from .streaming import events_stream, run_available_now, tumbling_counts
+
+    ev = events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return run_available_now(
+        tumbling_counts(ev), _mem_name("tumbling"), output_mode="complete"
+    )
+
+
+@_q(
+    "stream_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN date_diff('second',
+                       lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       CAST(ts AS TIMESTAMP)) >= 600
+                  OR lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '10 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization (`session_window`, 10-min gap):
+    Spark merges overlapping per-event windows in the state store; the
+    drained result must equal the batch lag+cumsum session derivation
+    (window end = last event + gap, per session_window semantics)."""
+    from .streaming import events_stream, run_available_now, session_counts
+
+    ev = events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return run_available_now(
+        session_counts(ev), _mem_name("sessions"), output_mode="complete"
+    )
+
+
+@_q(
+    "stream_stateful_user_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS DOUBLE)
+             AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cumulative per-user totals in the state store.  Values are quantized
+    to integer 1e-4 units before the operator so the float accumulation
+    is exact and the drain is value-comparable to batch SQL."""
+    from .streaming import events_stream, run_available_now, running_user_stats
+
+    ev = events_stream(spark, os.path.join(sf_dir, "events.parquet")).withColumn(
+        "value", F.round(F.col("value") * 10000)
+    )
+    out = run_available_now(
+        running_user_stats(ev), _mem_name("usertotals"), output_mode="update"
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.col("total_value") / 10000.0).alias("total_value"),
+    )
