@@ -53,6 +53,7 @@ HEADLINE = [
     "embedding_near_dup",
     "multimodal_decode_features",
     "multimodal_frame_sample",
+    "stream_tumbling_counts",
 ]
 
 
@@ -69,6 +70,16 @@ def main() -> int:
 
     spark = get_spark("psweep-spark-bench")
     queries = entrymod.queries()
+
+    # Untimed warmup: pay one-time JVM/codegen/Arrow-worker init once so
+    # per-query numbers measure steady-state throughput (the 100 TB
+    # regime), not first-query session bring-up.
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.groupBy("l_returnflag").agg(F.sum("l_quantity")).collect()
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.limit(256).mapInPandas(lambda it: it, docs.schema).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
