@@ -1733,3 +1733,26 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("total_value") / 10000.0).alias("total_value"),
     )
+
+
+@_q(
+    "source_csv_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #27 surface (df_write/df_read formats): Parquet dim →
+    distributed CSV sink → CSV source (header + schema inference) —
+    value-checked through the round-trip (reference psweep.py:477-512)."""
+    from .sources import read_table, write_table
+
+    base = tempfile.mkdtemp(prefix="psq_csv_")
+    na = _ld(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = os.path.join(base, "nation_csv")
+    write_table(na, out, fmt="csv")
+    return read_table(spark, out, fmt="csv").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
