@@ -102,3 +102,22 @@ def test_skip_dups_is_join_not_collect(spark, tmp_path):
     plan = params_df.join(hashes, "_pset_hash", "left_anti")
     s = plans.formatted_plan(plan)
     assert "LeftAnti" in s or "left_anti" in s.lower()
+
+
+def test_filter_conds_reach_scan(spark):
+    df = QUERIES["filter_conds_fused"](spark, SF_DIR)
+    pushed = " ".join(plans.pushed_filters(df))
+    for col in ("l_quantity", "l_discount", "l_returnflag"):
+        assert col in pushed, pushed
+    (read,) = plans.read_schema_columns(df)
+    assert set(read) == {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_returnflag",
+    }
+
+
+def test_ivf_broadcasts_centroids_and_queries(spark):
+    df = QUERIES["sim_ivf_ann"](spark, SF_DIR)
+    # centroid relation broadcast into both cell assignments + the
+    # query-cells relation broadcast into the candidate join
+    assert plans.broadcast_join_count(df) >= 3
