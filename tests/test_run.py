@@ -208,3 +208,54 @@ def test_lazy_df_params(spark, calc_dir):
     rows = df.collect()
     for r in rows:
         assert r["result_"] == r["a"] * r["b"]
+
+
+def test_git_hooks(spark, tmp_path):
+    """Operator #26 (git integration): dirty-repo gate + auto-commit
+    carrying the run_id (reference psweep.py:406-446,1394,1490)."""
+    import subprocess
+
+    repo = str(tmp_path / "repo")
+    os.makedirs(repo)
+
+    def git(*args):
+        return subprocess.run(
+            ["git", "-c", "user.email=t@t", "-c", "user.name=t", *args],
+            cwd=repo, check=True, capture_output=True, text=True,
+        ).stdout
+
+    git("init", "-q")
+    # identity local to this throwaway repo (container has no global one;
+    # git_exit commits with whatever identity the study repo resolves)
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    (tmp_path / "repo" / "study.py").write_text("# study\n")
+    git("add", "-A")
+    git("commit", "-qm", "initial")
+
+    # dirty repo → the gate refuses to run
+    (tmp_path / "repo" / "junk.txt").write_text("dirty")
+    with pytest.raises(RuntimeError, match="dirty git repo"):
+        run(spark, func_a, plist("a", [1]),
+            calc_dir=str(tmp_path / "calc"), git=True, git_dir=repo)
+    os.remove(tmp_path / "repo" / "junk.txt")
+
+    # clean repo → run, calc results land outside, notebook-file change
+    # inside the repo is auto-committed with the run_id in the message
+    (tmp_path / "repo" / "study.py").write_text("# study v2\n")
+    # a dirty tree at exit is what git_exit commits; git_enter must see
+    # clean — so write the change after the gate via the user func
+    os.remove(tmp_path / "repo" / "study.py")
+    git("add", "-A")
+    git("commit", "-qm", "pre-run state")
+
+    def func_writes(pset):
+        with open(os.path.join(repo, "result.txt"), "w") as fh:
+            fh.write(str(pset["a"]))
+        return {"result_": float(pset["a"])}
+
+    df = run(spark, func_writes, plist("a", [7]),
+             calc_dir=str(tmp_path / "calc"), git=True, git_dir=repo)
+    run_id = df.select("_run_id").first()[0]
+    log = git("log", "--oneline", "-1")
+    assert f"run_id={run_id}" in log
