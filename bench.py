@@ -33,6 +33,9 @@ HEADLINE = [
     "q_top_customers_per_nation",
     "q_order_priority_count",
     "q_part_brand_stats",
+    "q_exists_semijoin",
+    "q_antijoin_no_orders",
+    "events_rolling_window",
     "events_tumbling_5min",
     "events_sliding_10m5m",
     "events_sessionization",

@@ -1756,3 +1756,104 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("n_regionkey").cast("long").alias("n_regionkey"),
     )
+
+
+# ===========================================================================
+# I. relational shapes the sweep DB query surface composes with — semi/anti
+#    joins and window frames (SURVEY §2.5: "this whole surface comes free
+#    with Spark SQL"; proven here against the oracle).
+# ===========================================================================
+
+
+@_q(
+    "q_exists_semijoin",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1998-09-01'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join (no row multiplication,
+    no dedup needed); the filter on lineitem is pushed to its scan and
+    the semi-join output carries only orders columns."""
+    od = _ld(spark, sf_dir, "orders")
+    li = _ld(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-09-01 00:00:00"
+    )
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@_q(
+    "q_antijoin_no_orders",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 300000
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def q_antijoin_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: NOT EXISTS → left-anti join (customers with no
+    high-value order) — the same plan shape skip_dups uses on
+    _pset_hash, here on the analytics surface."""
+    cu = _ld(spark, sf_dir, "customer")
+    od = _ld(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    ).select("o_custkey")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@_q(
+    "events_rolling_window",
+    """
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 10000) AS BIGINT) AS v
+      FROM events
+    ), r AS (
+      SELECT user_id,
+             SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll
+      FROM q
+    )
+    SELECT user_id, CAST(MAX(roll) AS DOUBLE) / 10000.0 AS max_rolling_sum,
+           COUNT(*) AS n_events
+    FROM r GROUP BY user_id
+    """,
+)
+def events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling window frame (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    per user: 4-event rolling value sum, reduced to its per-user max.
+    Values quantized to 1e-4 integer units so frame sums are exact in
+    both engines.  The window partitions by user_id — bounded state,
+    no global sort."""
+    ev = _ld_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    r = ev.withColumn("roll", F.sum("v").over(w))
+    return r.groupBy("user_id").agg(
+        (F.max("roll").cast("double") / 10000.0).alias("max_rolling_sum"),
+        F.count("*").alias("n_events"),
+    )
