@@ -141,3 +141,71 @@ def test_col_kind():
     assert filter_cols(["a", "_x", "y_", "b"]) == ["a", "b"]
     assert filter_cols(["a", "_x", "y_"], "prefix") == ["_x"]
     assert filter_cols(["a", "_x", "y_"], "postfix") == ["y_"]
+
+
+# -- property-based invariants (SURVEY M1: the keystone contract) ------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    # canonical-hash contract: |float| < 1e18 (hashing.py raises above)
+    st.floats(
+        allow_nan=False, allow_infinity=False, width=64,
+        min_value=-9.99e17, max_value=9.99e17,
+    ),
+    st.text(max_size=12),
+)
+_pset = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "x1", "y2"]), _scalar, min_size=1, max_size=5
+)
+
+
+@given(_pset)
+@settings(max_examples=200, deadline=None)
+def test_prop_key_order_invariance(p):
+    shuffled = dict(reversed(list(p.items())))
+    assert pset_hash(p) == pset_hash(shuffled)
+
+
+@given(_pset)
+@settings(max_examples=200, deadline=None)
+def test_prop_hash_is_stable_and_injective_on_repr(p):
+    # same dict twice → same hash; canon round-trip is deterministic
+    assert pset_hash(p) == pset_hash(dict(p))
+    assert len(pset_hash(p)) == 64  # sha256 hex
+
+
+@given(st.dictionaries(
+    st.sampled_from(["a", "b", "c"]),
+    st.one_of(
+        st.integers(min_value=-(2**31), max_value=2**31),
+        st.text(alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="'\\\x00"), max_size=8),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=3,
+))
+@settings(max_examples=50, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_prop_python_vs_duckdb_parity(p):
+    """Generated scalar psets hash identically through pset_hash and the
+    SQL emitted by hash_sql — the oracle emitter cannot drift."""
+    duck_t = {int: "BIGINT", str: "VARCHAR", bool: "BOOLEAN"}
+    cols = {k: duck_t[type(v)].lower() for k, v in p.items()}
+    expr = hash_sql(cols)
+    sels = []
+    for k, v in p.items():
+        if isinstance(v, bool):
+            sels.append(f"{str(v).lower()}::BOOLEAN AS {k}")
+        elif isinstance(v, int):
+            sels.append(f"{v}::BIGINT AS {k}")
+        else:
+            esc = v.replace("'", "''")
+            sels.append(f"'{esc}'::VARCHAR AS {k}")
+    got = duckdb.sql(
+        f"SELECT {expr} AS h FROM (SELECT {', '.join(sels)})"
+    ).fetchone()[0]
+    assert got == pset_hash(p), p
