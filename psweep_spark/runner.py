@@ -455,21 +455,42 @@ def run(
     elif result_schema is not None:
         res_fields = list(result_schema.fields)
     else:
-        probe_row = first_rows[0]
-        probe = {
-            k: _pyval(v) for k, v in probe_row.asDict(recursive=True).items()
-        }
-        probe.update(
-            _run_id=run_id,
-            _pset_id="00000000-0000-5000-8000-000000000000",
-            _run_seq=max_run_seq + 1,
-            _pset_seq=max_pset_seq + 1,
-            _calc_dir=os.path.abspath(calc_dir),
-            _time_utc=_dt.datetime.utcnow(),
-            _exec_host=socket.gethostname(),
-        )
         assert func is not None, "func required unless simulate=True"
-        probe_res = func(deepcopy(probe)) or {}
+        # safe mode must tolerate a failing first pset: probe a bounded
+        # prefix and infer from the first success (failed probes only
+        # ever contribute _failed/_exc_txt columns)
+        probe_rows = (
+            params_df.select(*pset_cols).take(8) if safe else first_rows
+        )
+        probe_res: dict | None = None
+        for probe_row in probe_rows:
+            probe = {
+                k: _pyval(v) for k, v in probe_row.asDict(recursive=True).items()
+            }
+            probe.update(
+                _run_id=run_id,
+                _pset_id="00000000-0000-5000-8000-000000000000",
+                _run_seq=max_run_seq + 1,
+                _pset_seq=max_pset_seq + 1,
+                _calc_dir=os.path.abspath(calc_dir),
+                _time_utc=_dt.datetime.utcnow(),
+                _exec_host=socket.gethostname(),
+            )
+            try:
+                probe_res = func(deepcopy(probe)) or {}
+                break
+            except Exception:
+                if not safe:
+                    raise
+        if probe_res is None:
+            if len(probe_rows) == 8:
+                # more psets may exist that would succeed; inferring an
+                # empty result schema would silently drop their results
+                raise ValueError(
+                    "schema probe: the first 8 psets all failed under "
+                    "safe=True; pass result_schema= explicitly"
+                )
+            probe_res = {}
         res_fields = list(infer_schema([probe_res]).fields)
 
     in_schema = params_df.schema
