@@ -56,6 +56,8 @@ HEADLINE = [
     "embedding_near_dup",
     "multimodal_decode_features",
     "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_audio_energy",
     "stream_tumbling_counts",
 ]
 

@@ -28,6 +28,8 @@ __all__ = [
     "attach_fake_media",
     "decode_images",
     "sample_frames",
+    "resize_images",
+    "audio_features",
 ]
 
 #: typed metadata carried alongside every opaque media payload
@@ -125,3 +127,110 @@ def sample_frames(df: DataFrame, every_n: int = 4, id_col: str = "doc_id") -> Da
         F.explode(idxs).alias("frame_idx"),
         F.col("media"),
     )
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("media_meta", MEDIA_META_TYPE),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, scale: float = 0.5, id_col: str = "doc_id", fake: bool = True
+) -> DataFrame:
+    """Resize stage: binary → binary with updated typed metadata.
+
+    Arrow-batched mapInPandas; ``fake=True`` derives the resized payload
+    deterministically (sha256 of payload + target dims — the stand-in
+    for real pixel resampling), halving width/height.  ``fake=False`` is
+    the Pillow seam.  The media column stays opaque binary end-to-end,
+    so the stage chains with :func:`decode_images` unchanged.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real resize requires Pillow/opencv — not present in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+
+    def _resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                meta = row["media_meta"]
+                w = max(int(meta["width"] * scale), 1)
+                h = max(int(meta["height"] * scale), 1)
+                payload: bytes = row["media"]
+                new_payload = hashlib.sha256(
+                    payload + f"{w}x{h}".encode()
+                ).hexdigest().encode()
+                out.append(
+                    (
+                        int(row[id_col]),
+                        new_payload,
+                        {
+                            "format": meta["format"],
+                            "width": w,
+                            "height": h,
+                            "n_frames": int(meta["n_frames"]),
+                            "sample_rate": int(meta["sample_rate"]),
+                        },
+                    )
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "media", "media_meta"])
+
+    return df.select(id_col, "media", "media_meta").mapInPandas(
+        _resize, _RESIZE_SCHEMA
+    )
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_energy", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    frame_size: int = 16,
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Audio feature-extract stage: framed energy over the sample stream.
+
+    ``fake=True`` treats the payload bytes as the sample stream and
+    emits per-frame mean byte energy (frame = ``frame_size`` bytes) —
+    the deterministic stand-in for PCM decode + RMS frames.
+    ``fake=False`` is the librosa/ffmpeg seam.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real audio decode requires librosa/ffmpeg — not present in "
+            "this environment; pass fake=True for the deterministic stub"
+        )
+
+    def _frames(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload: bytes = row["media"]
+                frames = [
+                    payload[i : i + frame_size]
+                    for i in range(0, len(payload), frame_size)
+                ]
+                energy = [sum(f) / len(f) for f in frames if len(f)]
+                out.append((int(row[id_col]), len(energy), energy))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_frames", "frame_energy"]
+            )
+
+    return df.select(id_col, "media").mapInPandas(_frames, _AUDIO_SCHEMA)

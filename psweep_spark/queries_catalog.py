@@ -1857,3 +1857,65 @@ def events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("roll").cast("double") / 10000.0).alias("max_rolling_sum"),
         F.count("*").alias("n_events"),
     )
+
+
+@_q(
+    "multimodal_resize",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             sha256(CAST(doc_id AS VARCHAR)) AS payload_hex,
+             CAST(doc_id % 64 + 32 AS INTEGER) AS width,
+             CAST(doc_id % 48 + 24 AS INTEGER) AS height
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((width // 2) AS INTEGER) AS width,
+           CAST((height // 2) AS INTEGER) AS height,
+           sha256(payload_hex ||
+                  CAST(width // 2 AS VARCHAR) || 'x' ||
+                  CAST(height // 2 AS VARCHAR)) AS resized_sha
+    FROM m
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage plumbing: opaque binary in → opaque binary out with
+    halved typed metadata, Arrow-batched mapInPandas; the deterministic
+    stub payload (sha256 of payload + target dims) makes the whole
+    binary-transform path value-checkable."""
+    from .operators.multimodal import attach_fake_media, resize_images
+
+    docs = _ld(spark, sf_dir, "documents").select("doc_id")
+    resized = resize_images(attach_fake_media(docs), scale=0.5)
+    return resized.select(
+        "doc_id",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media").cast("string").alias("resized_sha"),
+    )
+
+
+@_q(
+    "multimodal_audio_energy",
+    """
+    WITH m AS (
+      SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS payload_hex
+      FROM documents
+    )
+    SELECT doc_id, CAST(4 AS INTEGER) AS n_frames,
+           list_transform(range(0, 4),
+             f -> CAST(list_sum(list_transform(range(1, 17),
+                    i -> ascii(substring(payload_hex, f * 16 + i, 1))))
+                  AS DOUBLE) / 16.0) AS frame_energy
+    FROM m
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extract plumbing: payload bytes framed into 16-byte
+    windows, per-frame mean energy — the deterministic stand-in for PCM
+    decode + RMS frames, over the same Arrow-batched mapInPandas path a
+    real codec would use."""
+    from .operators.multimodal import attach_fake_media, audio_features
+
+    docs = _ld(spark, sf_dir, "documents").select("doc_id")
+    return audio_features(attach_fake_media(docs), frame_size=16)

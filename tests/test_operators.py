@@ -18,7 +18,9 @@ from psweep_spark.operators import (
 )
 from psweep_spark.operators.multimodal import (
     attach_fake_media,
+    audio_features,
     decode_images,
+    resize_images,
     sample_frames,
 )
 from psweep_spark.operators.text import doc_fingerprint, lang_id
@@ -187,3 +189,42 @@ def test_multimodal_plumbing(spark, docs):
     assert all(r["count"] >= 1 for r in f)
     with pytest.raises(NotImplementedError):
         decode_images(media, fake=False)
+
+
+def test_multimodal_resize(spark, docs):
+    import hashlib
+
+    media = attach_fake_media(docs.limit(20))
+    out = {r["doc_id"]: r for r in resize_images(media, scale=0.5).collect()}
+    src = {r["doc_id"]: r for r in media.collect()}
+    assert set(out) == set(src)
+    for did, r in out.items():
+        m = src[did]["media_meta"]
+        assert r["media_meta"]["width"] == max(m["width"] // 2, 1)
+        assert r["media_meta"]["height"] == max(m["height"] // 2, 1)
+        # payload is opaque binary derived deterministically from input
+        want = hashlib.sha256(
+            bytes(src[did]["media"])
+            + f'{r["media_meta"]["width"]}x{r["media_meta"]["height"]}'.encode()
+        ).hexdigest().encode()
+        assert bytes(r["media"]) == want
+    # chains: resized output still decodes (binary column stays opaque)
+    assert decode_images(resize_images(media)).count() == 20
+    with pytest.raises(NotImplementedError):
+        resize_images(media, fake=False)
+
+
+def test_multimodal_audio_features(spark, docs):
+    media = attach_fake_media(docs.limit(20))
+    out = audio_features(media, frame_size=16).collect()
+    src = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+    assert len(out) == 20
+    for r in out:
+        payload = src[r["doc_id"]]
+        # sha256-hex payload = 64 bytes -> 4 full frames of 16
+        assert r["n_frames"] == 4
+        assert len(r["frame_energy"]) == 4
+        want0 = sum(payload[:16]) / 16.0
+        assert abs(r["frame_energy"][0] - want0) < 1e-9
+    with pytest.raises(NotImplementedError):
+        audio_features(media, fake=False)
