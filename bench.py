@@ -35,6 +35,12 @@ HEADLINE = [
     "q_part_brand_stats",
     "q_exists_semijoin",
     "q_antijoin_no_orders",
+    "q_rollup_region_revenue",
+    "q_cube_flag_status",
+    "q_percentile_quantity",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_orders",
     "events_rolling_window",
     "events_tumbling_5min",
     "events_sliding_10m5m",

@@ -1919,3 +1919,400 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _ld(spark, sf_dir, "documents").select("doc_id")
     return audio_features(attach_fake_media(docs), frame_size=16)
+
+
+# ===========================================================================
+# J. analytics surface widening — rollup/cube/pivot/percentiles/set-ops
+# (SURVEY §2.5: the relational surface psweep delegates to pandas comes
+# free with Spark SQL; these prove it end-to-end against DuckDB.)
+# ===========================================================================
+
+
+@_q(
+    "q_rollup_region_revenue",
+    """
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ``rollup`` (region → nation → grand
+    total).  nation/region are broadcast (tiny dims); the rollup is one
+    shuffle with partial aggregation — Catalyst expands grouping sets
+    map-side, so 100 TB of orders still aggregates in a single pass."""
+    o = _ld(spark, sf_dir, "orders")
+    c = _ld(spark, sf_dir, "customer")
+    n = _ld(spark, sf_dir, "nation")
+    r = _ld(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@_q(
+    "q_cube_flag_status",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^2 grouping-set combinations in one shuffle via ``cube``."""
+    li = _ld(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_items",
+        )
+    )
+
+
+_PRIORITIES = [
+    ("1-URGENT", "n_urgent"),
+    ("2-HIGH", "n_high"),
+    ("3-MEDIUM", "n_medium"),
+    ("4-NOT SPECIFIED", "n_notspec"),
+    ("5-LOW", "n_low"),
+]
+
+
+@_q(
+    "q_pivot_priority_status",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+           COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+           COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with an explicit value list (no extra pass to
+    discover pivot values — required at scale) then null→0 backfill."""
+    o = _ld(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", [p for p, _ in _PRIORITIES])
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("o_orderstatus")] + [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a) for p, a in _PRIORITIES
+    ]
+    return piv.select(*cols)
+
+
+@_q(
+    "q_percentile_quantity",
+    """
+    SELECT l_returnflag,
+           list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+                          x -> round(x, 6)) AS qty_quartiles,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (ANSI ``quantile_cont`` semantics =
+    Spark ``percentile``), rounded to 6 dp.  Scale note: exact
+    percentile shuffles per-group values; at 100 TB swap in
+    ``percentile_approx`` (t-digest, mergeable map-side) — the
+    guardrail pattern of q_approx_distinct_parts applies."""
+    li = _ld(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "transform(percentile(l_quantity, array(0.25D, 0.5D, 0.75D)),"
+            " x -> round(x, 6))"
+        ).alias("qty_quartiles"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 6).alias(
+            "median_price"
+        ),
+    )
+
+
+@_q(
+    "q_approx_distinct_parts",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           TRUE AS approx_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ ``approx_count_distinct`` guardrailed against the exact
+    count (must land within 2×rsd).  At 100 TB the exact count-distinct
+    is the expensive one (full shuffle of the key); HLL is a fixed-size
+    mergeable sketch — this query certifies the sketch is usable."""
+    li = _ld(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.05).cast("double")
+                - F.count_distinct("l_partkey").cast("double")
+            )
+            / F.count_distinct("l_partkey").cast("double")
+            <= F.lit(0.10)
+        ).alias("approx_ok"),
+    )
+
+
+@_q(
+    "q_setops_segments",
+    """
+    WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         building AS (SELECT c_custkey AS k FROM customer
+                      WHERE c_mktsegment = 'BUILDING')
+    SELECT 'building_buyers' AS cohort,
+           (SELECT COUNT(*) FROM (SELECT k FROM building INTERSECT SELECT k FROM buyers)) AS n
+    UNION ALL
+    SELECT 'building_nonbuyers',
+           (SELECT COUNT(*) FROM (SELECT k FROM building EXCEPT SELECT k FROM buyers))
+    UNION ALL
+    SELECT 'buyers_not_building',
+           (SELECT COUNT(*) FROM (SELECT k FROM buyers EXCEPT SELECT k FROM building))
+    """,
+)
+def q_setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (INTERSECT / EXCEPT, distinct semantics) between
+    customer cohorts.  Catalyst plans both as hash joins on the key —
+    no materialized intermediate sets."""
+    o = _ld(spark, sf_dir, "orders")
+    c = _ld(spark, sf_dir, "customer")
+    buyers = o.select(F.col("o_custkey").alias("k")).distinct()
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    rows = [
+        ("building_buyers", building.intersect(buyers)),
+        ("building_nonbuyers", building.exceptAll(buyers.distinct())),
+        ("buyers_not_building", buyers.subtract(building)),
+    ]
+    out = None
+    for label, df in rows:
+        piece = df.agg(F.count("*").alias("n")).select(
+            F.lit(label).alias("cohort"), "n"
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
+@_q(
+    "q_ntile_spend_quartiles",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s
+      FROM orders GROUP BY o_custkey
+    ), tiles AS (
+      SELECT o_custkey, s,
+             ntile(4) OVER (ORDER BY s DESC, o_custkey) AS quartile
+      FROM spend
+    )
+    SELECT quartile, COUNT(*) AS n_customers,
+           CAST(SUM(s) AS DOUBLE) AS sum_spend,
+           CAST(MIN(s) AS DOUBLE) AS min_spend,
+           CAST(MAX(s) AS DOUBLE) AS max_spend
+    FROM tiles GROUP BY quartile
+    """,
+)
+def q_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles via ``ntile`` over a total order
+    (exact-decimal spend desc, custkey tiebreak → deterministic tiles).
+    The global window runs on *aggregated* data (one row per customer);
+    at 100 TB partition-wise quantile cuts (approx_percentile on the
+    aggregate) replace the single-partition sort."""
+    o = _ld(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s")
+    )
+    w = Window.orderBy(F.desc("s"), F.asc("o_custkey"))
+    tiles = spend.withColumn("quartile", F.ntile(4).over(w))
+    return tiles.groupBy("quartile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("s").cast("double").alias("sum_spend"),
+        F.min("s").cast("double").alias("min_spend"),
+        F.max("s").cast("double").alias("max_spend"),
+    )
+
+
+@_q(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY SUM({_REV_SQL}) DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue.  Exact-decimal
+    revenue makes the top-20 cut deterministic across engines; the
+    returnflag filter is pushed to the lineitem scan and customer is
+    broadcast against the shuffled fact aggregate."""
+    li = _ld(spark, sf_dir, "lineitem")
+    o = _ld(spark, sf_dir, "orders")
+    c = _ld(spark, sf_dir, "customer")
+    agg = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(_revenue_expr()).alias("rev_dec"))
+    )
+    return (
+        agg.orderBy(F.desc("rev_dec"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", F.col("rev_dec").cast("double").alias("revenue")
+        )
+    )
+
+
+@_q(
+    "q14_promo_effect",
+    f"""
+    SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV_SQL} END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue,
+           100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV_SQL} END) AS DOUBLE)
+                 / CAST(SUM({_REV_SQL}) AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact⋈dim join.
+    part is broadcast; the date window prunes the lineitem scan.  The
+    ratio is one IEEE division of two exactly-accumulated decimals."""
+    li = _ld(spark, sf_dir, "lineitem")
+    p = _ld(spark, sf_dir, "part")
+    rev = _revenue_expr()
+    promo = F.when(F.col("p_type").like("PROMO%"), rev)
+    j = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    ).join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.agg(
+        F.sum(promo).cast("double").alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+@_q(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250
+    )
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_totalprice,
+           CAST(SUM(qty) AS DOUBLE) AS sum_qty
+    FROM big JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact aggregate, then join back to
+    orders.  The aggregate side shrinks ~4000× before the join, so at
+    100 TB the 'big' side broadcasts — AQE picks that up at runtime."""
+    li = _ld(spark, sf_dir, "lineitem")
+    o = _ld(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
+        .filter(F.col("qty") > 250)
+    )
+    return big.join(o, big.l_orderkey == o.o_orderkey).agg(
+        F.count("*").alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("sum_totalprice"),
+        F.sum("qty").cast("double").alias("sum_qty"),
+    )
+
+
+@_q(
+    "q_above_nation_avg",
+    """
+    WITH nat AS (
+      SELECT c_nationkey,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT n_name, COUNT(*) AS n_above
+    FROM customer
+    JOIN nat USING (c_nationkey)
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE CAST(c_acctbal AS DOUBLE) > avg_bal
+    GROUP BY n_name
+    """,
+)
+def q_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate pattern (customers above their nation's mean
+    balance) decorrelated into an aggregate + broadcast join-back — the
+    plan shape a correlated subquery should optimize to.  The mean is
+    one IEEE division of exact-decimal sums, identical in both engines."""
+    c = _ld(spark, sf_dir, "customer")
+    n = _ld(spark, sf_dir, "nation")
+    nat = c.groupBy("c_nationkey").agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(nat), "c_nationkey")
+        .filter(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_above"))
+    )
