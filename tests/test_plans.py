@@ -121,3 +121,42 @@ def test_ivf_broadcasts_centroids_and_queries(spark):
     # centroid relation broadcast into both cell assignments + the
     # query-cells relation broadcast into the candidate join
     assert plans.broadcast_join_count(df) >= 3
+
+
+def test_rollup_broadcasts_dims_single_exchange(spark):
+    df = QUERIES["q_rollup_region_revenue"](spark, SF_DIR)
+    assert plans.broadcast_join_count(df) == 3
+    # one shuffle: the grouping-set aggregate (Expand is map-side)
+    assert plans.count_exchanges(df) == 1
+    s = plans.formatted_plan(df)
+    assert "Expand" in s
+
+
+def test_q14_date_window_pushed_and_part_broadcast(spark):
+    df = QUERIES["q14_promo_effect"](spark, SF_DIR)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pushed, pushed
+    assert plans.broadcast_join_count(df) >= 1
+    reads = plans.read_schema_columns(df)
+    li_read = next(r for r in reads if "l_partkey" in r)
+    assert set(li_read) == {
+        "l_partkey", "l_extendedprice", "l_discount", "l_shipdate",
+    }
+
+
+def test_q18_aggregates_before_join(spark):
+    """The HAVING aggregate must shrink lineitem *before* the orders
+    join — the join input is the aggregate, never the raw fact table."""
+    df = QUERIES["q18_large_orders"](spark, SF_DIR)
+    s = plans.formatted_plan(df)
+    # HashAggregate appears below the join in the plan tree: the
+    # aggregate's id is greater (deeper) than the join's id
+    import re
+
+    joins = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) (?:Broadcast|Sort|Shuffled)?HashJoin", s)
+    ]
+    aggs = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", s)]
+    assert joins and aggs
+    assert max(aggs) > min(joins), s
