@@ -403,42 +403,75 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ τ).
 
-    Brute-force all-pairs — the *verification* path.  At 100 TB,
-    pre-bucket with sign-LSH (`similarity.random_hyperplanes`) and run
-    this only within buckets.  Cosine is rounded to 6 dp so the result
-    is stable under summation-order differences between engines.
+    Exact all-pairs as a **distributed block matmul**: vectors are
+    hashed into ``num_blocks`` blocks, the P·(P+1)/2 block pairs are
+    enumerated, and each pair's full cosine matrix is one BLAS
+    ``A @ B.T`` inside ``applyInPandas``.  No driver-side collect, data
+    replication is exactly P× (the standard √tasks factor for
+    distributed all-pairs), and each task's working set is two blocks —
+    so the same plan runs at 100 TB by raising ``num_blocks`` until a
+    block fits in executor memory.  For true web scale, pre-bucket with
+    sign-LSH (`similarity.random_hyperplanes`) and run this within
+    buckets only.  Cosine is rounded to 6 dp so the result is stable
+    under summation-order differences (BLAS vs sequential fold).
     """
     from ..plans import ensure_parallelism
 
-    # norms are per-VECTOR work — materialize them (and the double cast)
-    # once in the scan projection, so the O(n²) pair stage does only a
-    # dot product; parallelize the stream side (single-row-group guard)
+    spark = df.sparkSession
+    P = num_blocks
     v = (
         ensure_parallelism(df)
         .select(
-            F.col(id_col).alias("id"),
+            F.col(id_col).cast("long").alias("id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         )
-        .withColumn(
-            "norm",
-            F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
-        )
+        .withColumn("block", F.pmod(F.xxhash64("id"), F.lit(P)).cast("int"))
     )
-    a = v.alias("a")
-    b = v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(P) for j in range(i, P)], "pa int, pb int"
     )
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn("cosine", F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine"
-        )
+    a_side = v.join(F.broadcast(bp), v.block == bp.pa).select(
+        "pa", "pb", F.lit(0).alias("side"), "id", "v"
     )
+    b_side = v.join(F.broadcast(bp), v.block == bp.pb).select(
+        "pa", "pb", F.lit(1).alias("side"), "id", "v"
+    )
+    both = a_side.unionByName(b_side)
+
+    out_schema = "id_a long, id_b long, cosine double"
+
+    def _cross(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        pa, pb = key
+        A = pdf[pdf["side"] == 0]
+        B = pdf[pdf["side"] == 1]
+        if not len(A) or not len(B):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ida = A["id"].to_numpy()
+        idb = B["id"].to_numpy()
+        Ma = np.stack(A["v"].to_numpy())
+        Mb = np.stack(B["v"].to_numpy())
+        na = np.linalg.norm(Ma, axis=1)
+        nb = np.linalg.norm(Mb, axis=1)
+        cos = np.round((Ma @ Mb.T) / np.outer(na, nb), 6)
+        ia, ib = np.where(cos >= threshold)
+        xa, xb, c = ida[ia], idb[ib], cos[ia, ib]
+        if pa == pb:
+            # A and B are the same block: keep each unordered pair once
+            keep = xa < xb
+            xa, xb, c = xa[keep], xb[keep], c[keep]
+        else:
+            # distinct blocks: every unordered pair appears exactly once;
+            # emit it in (min, max) order
+            lo = np.minimum(xa, xb)
+            hi = np.maximum(xa, xb)
+            xa, xb = lo, hi
+        return pd.DataFrame({"id_a": xa, "id_b": xb, "cosine": c})
+
+    return both.groupBy("pa", "pb").applyInPandas(_cross, out_schema)
