@@ -41,6 +41,7 @@ HEADLINE = [
     "q10_returned_items",
     "q14_promo_effect",
     "q18_large_orders",
+    "events_asof_join",
     "events_rolling_window",
     "events_tumbling_5min",
     "events_sliding_10m5m",

@@ -2316,3 +2316,43 @@ def q_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("n_above"))
     )
+
+
+@_q(
+    "events_asof_join",
+    """
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           p.value AS purchase_value,
+           c.value AS click_value,
+           CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS us_since_click
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (pd.merge_asof / DuckDB ASOF JOIN semantics): every
+    purchase matched to the user's most recent preceding click.  Spark
+    has no asof primitive — this is the union+window composition of
+    :func:`operators.asof.asof_join`: ONE hash shuffle on user_id, no
+    |L|·|R| fan-out on hot users (see module docstring for why the
+    naive range join dies at 100 TB)."""
+    from .operators.asof import asof_join
+
+    ev = _ld_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(p, c, on="ts", by="user_id", right_cols=["value"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("purchase_value"),
+        F.col("value_r").alias("click_value"),
+        (F.unix_micros("ts") - F.unix_micros("ts_r")).alias("us_since_click"),
+    )

@@ -228,3 +228,49 @@ def test_multimodal_audio_features(spark, docs):
         assert abs(r["frame_energy"][0] - want0) < 1e-9
     with pytest.raises(NotImplementedError):
         audio_features(media, fake=False)
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime as dt
+
+    from psweep_spark.operators.asof import asof_join
+
+    L = spark.createDataFrame(
+        [(1, "u", dt(2024, 1, 1, 0, 0, 10)), (2, "u", dt(2024, 1, 1, 0, 0, 20)),
+         (3, "v", dt(2024, 1, 1, 0, 0, 5)), (4, "w", dt(2024, 1, 1, 0, 0, 30))],
+        "id long, user string, ts timestamp",
+    )
+    R = spark.createDataFrame(
+        [("u", dt(2024, 1, 1, 0, 0, 8), 1.0),
+         ("u", dt(2024, 1, 1, 0, 0, 20), 2.0),   # exact match for id=2
+         ("u", dt(2024, 1, 1, 0, 0, 25), 9.0),   # after both L(u) rows
+         ("v", dt(2024, 1, 1, 0, 0, 6), 3.0)],   # after L(v) row
+        "user string, ts timestamp, val double",
+    )
+    out = {r["id"]: r for r in asof_join(L, R, on="ts", by="user").collect()}
+    assert out[1]["val_r"] == 1.0              # nearest preceding
+    assert out[2]["val_r"] == 2.0              # exact ts matches
+    assert out[3]["val_r"] is None             # no preceding right row
+    assert out[4]["val_r"] is None             # key with no right rows
+    # forward direction: nearest following
+    fwd = {r["id"]: r for r in
+           asof_join(L, R, on="ts", by="user", direction="forward").collect()}
+    assert fwd[1]["val_r"] == 2.0              # 0:20 is next after 0:10
+    assert fwd[2]["val_r"] == 2.0              # exact match still wins
+    assert fwd[3]["val_r"] == 3.0
+    # tolerance: id=1 match is 2s away; 1s tolerance nulls it
+    tol = {r["id"]: r for r in
+           asof_join(L, R, on="ts", by="user", tolerance_us=1_000_000).collect()}
+    assert tol[1]["val_r"] is None
+    assert tol[2]["val_r"] == 2.0              # distance 0 survives
+
+
+def test_asof_join_single_shuffle(spark):
+    import os
+
+    from psweep_spark import plans
+    from psweep_spark.queries_catalog import QUERIES
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    j = QUERIES["events_asof_join"](spark, sf)
+    assert plans.count_exchanges(j) == 1
