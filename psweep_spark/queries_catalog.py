@@ -2356,3 +2356,85 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_r").alias("click_value"),
         (F.unix_micros("ts") - F.unix_micros("ts_r")).alias("us_since_click"),
     )
+
+
+@_q(
+    "events_range_join",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE event_type = 'click'
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 600
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM c
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), intervals AS (
+      SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+             MIN(ts) AS s_start,
+             MAX(ts) + INTERVAL 1800 SECOND AS s_end
+      FROM sess GROUP BY user_id, sid
+    ), p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT i.user_id, i.session_id,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+    FROM intervals i
+    JOIN p ON p.user_id = i.user_id AND p.ts BETWEEN i.s_start AND i.s_end
+    GROUP BY i.user_id, i.session_id
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: purchases landing inside click-session
+    attribution windows (session span + 30 min), via :func:`operators.rangejoin.range_join_bucketed` —
+    bucketed equi-join + exact BETWEEN post-filter, never a
+    nested-loop range join (see module docstring for the 100 TB
+    argument).  Session intervals come from the same gap>10min
+    sessionization as events_sessionization."""
+    from .operators.rangejoin import range_join_bucketed
+
+    ev = _ld_events(spark, sf_dir)
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 600),
+        1,
+    ).otherwise(0)
+    intervals = (
+        c.withColumn("is_new", is_new)
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", F.col("sid").cast("long").alias("session_id"))
+        .agg(
+            F.min("ts").alias("s_start"),
+            (F.max("ts") + F.expr("INTERVAL 1800 SECONDS")).alias("s_end"),
+        )
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    j = range_join_bucketed(
+        p, intervals, point_col="p_ts", start_col="s_start",
+        end_col="s_end", by="user_id",
+    )
+    return j.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_purchases"),
+        _dsum(F.col("value")).alias("purchase_value"),
+    )

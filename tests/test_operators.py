@@ -274,3 +274,32 @@ def test_asof_join_single_shuffle(spark):
     sf = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
     j = QUERIES["events_asof_join"](spark, sf)
     assert plans.count_exchanges(j) == 1
+
+
+def test_range_join_bucketed_semantics(spark):
+    from datetime import datetime as dt
+
+    from psweep_spark.operators.rangejoin import range_join_bucketed
+
+    pts = spark.createDataFrame(
+        [(1, "u", dt(2024, 1, 1, 0, 5)), (2, "u", dt(2024, 1, 1, 1, 0)),
+         (3, "v", dt(2024, 1, 1, 0, 5)), (4, "u", dt(2024, 1, 1, 0, 10))],
+        "pid long, user string, pts timestamp",
+    )
+    iv = spark.createDataFrame(
+        # [0:00, 0:10] inclusive bounds; a long interval spanning many buckets
+        [("u", dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, 0, 10), 100),
+         ("u", dt(2024, 1, 1, 0, 50), dt(2024, 1, 1, 2, 0), 200),
+         ("v", dt(2024, 1, 1, 0, 4), dt(2024, 1, 1, 0, 6), 300)],
+        "user string, s timestamp, e timestamp, iid long",
+    )
+    out = range_join_bucketed(
+        pts, iv, point_col="pts", start_col="s", end_col="e", by="user",
+        bucket_width_us=60_000_000,  # 1 min buckets: intervals replicate
+    ).collect()
+    got = {(r["pid"], r["iid"]) for r in out}
+    assert got == {(1, 100), (2, 200), (3, 300), (4, 100)}
+    # no duplicate pairs despite interval replication across buckets
+    assert len(out) == len(got)
+    # inclusive end bound: pid=4 at exactly 0:10
+    # key isolation: pid=3 (user v) never matches user-u intervals
