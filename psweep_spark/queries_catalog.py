@@ -2438,3 +2438,8 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_purchases"),
         _dsum(F.col("value")).alias("purchase_value"),
     )
+
+
+# --- registration side-effect imports (kept at the bottom so the shared
+# helpers above are defined before the submodules that use them) --------
+from psweep_spark import queries_tpch as _queries_tpch  # noqa: E402,F401

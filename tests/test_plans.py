@@ -160,3 +160,78 @@ def test_q18_aggregates_before_join(spark):
     aggs = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", s)]
     assert joins and aggs
     assert max(aggs) > min(joins), s
+
+
+def test_q6_pure_scan_agg(spark):
+    """Q6 is the pushdown litmus: all predicates reach the scan, only
+    the four referenced columns are read, and the only exchange is the
+    single-row final aggregate."""
+    df = QUERIES["q6_forecast_revenue"](spark, SF_DIR)
+    pushed = " ".join(plans.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    (read,) = plans.read_schema_columns(df)
+    assert set(read) == {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+    }
+    assert plans.count_exchanges(df) <= 1
+
+
+def test_q7_prefilters_both_facts_via_broadcast(spark):
+    """Both fact inputs must shrink through broadcast dim joins BEFORE
+    the orderkey shuffle — the only exchanges are the big join's two
+    sides plus the final agg."""
+    df = QUERIES["q7_volume_shipping"](spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 2
+    assert plans.count_exchanges(df) <= 3
+
+
+def test_q13_aggregates_orders_below_outer_join(spark):
+    """The per-customer count happens on orders BEFORE the left join —
+    the join moves one row per customer, not one per order."""
+    import re
+
+    df = QUERIES["q13_customer_distribution"](spark, SF_DIR)
+    s = plans.formatted_plan(df)
+    joins = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) (?:Broadcast|Sort|Shuffled)?HashJoin", s)
+    ]
+    aggs = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", s)]
+    assert joins and aggs
+    assert max(aggs) > min(joins), s
+
+
+def test_q17_single_fact_scan_is_reused(spark):
+    """Decorrelation must not scan lineitem twice at full width: both
+    the avg leg and the revenue leg read only the 3 needed columns and
+    the Brand part filter broadcasts into each."""
+    df = QUERIES["q17_small_qty_revenue"](spark, SF_DIR)
+    for read in plans.read_schema_columns(df):
+        if "l_partkey" in read:
+            assert set(read) <= {"l_partkey", "l_quantity", "l_extendedprice"}
+    assert plans.broadcast_join_count(df) >= 2
+
+
+def test_q19_part_broadcast_no_shuffle(spark):
+    df = QUERIES["q19_discounted_revenue"](spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.count_exchanges(df) <= 1  # at most the single-row final agg
+
+
+def test_q21_semi_anti_never_cartesian(spark):
+    df = QUERIES["q21_waiting_supplier"](spark, SF_DIR)
+    s = plans.formatted_plan(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "LeftSemi" in s and "LeftAnti" in s
+
+
+def test_q15_max_is_broadcast_not_recompute(spark):
+    """The scalar MAX must come from a single-row broadcast over the
+    same suppkey aggregate — never a second scan of lineitem."""
+    df = QUERIES["q15_top_supplier"](spark, SF_DIR)
+    s = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pushed, pushed
