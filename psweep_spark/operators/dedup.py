@@ -312,41 +312,41 @@ def minhash_dedup(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # exact verification restricted to CANDIDATE pairs only: fan each
-    # candidate pair out to id_a's shingles, match id_b's — cost
-    # O(|cands| · avg shingles/doc), never the all-pairs intersection
-    # table (which would defeat LSH's purpose at scale).
-    sh = word_shingles(df, n=n, id_col=id_col, text_col=text_col)
-    # set sizes from the array form: per-row size(), no explode+groupBy
-    sizes = shingled(df, n=n, id_col=id_col, text_col=text_col).select(
-        # coalesce makes sz provably non-nullable: otherwise the join
-        # constraint isnotnull(sz) is inferred, inlined through the
-        # projections as isnotnull(size(<full shingle expr>)), and pushed
-        # below the repartition onto the single-partition scan — measured
-        # as a 25 s single-task stage (the array is never null; -1 is dead)
-        "id", F.coalesce(F.size("__sh"), F.lit(-1)).alias("sz")
+    # exact verification restricted to CANDIDATE pairs only. The
+    # candidate DOC set after banding is tiny relative to the corpus
+    # (bounded by LSH collisions), so: broadcast-semi-filter the corpus
+    # down to candidate docs, carry each doc's distinct-shingle ARRAY in
+    # one row, and verify each pair with a JVM array_intersect — no
+    # corpus-wide explode, no (id, shingle) shuffle at all. Cost:
+    # O(|cand docs| · shingles/doc) intersect work on a relation the
+    # size of the candidate list.  (At a degenerate scale where the
+    # candidate set itself outgrows the broadcast threshold, swap the
+    # broadcast for a shuffle semi-join — same plan shape.)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .union(cands.select(F.col("id_b").alias("id")))
+        .distinct()
     )
-    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
-    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        cands.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    cand_sh = (
+        shingled(df, n=n, id_col=id_col, text_col=text_col)
+        .join(F.broadcast(cand_ids), "id", "left_semi")
+        # coalesce keeps the array provably non-nullable so no inferred
+        # isnotnull(<full shingle expr>) filter sinks below the scan
+        .select("id", F.coalesce(F.col("__sh"), F.array()).alias("__sh"))
     )
+    a = cand_sh.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = cand_sh.select(F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
     return (
-        inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
-            "id_b",
-        )
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_inter", n_inter)
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+            / (
+                F.size("__sh_a") + F.size("__sh_b") - F.col("n_inter")
+            ).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

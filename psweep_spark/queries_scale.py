@@ -1,0 +1,289 @@
+"""Scale-posture and sequence-analytics queries: skew-salted joins,
+ordered/positional aggregates (lead/lag gaps, min_by/max_by), keep-best
+dedup policy, and corpus-level token statistics.
+
+All registered into the shared catalog with DuckDB oracles; determinism
+rules follow ``queries_catalog`` (exact decimal money, BIGINT casts,
+unique tiebreak orderings on every window)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from psweep_spark.operators.skew import salted_join
+from psweep_spark.queries_catalog import (
+    _REV_SQL,
+    _dsum,
+    _ld,
+    _ld_events,
+    _q,
+    _revenue_expr,
+)
+
+
+@_q(
+    "q_salted_skew_join",
+    f"""
+    SELECT o_orderpriority,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient fact⋈fact join: lineitem ⋈ orders via explicit
+    salting (operators/skew.py). Each orderkey is spread over 8 reducer
+    tasks — the oracle is the plain join, proving salt-invariance. At
+    scale this is the fallback when the build side exceeds the
+    broadcast threshold and AQE's skew split can't help (e.g.
+    shuffled-hash path); salt_factor bounds the build replication."""
+    li = _ld(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = (
+        _ld(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    j = salted_join(li, od, on="l_orderkey", salt_factor=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.sum(_revenue_expr()).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@_q(
+    "events_lead_lag_gaps",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS t FROM events),
+    g AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(t) - epoch_us(LAG(t) OVER w) AS gap_us,
+             LEAD(event_type) OVER w AS next_type
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(SUM(CASE WHEN event_type = 'view'
+                          AND next_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS view_to_purchase
+    FROM g GROUP BY user_id
+    """,
+)
+def events_lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence analytics: per-user inter-event gaps (LAG) and
+    next-event transitions (LEAD) with a unique (ts, event_id) window
+    order, rolled up per user. ONE shuffle: the user_id window
+    partition feeds the groupBy on the same key with no re-exchange —
+    the sort covers both. Gap math in epoch microseconds (exact
+    integers, engine-stable)."""
+    ev = _ld_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts"))
+         - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return g.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "view")
+                & (F.col("next_type") == "purchase"), 1
+            ).otherwise(0)
+        ).cast("long").alias("view_to_purchase"),
+    )
+
+
+@_q(
+    "events_first_last_by_user",
+    """
+    WITH e AS (SELECT user_id, event_type, value,
+                      lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR),
+                           20, '0')
+                        || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+               FROM events)
+    SELECT user_id,
+           arg_min(event_type, ord) AS first_type,
+           arg_max(event_type, ord) AS last_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM e GROUP BY user_id
+    """,
+)
+def events_first_last_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered aggregates min_by/max_by: each user's first and last
+    event type in ONE pass — no window, no self-join, a single
+    map-side-combinable aggregation (the 100 TB way to get
+    first/last-touch attribution). Order key is the zero-padded
+    (epoch_us, event_id) string — lexicographic = chronological with a
+    unique tiebreak, no int64 packing overflow at any scale."""
+    ev = _ld_events(spark, sf_dir)
+    ordk = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select("user_id", "event_type", "value", ordk.alias("ord"))
+        .groupBy("user_id")
+        .agg(
+            F.min_by("event_type", F.col("ord")).alias("first_type"),
+            F.max_by("event_type", F.col("ord")).alias("last_type"),
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@_q(
+    "dedup_keep_best",
+    r"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             md5(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        1, 40)) AS th
+      FROM documents
+    )
+    SELECT th AS text_hash,
+           COUNT(*) AS n_copies,
+           arg_min(doc_id, -n_chars * 10000000 + doc_id) AS keeper_id,
+           CAST(MAX(n_chars) AS BIGINT) AS keeper_chars
+    FROM h GROUP BY th HAVING COUNT(*) > 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup with a keep-best policy: duplicate clusters keyed on the
+    normalized 40-char prefix (prefix bucketing — catches
+    shared-boilerplate/openings the exact hash misses) keep the LONGEST
+    copy, ties broken by lowest doc_id — the training-data rule of
+    'keep the richest variant'. One pass, one shuffle on the 16-byte
+    hash (never the text); min_by packs (-n_chars, doc_id) into one
+    ordering integer so the argmax is a plain map-side-combinable
+    aggregate."""
+    docs = _ld(spark, sf_dir, "documents")
+    nt = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 40
+    )
+    pref = -F.col("n_chars") * F.lit(10000000) + F.col("doc_id")
+    return (
+        docs.select(F.md5(nt).alias("text_hash"), "doc_id", "n_chars",
+                    pref.alias("pref"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min_by("doc_id", F.col("pref")).alias("keeper_id"),
+            F.max("n_chars").cast("long").alias("keeper_chars"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+_WS_COUNT_SQL = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    r"ELSE len(string_split_regex(trim(text), '\s+')) END"
+)
+
+
+@_q(
+    "corpus_token_stats",
+    f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM({_WS_COUNT_SQL}) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM({_WS_COUNT_SQL}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus accounting: the 'how big is my training set' query —
+    docs/tokens/chars per (lang, source) cell. Pure scan + map-side
+    token count + small two-key agg; reads only 3 columns of
+    documents."""
+    from psweep_spark.operators.text import token_count
+
+    docs = _ld(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "source", "n_chars",
+                    token_count(F.col("text")).alias("n_ws"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            (F.sum("n_ws").cast("double")
+             / F.count("*").cast("double")).alias("avg_tokens"),
+        )
+    )
+
+
+@_q(
+    "docs_quality_gate",
+    r"""
+    WITH s AS (
+      SELECT doc_id, lang, source, n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+             CASE WHEN len(text) = 0 THEN 0.0
+                  ELSE len(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                       * 1.0 / len(text) END AS alpha_ratio
+      FROM documents
+    )
+    SELECT doc_id, lang, source,
+           (n_tok >= 5 AND n_chars >= 30 AND alpha_ratio >= 0.6)
+             AS keep,
+           CASE WHEN n_tok < 5 THEN 'too_few_tokens'
+                WHEN n_chars < 30 THEN 'too_short'
+                WHEN alpha_ratio < 0.6 THEN 'low_alpha'
+                ELSE 'ok' END AS reason
+    FROM s
+    """,
+)
+def docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: the filter stage of a training-data pipeline —
+    per-document keep/drop verdict with the FIRST failing reason
+    (token floor → length floor → alphabetic ratio). Zero shuffles;
+    entirely map-side JVM expressions, so it composes into any
+    downstream dedup/sample stage for free."""
+    docs = _ld(spark, sf_dir, "documents")
+    t = F.col("text")
+    trimmed = F.trim(t)
+    n_tok = F.when(trimmed == "", 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    alpha = F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(t, "[^A-Za-z ]", ""))
+        * F.lit(1.0) / F.length(t)
+    )
+    s = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        n_tok.alias("n_tok"), alpha.alias("alpha_ratio"),
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        "source",
+        (
+            (F.col("n_tok") >= 5) & (F.col("n_chars") >= 30)
+            & (F.col("alpha_ratio") >= 0.6)
+        ).alias("keep"),
+        F.when(F.col("n_tok") < 5, "too_few_tokens")
+        .when(F.col("n_chars") < 30, "too_short")
+        .when(F.col("alpha_ratio") < 0.6, "low_alpha")
+        .otherwise("ok")
+        .alias("reason"),
+    )
