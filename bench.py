@@ -123,6 +123,16 @@ def main() -> int:
                 fn(spark, warm_dir).collect()
             except Exception:  # noqa: BLE001
                 pass
+        # Drain warmup state BEFORE timing starts: the warmup leaves
+        # ~50 plans' persisted blocks + broadcasts behind, and the
+        # async ContextCleaner would otherwise reclaim them DURING the
+        # first timed queries (measured +4-19 s on the early queries).
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc  # noqa: SLF001
+        for rdd in list(jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        time.sleep(3)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

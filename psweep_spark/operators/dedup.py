@@ -312,6 +312,12 @@ def minhash_dedup(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # materialize the persist NOW: three downstream consumers (the
+    # candidate-id broadcast plus both pair joins) otherwise race to
+    # compute the unmaterialized cached plan concurrently — measured as
+    # a bimodal 6 s ↔ 24 s swing from duplicate evaluation of the
+    # signature pipeline under block-manager lock contention
+    cands.count()
     # exact verification restricted to CANDIDATE pairs only. The
     # candidate DOC set after banding is tiny relative to the corpus
     # (bounded by LSH collisions), so: broadcast-semi-filter the corpus
