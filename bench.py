@@ -82,6 +82,14 @@ HEADLINE = [
     "multimodal_resize",
     "multimodal_audio_energy",
     "stream_tumbling_counts",
+    "stream_view_purchase_join",
+    "embed_quantize_int8",
+    "q_salted_skew_join",
+    "events_lead_lag_gaps",
+    "events_first_last_by_user",
+    "dedup_keep_best",
+    "corpus_token_stats",
+    "docs_quality_gate",
 ]
 
 

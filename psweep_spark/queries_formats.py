@@ -1,0 +1,168 @@
+"""Format round-trips, stream-stream joins, and embedding
+quantization — registered into the shared catalog with DuckDB oracles.
+
+Round-trips prove the source/sink surface (SURVEY §2.3 #27): the data
+leaves Parquet, lands in the target format via a distributed sink, and
+is read back value-identical.  The streaming join proves the
+interval-bounded stream-stream join (watermark state eviction on both
+sides).  Quantization is the storage-shrink stage of an embedding
+pipeline (float32 → int8 ≈ 4× smaller index)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psweep_spark.queries_catalog import _ld, _mem_name, _q
+
+
+@_q(
+    "source_json_roundtrip",
+    """
+    SELECT p_partkey, p_name, p_brand, p_size
+    FROM part WHERE p_size <= 25
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → distributed JSON-lines sink → JSON source (schema
+    inference), value-checked through the round-trip (the reference's
+    df_to_json surface, psweep.py:454-474). JSON numbers come back as
+    bigint — cast pins the schema contract."""
+    from .sources import read_table, write_table
+
+    base = tempfile.mkdtemp(prefix="psq_json_")
+    pa = _ld(spark, sf_dir, "part").filter(F.col("p_size") <= 25).select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
+    out = os.path.join(base, "part_json")
+    write_table(pa, out, fmt="json")
+    return read_table(spark, out, fmt="json").select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        "p_name",
+        "p_brand",
+        F.col("p_size").cast("int").alias("p_size"),
+    )
+
+
+@_q(
+    "source_orc_roundtrip",
+    """
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → ORC sink → ORC source. ORC is schema-full (no inference
+    lossage) — the round-trip must be bit-identical including doubles."""
+    from .sources import read_table, write_table
+
+    base = tempfile.mkdtemp(prefix="psq_orc_")
+    su = _ld(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = os.path.join(base, "supplier_orc")
+    write_table(su, out, fmt="orc")
+    return read_table(spark, out, fmt="orc")
+
+
+@_q(
+    "stream_view_purchase_join",
+    """
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 10 MINUTE
+     AND v.ts <= p.ts
+    """,
+)
+def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases matched to the same
+    user's views in the preceding 10 minutes. Both sides carry a
+    30-minute watermark, so each side's state store evicts rows older
+    than watermark − interval — bounded state at unbounded input, the
+    only way a stream-stream join survives at 100 TB/day. Drained with
+    AvailableNow; must equal the batch self-join exactly."""
+    from .streaming import events_stream, run_available_now
+
+    path = os.path.join(sf_dir, "events.parquet")
+    views = (
+        events_stream(spark, path)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "30 minutes")
+    )
+    purchases = (
+        events_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    j = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "view_id", "user_id")
+    return run_available_now(j, _mem_name("vpjoin"), output_mode="append")
+
+
+@_q(
+    "embed_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS max_abs
+      FROM v
+    )
+    SELECT vec_id,
+           round(max_abs, 6) AS scale_max_abs,
+           CASE WHEN max_abs = 0 THEN list_transform(e, x -> 0)
+                ELSE list_transform(e,
+                       x -> CAST(round(x * 127.0 / max_abs) AS BIGINT))
+           END AS q_int8
+    FROM s
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization per embedding: q_i = round(x_i ·
+    127/max|x|) — the storage-shrink stage before an ANN index (4×
+    smaller than float32, dot products stay sign-correct). Pure per-row
+    JVM array math (transform + array_max), zero shuffle; rides inside
+    the scan at any corpus size. Both engines round half away from
+    zero."""
+    emb = _ld(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    df = emb.select("vec_id", e.alias("e")).withColumn(
+        "max_abs", F.array_max(F.transform(F.col("e"), F.abs))
+    )
+    q = F.when(
+        F.col("max_abs") == 0,
+        F.transform(F.col("e"), lambda _: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            F.col("e"),
+            lambda x: F.round(x * 127.0 / F.col("max_abs")).cast("long"),
+        )
+    )
+    return df.select(
+        "vec_id",
+        F.round(F.col("max_abs"), 6).alias("scale_max_abs"),
+        q.alias("q_int8"),
+    )

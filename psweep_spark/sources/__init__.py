@@ -3,7 +3,7 @@
 The experiment database itself lives in `psweep_spark.database`
 (Parquet, append, mergeSchema).  This module holds:
 
-* format-generic table readers/writers (parquet | json | csv) so the
+* format-generic table readers/writers (parquet | json | csv | orc) so the
   query surface runs over any of the reference's export formats;
 * the driver-testdata loaders shared by catalog/bench/tests (including
   the nanosecond-timestamp events table);
@@ -35,7 +35,7 @@ __all__ = [
     "json_read",
 ]
 
-_FORMATS = ("parquet", "json", "csv")
+_FORMATS = ("parquet", "json", "csv", "orc")
 
 
 def read_table(
