@@ -183,3 +183,37 @@ class Database:
         if os.path.isdir(self.path):
             shutil.copytree(self.path, dst.path)
         return dst
+
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self, spark: SparkSession, target_file_mb: int = 128) -> int:
+        """Small-file compaction: rewrite the table so each ``_run_id``
+        partition holds ~``target_file_mb``-sized files.
+
+        Every incremental ``run()`` appends its own files; after
+        thousands of runs the table is dominated by kilobyte files and
+        scan planning/open overhead — the classic small-file problem of
+        append-heavy stores.  Compaction = read + coalesce to
+        ``ceil(bytes / target)`` output files per partition + atomic
+        swap (same swap path as schema-evolve rewrites).  Returns the
+        file count after compaction.
+
+        At 100 TB this runs per-partition (only recent ``_run_id``
+        partitions fragment; old ones stay untouched) — here the local
+        table is small enough to rewrite whole."""
+        df = self.load(spark)
+        if df is None:
+            return 0
+        total_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(self.data_path)
+            for f in files
+        )
+        n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+        self._rewrite(df.repartition(int(n_files)))
+        return sum(
+            1
+            for root, _, files in os.walk(self.data_path)
+            for f in files
+            if f.endswith(".parquet")
+        )

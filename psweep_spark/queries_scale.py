@@ -287,3 +287,110 @@ def docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("reason"),
     )
+
+
+@_q(
+    "q_order_lines_nested",
+    """
+    SELECT l_orderkey,
+           list_sort(list(l_linenumber)) AS line_numbers,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q_order_lines_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-model construction: lineitems denormalized INTO their
+    order as a sorted array column — the write path for nested parquet
+    (one row per order, repeated group for lines), which is how a
+    100 TB store avoids the orderkey join entirely for order-granular
+    readers. One shuffle (the orderkey agg); arrays are value-hashed by
+    the oracle comparator."""
+    li = _ld(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.count("*").alias("n_lines"),
+        _dsum(F.col("l_quantity"), "decimal(18,4)").alias("total_qty"),
+    )
+
+
+@_q(
+    "q_grouping_sets_mix",
+    f"""
+    SELECT n_name, p_brand, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 10
+    GROUP BY GROUPING SETS ((n_name), (p_brand), ())
+    """,
+)
+def q_grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices):
+    per-nation totals, per-brand totals, and the grand total in ONE
+    pass — Expand is map-side (3 copies of each row pre-aggregated
+    before the single shuffle). Dimensions broadcast into the fact
+    scan; p_size filter prunes lineitem through the part join."""
+    for t in ("lineitem", "supplier", "nation", "part"):
+        _ld(spark, sf_dir, t).createOrReplaceTempView(f"__gs_{t}")
+    return spark.sql(
+        f"""
+        SELECT n_name, p_brand,
+               CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM __gs_lineitem
+          JOIN __gs_supplier ON s_suppkey = l_suppkey
+          JOIN __gs_nation ON s_nationkey = n_nationkey
+          JOIN __gs_part ON p_partkey = l_partkey
+        WHERE p_size <= 10
+        GROUP BY GROUPING SETS ((n_name), (p_brand), ())
+        """
+    )
+
+
+@_q(
+    "events_range_frame",
+    """
+    WITH q AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+             CAST(round(value * 10000) AS BIGINT) AS v
+      FROM events
+    ), r AS (
+      SELECT user_id,
+             SUM(v) OVER (PARTITION BY user_id ORDER BY sec
+                          RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+               AS roll
+      FROM q
+    )
+    SELECT user_id, CAST(MAX(roll) AS DOUBLE) / 10000.0 AS max_10min_value,
+           COUNT(*) AS n_events
+    FROM r GROUP BY user_id
+    """,
+)
+def events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (RANGE BETWEEN 600 PRECEDING on epoch
+    seconds): each event's trailing-10-minute per-user value sum —
+    value-based frames include ALL peers of the current ordering value,
+    so ties need no tiebreak to stay deterministic (unlike ROWS
+    frames). Values quantized to 1e-4 integer units for exact sums;
+    one user-partition shuffle feeding the same-key groupBy."""
+    ev = _ld_events(spark, sf_dir).select(
+        "user_id",
+        (F.unix_micros(F.col("ts")) / F.lit(1000000)).cast("long").alias("sec"),
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-600, 0)
+    )
+    r = ev.withColumn("roll", F.sum("v").over(w))
+    return r.groupBy("user_id").agg(
+        (F.max("roll").cast("double") / 10000.0).alias("max_10min_value"),
+        F.count("*").alias("n_events"),
+    )

@@ -124,3 +124,35 @@ def json_write(path: str, obj: Any, **kwds: Any) -> None:
 def json_read(path: str) -> Any:
     with open(path) as fh:
         return json.load(fh)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    num_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED table: rows are hash-partitioned into
+    ``num_buckets`` files per partition by ``bucket_cols`` at write
+    time.  Two tables bucketed the same way equi-join WITHOUT any
+    exchange — the co-location replaces the shuffle, the single biggest
+    cost of repeated fact⋈fact joins at 100 TB (pay the shuffle once at
+    ingest, never again).  With ``sort_cols`` the sort is also free.
+
+    Catalog-backed (``saveAsTable``) because bucket metadata lives in
+    the table catalog, not the files."""
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *cols)
+    if sort_cols:
+        sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sc)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table with its bucket spec intact (must go
+    through the catalog — ``spark.read.parquet`` on the files would
+    lose the co-location metadata)."""
+    return spark.table(table)

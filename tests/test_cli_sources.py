@@ -79,3 +79,68 @@ def test_file_helpers(tmp_path):
     assert pickle_read(str(tmp_path / "d" / "o.pk")) == {"a": [1, 2]}
     json_write(str(tmp_path / "j" / "o.json"), [1, "x"])
     assert json_read(str(tmp_path / "j" / "o.json")) == [1, "x"]
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key must equi-join with ZERO
+    shuffle exchanges — co-location replaces the shuffle (the pay-once
+    ingest-time shuffle contract for repeated fact joins at scale)."""
+    from pyspark.sql import functions as F
+
+    from psweep_spark import plans
+    from psweep_spark.sources import read_bucketed, write_bucketed
+
+    left = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a")
+    )
+    right = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("b")
+    )
+    try:
+        write_bucketed(left, "psq_buck_l", "k", num_buckets=8, sort_cols="k")
+        write_bucketed(right, "psq_buck_r", "k", num_buckets=8, sort_cols="k")
+        # disable broadcast so the join would otherwise shuffle
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = read_bucketed(spark, "psq_buck_l").join(
+                read_bucketed(spark, "psq_buck_r"), "k"
+            )
+            assert j.count() == 500
+            assert plans.count_exchanges(j) == 0, plans.formatted_plan(j)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS psq_buck_l")
+        spark.sql("DROP TABLE IF EXISTS psq_buck_r")
+
+
+
+def test_database_compact_reduces_files(spark, tmp_path):
+    """Many tiny appends → compact() → few files, identical data."""
+    import glob
+
+    from psweep_spark import plist, run
+    from psweep_spark.database import Database
+
+    calc = str(tmp_path / "calc")
+    for i in range(5):
+        run(
+            spark,
+            lambda p: {"y_": p["a"] * 2},
+            plist("a", [10 * i + j for j in range(4)]),
+            calc_dir=calc,
+        )
+    db = Database(calc + "/database")
+    before_rows = db.load(spark).count()
+    # fragment the layout: rewrite with excess parallelism → many tiny
+    # files per _run_id partition (what thousands of appends produce)
+    db._rewrite(db.load(spark).repartition(10))
+    before_files = len(glob.glob(calc + "/database/data/**/*.parquet",
+                                 recursive=True))
+    assert before_files > 5
+    after_files = db.compact(spark, target_file_mb=128)
+    assert db.load(spark).count() == before_rows == 20
+    assert after_files < before_files
+    # hashes survive the rewrite
+    assert db.load(spark).select("_pset_hash").distinct().count() == 20
