@@ -53,8 +53,20 @@ from .query import (
     failed_psets,
     latest_per_pset,
 )
+from .operators.asof import asof_join
+from .operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    simhash,
+)
+from .operators.rangejoin import range_join_bucketed
+from .operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from .operators.skew import salted_join
 from .runner import infer_schema, prepare_params_df, run, uuid5_expr
 from .session import get_spark
+from .sources import read_bucketed, read_table, write_bucketed, write_table
 from .templates import (
     FileTemplate,
     Machine,
