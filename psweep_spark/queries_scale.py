@@ -394,3 +394,39 @@ def events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("roll").cast("double") / 10000.0).alias("max_10min_value"),
         F.count("*").alias("n_events"),
     )
+
+
+@_q(
+    "docs_stratified_sample",
+    """
+    WITH b AS (
+      SELECT doc_id, lang, source, n_chars,
+             CAST('0x' || substring(md5('corpus_v1' || CAST(doc_id AS VARCHAR)),
+                                    1, 15) AS BIGINT) % 1000000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM b
+    WHERE bucket < CASE WHEN lang = 'en' THEN 200000
+                        WHEN lang = 'de' THEN 500000
+                        ELSE 800000 END
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling.py):
+    downsample dominant English (20%), keep half of German, 80% of the
+    long tail — per-KEY md5 bucket decisions, so the kept set is stable
+    under repartitioning/retries/engines and nested across rates (a 20%
+    sample ⊂ the 50% sample). Zero shuffle, pure map-side filter —
+    Spark's rng-based sample() can guarantee none of this."""
+    from psweep_spark.operators.sampling import stratified_sample_by_hash
+
+    docs = _ld(spark, sf_dir, "documents")
+    return stratified_sample_by_hash(
+        docs,
+        key_col="doc_id",
+        strata_col="lang",
+        rates={"en": 0.2, "de": 0.5},
+        default_rate=0.8,
+        salt="corpus_v1",
+    ).select("doc_id", "lang", "source", "n_chars")

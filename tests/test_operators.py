@@ -354,3 +354,24 @@ def test_salted_join_rejects_right_outer(spark):
     left = spark.range(2).withColumnRenamed("id", "k")
     with _pytest.raises(ValueError):
         salted_join(left, left, "k", how="right")
+
+
+def test_hash_sampling_invariants(spark):
+    """Determinism, repartition-proofness, and nesting of hash samples."""
+    from pyspark.sql import functions as F
+
+    from psweep_spark.operators.sampling import sample_by_hash
+
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    s10 = {r["k"] for r in sample_by_hash(df, "k", 0.10).collect()}
+    s30 = {r["k"] for r in sample_by_hash(df, "k", 0.30).collect()}
+    # same decision under different partitioning
+    s10b = {r["k"] for r in sample_by_hash(df.repartition(17), "k", 0.10).collect()}
+    assert s10 == s10b
+    # nested: the 10% sample is a strict subset of the 30% sample
+    assert s10 < s30
+    # roughly calibrated (±40% tolerance at n=5000)
+    assert 300 <= len(s10) <= 700
+    # independent under a different salt
+    s10c = {r["k"] for r in sample_by_hash(df, "k", 0.10, salt="x").collect()}
+    assert s10 != s10c
