@@ -144,3 +144,49 @@ def test_database_compact_reduces_files(spark, tmp_path):
     assert after_files < before_files
     # hashes survive the rewrite
     assert db.load(spark).select("_pset_hash").distinct().count() == 20
+
+
+def test_zorder_layout_narrows_file_stats(spark, tmp_path):
+    """Z-ordered files must be 'narrow' in BOTH clustered dimensions:
+    the summed per-file min/max span is a small fraction of the naive
+    (insertion-order) layout's span — that fraction IS the scan-pruning
+    win at scale."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from psweep_spark.sources.layout import write_zordered
+
+    n = 40_000
+    # two independent uniform dims (hash-scrambled so insertion order
+    # correlates with neither)
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("user_id"),
+        F.pmod(F.xxhash64((F.col("id") + 7).cast("string")), F.lit(10_000))
+        .alias("t"),
+    )
+    naive = str(tmp_path / "naive")
+    zord = str(tmp_path / "zord")
+    df.repartition(16).write.parquet(naive)
+    write_zordered(df, zord, ["user_id", "t"], num_files=16)
+
+    def span_frac(path):
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.read_metadata(f)
+            for col in ("user_id", "t"):
+                idx = md.schema.names.index(col)
+                lo = min(md.row_group(r).column(idx).statistics.min
+                         for r in range(md.num_row_groups))
+                hi = max(md.row_group(r).column(idx).statistics.max
+                         for r in range(md.num_row_groups))
+                spans.append((hi - lo) / 10_000)
+        return sum(spans) / len(spans)
+
+    naive_span = span_frac(naive)
+    z_span = span_frac(zord)
+    # naive files span ~the full domain in both dims; z-ordered files
+    # must average well under half the domain per dim
+    assert naive_span > 0.9, naive_span
+    assert z_span < 0.5 * naive_span, (z_span, naive_span)
