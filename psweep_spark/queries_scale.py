@@ -430,3 +430,63 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=0.8,
         salt="corpus_v1",
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+_NGRAM_PAIRS_CTE = """
+    norm AS (SELECT doc_id,
+                    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+             FROM documents),
+    toks AS (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM norm),
+    sh AS (
+      SELECT doc_id AS id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                i -> array_to_string(t[i:i+2], ' ')))
+             ELSE [nt] END) AS shingle
+      FROM toks
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE CAST(n_inter AS DOUBLE)
+            / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+    )
+"""
+
+
+@_q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → CLUSTERS: the transitive closure of n-gram Jaccard ≥ 0.5
+    near-dup pairs via distributed min-label propagation
+    (operators/cluster.py) — the actual keep-one-per-group decision a
+    training-data pipeline acts on. Each round is one edge join + one
+    min-groupBy; dup clusters are near-cliques so rounds ≈ 3. Oracle:
+    DuckDB recursive-CTE transitive closure over the same pairs."""
+    from psweep_spark.operators.cluster import connected_components
+    from psweep_spark.operators.dedup import jaccard_pairs
+
+    pairs = jaccard_pairs(_ld(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )

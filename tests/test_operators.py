@@ -375,3 +375,25 @@ def test_hash_sampling_invariants(spark):
     # independent under a different salt
     s10c = {r["k"] for r in sample_by_hash(df, "k", 0.10, salt="x").collect()}
     assert s10 != s10c
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Transitive closure: a 4-chain collapses to one cluster labeled by
+    its min id even though the endpoints were never paired directly."""
+    from psweep_spark.operators.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain: all → 1
+         (10, 11), (11, 12), (10, 12),  # triangle: all → 10
+         (20, 21)],                   # lone pair → 20
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
