@@ -93,6 +93,10 @@ HEADLINE = [
     "docs_stratified_sample",
     "q_grouping_sets_mix",
     "events_range_frame",
+    "stream_dedup_events",
+    "stream_static_enrich",
+    "q_pandas_udf_weighted_avg",
+    "dedup_clusters",
 ]
 
 

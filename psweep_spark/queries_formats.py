@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -165,4 +167,118 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.col("max_abs"), 6).alias("scale_max_abs"),
         q.alias("q_int8"),
+    )
+
+
+@_q(
+    "stream_dedup_events",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup (dropDuplicatesWithinWatermark): the
+    stream is fed every event TWICE (union with itself — at-least-once
+    delivery simulated); exactly-once semantics are restored by keyed
+    dedup state bounded by the watermark, so state size is
+    O(events per watermark window), not O(stream history). The drained
+    result must equal batch aggregation over the ORIGINAL events."""
+    from .streaming import events_stream, run_available_now
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ev = events_stream(spark, path)
+    dup = ev.unionByName(events_stream(spark, path))
+    deduped = (
+        dup.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = run_available_now(
+        deduped.select("event_id", "event_type", "user_id"),
+        _mem_name("dedupstream"),
+        output_mode="append",
+    )
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@_q(
+    "stream_static_enrich",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id % 1500 = c_custkey % 1500
+                             AND c_custkey <= 1500
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the live event stream enriched against a
+    slowly-changing dimension (customer) that Spark re-plans per
+    micro-batch — the standard pattern for joining a Kafka stream with
+    a warehouse dim without restarting the query. The dim side is
+    broadcast into every micro-batch; no stream state at all (unlike
+    stream-stream). Synthetic key: user_id mod |customers|."""
+    from .streaming import events_stream, run_available_now
+
+    ev = events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    cu = (
+        _ld(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1500)
+        .select(
+            F.pmod(F.col("c_custkey"), F.lit(1500)).alias("ckey"),
+            "c_mktsegment",
+        )
+    )
+    j = ev.withColumn("ukey", F.pmod(F.col("user_id"), F.lit(1500))).join(
+        F.broadcast(cu), F.col("ukey") == F.col("ckey")
+    )
+    agg = j.select("event_type", "c_mktsegment", "value")
+    out = run_available_now(agg, _mem_name("enrich"), output_mode="append")
+    return out.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+        .alias("total_value"),
+    )
+
+
+@_q(
+    "q_pandas_udf_weighted_avg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / 100.0
+             AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pandas_udf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched grouped-aggregate Pandas UDF (the sanctioned slow
+    path when an aggregate has no Catalyst expression): quantity-
+    weighted mean price per returnflag, computed in numpy per group.
+    Inputs are quantized to exact int64 cents/units BEFORE the UDF so
+    numpy's pairwise summation and SQL's sequential fold agree bit-for-
+    bit. Partial aggregation does NOT apply to grouped-agg UDFs — each
+    group's rows colocate on one executor, the documented trade vs
+    built-ins (use only when expressions can't say it)."""
+    from pyspark.sql.functions import pandas_udf
+
+    li = _ld(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+
+    @pandas_udf("double")
+    def wavg(cents: pd.Series, qty: pd.Series) -> float:
+        num = (cents.astype("int64") * qty.astype("int64")).sum()
+        den = qty.astype("int64").sum()
+        return float(num) / float(den) / 100.0
+
+    return li.groupBy("l_returnflag").agg(
+        wavg(F.col("cents"), F.col("qty")).alias("wavg_price")
     )
