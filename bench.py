@@ -97,6 +97,7 @@ HEADLINE = [
     "stream_static_enrich",
     "q_pandas_udf_weighted_avg",
     "dedup_clusters",
+    "pipeline_prepare_corpus",
 ]
 
 

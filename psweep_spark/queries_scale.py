@@ -490,3 +490,93 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
+
+
+@_q(
+    "pipeline_prepare_corpus",
+    r"""
+    WITH gate AS (
+      SELECT doc_id, lang, source, n_chars, text
+      FROM documents
+      WHERE (CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END) >= 5
+        AND n_chars >= 30
+        AND (CASE WHEN len(text) = 0 THEN 0.0
+                  ELSE len(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                       * 1.0 / len(text) END) >= 0.6
+    ),
+    h AS (
+      SELECT doc_id, lang, source, n_chars, text,
+             md5(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        1, 40)) AS th
+      FROM gate
+    ),
+    best AS (
+      SELECT th, arg_min(doc_id, -n_chars * 10000000 + doc_id) AS keeper
+      FROM h GROUP BY th
+    ),
+    kept AS (
+      SELECT h.doc_id, h.lang, h.source, h.n_chars, h.text
+      FROM h JOIN best ON h.th = best.th AND h.doc_id = best.keeper
+    ),
+    sampled AS (
+      SELECT * FROM kept
+      WHERE CAST('0x' || substring(md5('corpus_v1' || CAST(doc_id AS VARCHAR)),
+                                   1, 15) AS BIGINT) % 1000000
+            < CASE WHEN lang = 'en' THEN 500000 ELSE 900000 END
+    )
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+')) END)
+                AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM sampled GROUP BY lang, source
+    """,
+)
+def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline END-TO-END as one lazy plan: quality
+    gate (map-side filter) → keep-best exact dedup (one hash shuffle,
+    min_by winner, self-join-free keeper pick) → deterministic
+    stratified hash sample (map-side) → corpus accounting. Composing
+    the stages as DataFrames means Catalyst fuses the gate + sample
+    filters into the scan and the ONLY shuffles are the dedup hash agg
+    and the final small stats agg — the per-stage oracles
+    (docs_quality_gate, dedup_keep_best, docs_stratified_sample,
+    corpus_token_stats) pin each piece; this query pins the
+    composition."""
+    from psweep_spark.operators.sampling import hash_bucket
+    from psweep_spark.operators.text import token_count
+
+    docs = _ld(spark, sf_dir, "documents")
+    t = F.col("text")
+    trimmed = F.trim(t)
+    n_tok = F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, r"\s+")))
+    alpha = F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(t, "[^A-Za-z ]", "")) * F.lit(1.0)
+        / F.length(t)
+    )
+    gate = docs.filter(
+        (n_tok >= 5) & (F.col("n_chars") >= 30) & (alpha >= 0.6)
+    )
+    th = F.md5(F.substring(
+        F.regexp_replace(F.lower(F.trim(t)), r"\s+", " "), 1, 40
+    ))
+    h = gate.select("doc_id", "lang", "source", "n_chars", "text",
+                    th.alias("th"))
+    pref = -F.col("n_chars") * F.lit(10000000) + F.col("doc_id")
+    best = h.groupBy("th").agg(
+        F.min_by("doc_id", pref).alias("keeper")
+    ).select(F.col("th").alias("bth"), "keeper")
+    kept = h.join(
+        F.broadcast(best),
+        (F.col("th") == F.col("bth")) & (F.col("doc_id") == F.col("keeper")),
+    ).select("doc_id", "lang", "source", "n_chars", "text")
+    sampled = kept.filter(
+        hash_bucket(F.col("doc_id"), "corpus_v1")
+        < F.when(F.col("lang") == "en", 500000).otherwise(900000)
+    )
+    return sampled.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -235,3 +235,42 @@ def test_q15_max_is_broadcast_not_recompute(spark):
     assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s
     pushed = " ".join(plans.pushed_filters(df))
     assert "l_shipdate" in pushed, pushed
+
+
+def test_grouping_sets_expand_single_exchange(spark):
+    """GROUPING SETS must plan as map-side Expand + ONE aggregate
+    exchange — never one pass per grouping set."""
+    df = QUERIES["q_grouping_sets_mix"](spark, SF_DIR)
+    s = plans.formatted_plan(df)
+    assert "Expand" in s
+    assert plans.broadcast_join_count(df) >= 3
+    assert plans.count_exchanges(df) == 1
+
+
+def test_stratified_sample_zero_shuffle_pruned(spark):
+    """Hash sampling is a pure map-side filter: zero exchanges, and only
+    the projected columns reach the scan."""
+    df = QUERIES["docs_stratified_sample"](spark, SF_DIR)
+    assert plans.count_exchanges(df) == 0
+    (read,) = plans.read_schema_columns(df)
+    assert set(read) == {"doc_id", "lang", "source", "n_chars"}
+
+
+def test_salted_join_no_broadcast_of_probe(spark):
+    """The salted join must remain a partitioned join on (key, salt) —
+    salting is pointless if the build side broadcasts (that's what the
+    operator is the fallback FOR). Pin with broadcast disabled."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["q_salted_skew_join"](spark, SF_DIR)
+        s = plans.formatted_plan(df)
+        assert "_salt" in s
+        assert "BroadcastHashJoin" not in s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_quantize_rides_in_scan(spark):
+    df = QUERIES["embed_quantize_int8"](spark, SF_DIR)
+    assert plans.count_exchanges(df) == 0
