@@ -32,51 +32,51 @@ def connected_components(
     """(node, cluster_id) for every node appearing in ``pairs``;
     cluster_id = min node id reachable through the pair graph.
 
-    Terminates early when a round changes no label (one lightweight
-    count action per round — the driver only sees a scalar)."""
-    edges = (
+    Terminates early at fixpoint.  Labels are monotonically
+    non-increasing per node, so "no label changed" ⟺ "sum(label)
+    unchanged" — convergence is detected with one scalar aggregate over
+    the already-persisted label relation, never a self-join.  Adding a
+    self-loop per node folds the "keep my own label" leg into the same
+    join+groupBy as the neighbor minimum, so each round is exactly ONE
+    shuffle join + ONE min-groupBy + ONE scalar agg."""
+    # persist the raw edge relation FIRST: edges and labels both derive
+    # from it, and without this the (potentially very expensive) pairs
+    # plan — e.g. an n-gram Jaccard self-join — is executed twice
+    undirected = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
+        .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    nodes = undirected.select(F.col("src").alias("node")).distinct()
+    # self-loops: min over (self ∪ neighbors) becomes a single groupBy
+    edges = (
+        undirected.union(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        )
         .distinct()
-        .withColumn("label", F.col("node"))
+        .persist()
     )
-    edges = edges.persist()
-    labels = labels.persist()
-    labels.count()
+    labels = nodes.withColumn("label", F.col("node")).persist()
+    # decimal(38,0) sum: overflow-proof at any node-id magnitude
+    _lsum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = object()  # sentinel: round 1 always runs, no extra action
 
     for _ in range(max_iter):
-        # neighbor minimum: for each node, the smallest label among its
-        # neighbors (one join keyed on the neighbor side + one groupBy)
-        neigh_min = (
+        new_labels = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neigh_min, labels.node == neigh_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-            )
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("src", "node")
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(_lsum).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     out = labels.select("node", F.col("label").alias("cluster_id"))
     edges.unpersist()
+    undirected.unpersist()
     return out
