@@ -92,7 +92,10 @@ HEADLINE = [
     "docs_quality_gate",
     "docs_stratified_sample",
     "q_grouping_sets_mix",
+    "q_supplier_balance_dist",
     "events_range_frame",
+    "docs_repetition_stats",
+    "docs_token_runs_udtf",
     "stream_dedup_events",
     "stream_static_enrich",
     "q_pandas_udf_weighted_avg",

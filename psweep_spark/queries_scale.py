@@ -580,3 +580,202 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# ===========================================================================
+# Repetition-quality + UDTF + distribution-analytics section
+# ===========================================================================
+
+
+@_q(
+    "docs_repetition_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    row_side AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CASE WHEN len(toks) >= 2 THEN
+               round(1.0 - CAST(len(list_distinct(list_transform(
+                         range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+                     / (len(toks) - 1), 6)
+             ELSE 0.0 END AS dup_bigram_frac
+      FROM t
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    cnts AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    agg AS (SELECT doc_id, COUNT(*) AS nd, MAX(c) AS topc, SUM(c) AS tot
+            FROM cnts GROUP BY 1)
+    SELECT r.doc_id, CAST(r.n_tokens AS BIGINT) AS n_tokens,
+           round(1.0 - CAST(a.nd AS DOUBLE) / a.tot, 6) AS dup_token_frac,
+           round(CAST(a.topc AS DOUBLE) / a.tot, 6) AS top_token_frac,
+           r.dup_bigram_frac
+    FROM row_side r JOIN agg a USING (doc_id)
+    """,
+)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    duplicate-token fraction, most-frequent-token mass, and
+    duplicate-bigram fraction — the standard "is this doc degenerate
+    boilerplate/spam" gate in a training-data pipeline (cf. Rae et al.
+    2021, Gopher §A.1.1).
+
+    Scale shape: bigram stats are pure per-row array math (ride the
+    scan); token mode needs a (doc_id, token) count — ONE shuffle keyed
+    by doc_id+token, re-aggregated to doc_id, then a doc_id equi-join
+    back to the row-side stats.  Both shuffles are on the same doc_id
+    prefix so AQE coalesces; no token-level global state exists
+    anywhere (the hot "the" key never concentrates: doc_id spreads
+    it)."""
+    docs = _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(F.col("toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(
+            F.element_at(F.col("toks"), i), F.lit(" "),
+            F.element_at(F.col("toks"), i + 1),
+        ),
+    )
+    row_side = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.when(
+            n >= 2,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(bigrams)).cast("double")
+                / (n - 1).cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+    )
+    cnts = (
+        row_side.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = cnts.groupBy("doc_id").agg(
+        F.count("*").alias("nd"),
+        F.max("c").alias("topc"),
+        F.sum("c").alias("tot"),
+    )
+    return (
+        row_side.select("doc_id", F.size("toks").cast("long").alias("n_tokens"),
+                        "dup_bigram_frac")
+        .join(agg, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.lit(1.0) - F.col("nd").cast("double") / F.col("tot"), 6
+            ).alias("dup_token_frac"),
+            F.round(F.col("topc").cast("double") / F.col("tot"), 6).alias(
+                "top_token_frac"
+            ),
+            "dup_bigram_frac",
+        )
+    )
+
+
+@_q(
+    "docs_token_runs_udtf",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    u AS (
+      SELECT doc_id, unnest(toks) AS token,
+             unnest(range(1, len(toks) + 1)) AS pos
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id, token, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id, token
+                                      ORDER BY pos) AS grp
+      FROM u
+    ),
+    runs AS (
+      SELECT doc_id, token, MIN(pos) AS run_pos, COUNT(*) AS run_len
+      FROM m GROUP BY doc_id, token, grp
+    )
+    SELECT doc_id, CAST(run_pos AS BIGINT) AS run_pos, token,
+           CAST(run_len AS BIGINT) AS run_len
+    FROM runs WHERE run_len >= 2
+    """,
+)
+def docs_token_runs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated-token runs (`a a a` → one row, pos+len) via a
+    Python arrow-optimized UDTF in a LATERAL join — the sanctioned
+    table-function slow path for sequence segmentation that plain SQL
+    needs a window-chain (gaps-and-islands) to express; the DuckDB
+    oracle IS that gaps-and-islands derivation, proving the two
+    formulations equivalent.
+
+    Scale shape: the UDTF is a stateless per-row expansion — no
+    shuffle, arbitrary input partitioning, arrow-batched transfer; the
+    lateral join never materializes the token explosion that the SQL
+    formulation shuffles (window over doc_id, token)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="run_pos int, token string, run_len int", useArrow=True)
+    class TokenRuns:
+        def eval(self, text: str):  # noqa: D102
+            if text is None:
+                return
+            toks = text.strip().split()
+            i, ntk = 0, len(toks)
+            while i < ntk:
+                j = i
+                while j + 1 < ntk and toks[j + 1] == toks[i]:
+                    j += 1
+                if j > i:
+                    yield (i + 1, toks[i], j - i + 1)
+                i = j + 1
+
+    spark.udtf.register("token_runs", TokenRuns)
+    docs = _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    docs.createOrReplaceTempView("__runs_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, CAST(r.run_pos AS BIGINT) AS run_pos, r.token,
+               CAST(r.run_len AS BIGINT) AS run_len
+        FROM __runs_docs d, LATERAL token_runs(d.text) r
+        """
+    )
+
+
+@_q(
+    "q_supplier_balance_dist",
+    """
+    SELECT s_nationkey, s_suppkey,
+           round(CAST(percent_rank() OVER w AS DOUBLE), 6) AS pct_rank,
+           round(CAST(cume_dist() OVER w AS DOUBLE), 6) AS cume,
+           first_value(s_suppkey) OVER
+             (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS richest_suppkey
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def q_supplier_balance_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics: percent_rank + cume_dist + windowed
+    first_value over per-nation account balances with a unique
+    (acctbal, suppkey) order — one window shuffle serves all three
+    functions (single Exchange + Sort in the plan)."""
+    su = _ld(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return su.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("s_suppkey").over(wfull).alias("richest_suppkey"),
+    )

@@ -274,3 +274,51 @@ def test_salted_join_no_broadcast_of_probe(spark):
 def test_quantize_rides_in_scan(spark):
     df = QUERIES["embed_quantize_int8"](spark, SF_DIR)
     assert plans.count_exchanges(df) == 0
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """AQE runtime filtering: a selective dim filter on the build side
+    of a shuffle join injects a bloom-filter semi-filter onto the probe
+    side scan, cutting shuffled probe rows before the exchange.  At
+    real scale the 10 GB application-side default triggers it
+    automatically; the thresholds here only shrink it to test size."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        od = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def test_token_runs_udtf_no_shuffle(spark):
+    """The lateral UDTF expansion is a per-row map: zero exchanges."""
+    df = QUERIES["docs_token_runs_udtf"](spark, SF_DIR)
+    assert plans.count_exchanges(df) == 0
+
+
+def test_repetition_stats_shuffles_only_on_doc_keys(spark):
+    """Token-mode agg + join back: every exchange is keyed by doc_id
+    (+token) — no global token key ever concentrates."""
+    df = QUERIES["docs_repetition_stats"](spark, SF_DIR)
+    assert plans.count_exchanges(df) <= 3
