@@ -84,6 +84,8 @@ HEADLINE = [
     "stream_tumbling_counts",
     "stream_view_purchase_join",
     "embed_quantize_int8",
+    "embed_pq_codes",
+    "events_funnel_stages",
     "q_salted_skew_join",
     "events_lead_lag_gaps",
     "events_first_last_by_user",

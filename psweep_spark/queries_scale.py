@@ -779,3 +779,144 @@ def q_supplier_balance_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.first("s_suppkey").over(wfull).alias("richest_suppkey"),
     )
+
+
+@_q(
+    "embed_pq_codes",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sp AS (SELECT unnest(range(0, 4)) AS s),
+    cb AS (SELECT v.vec_id AS code, s, e[s*16+1 : s*16+16] AS cv
+           FROM v, sp WHERE v.vec_id < 16),
+    sub AS (SELECT vec_id, s, e[s*16+1 : s*16+16] AS sv FROM v, sp),
+    d AS (
+      SELECT sub.vec_id, sub.s, cb.code,
+             round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+                   + list_dot_product(cv, cv), 6) AS d2
+      FROM sub JOIN cb ON sub.s = cb.s
+    ),
+    best AS (
+      SELECT vec_id, s, code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2, code) AS rn
+      FROM d
+    )
+    SELECT vec_id, list(CAST(code AS BIGINT) ORDER BY s) AS pq_code
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 64-dim embedding → 4 sub-vector codes from
+    a 16-codeword-per-subspace codebook (here: the first 16 vectors,
+    deterministic; production swaps in k-means codewords — the
+    assignment plan is identical).  64 doubles become 4 bytes — the
+    memory step that lets an ANN index hold billions of vectors.
+
+    Scale shape: the codebook is driver-collected (k·d doubles, tiny)
+    and inlined as literals, so assignment is a pure per-row projection
+    — zero shuffle, zero join; d² uses the dot-product identity
+    ‖a−c‖² = a·a − 2a·c + c·c with a left-fold dot so both engines sum
+    in index order; round(·,6) before argmin, ties → lowest code."""
+    emb = _ld(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    codebook_rows = (
+        emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select(e.alias("e"))
+        .collect()
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    df = emb.select("vec_id", e.alias("e"))
+    codes = []
+    for s in range(4):
+        sv = F.slice(F.col("e"), s * 16 + 1, 16)
+        sv_dot = _dot(sv, sv)
+        dists = F.array(*[
+            F.round(
+                sv_dot
+                - F.lit(2.0) * _dot(sv, F.array(*[F.lit(x) for x in row["e"][s*16:s*16+16]]))
+                + F.lit(sum(x * x for x in row["e"][s*16:s*16+16])),
+                6,
+            )
+            for row in codebook_rows
+        ])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+        )
+    return df.select("vec_id", F.array(*codes).alias("pq_code"))
+
+
+@_q(
+    "events_funnel_stages",
+    """
+    WITH s1 AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+                FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+           GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t4
+           FROM events e JOIN s3 ON e.user_id = s3.user_id
+           WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s3.t3
+           GROUP BY e.user_id)
+    SELECT 1 AS stage, 'signup' AS event_type, COUNT(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'view', COUNT(*) FROM s2
+    UNION ALL
+    SELECT 3, 'click', COUNT(*) FROM s3
+    UNION ALL
+    SELECT 4, 'purchase', COUNT(*) FROM s4
+    """,
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → click → purchase: a
+    user reaches stage k at the FIRST qualifying event strictly after
+    their stage-k−1 time.  Four min-aggregates chained by user_id
+    equi-joins — every shuffle is on the same user_id key, so one hash
+    partitioning is reused end-to-end (no re-exchange between stages);
+    the stage outputs are user-cardinality, orders of magnitude smaller
+    than the event log."""
+    ev = _ld_events(spark, sf_dir).select("user_id", "event_type", "ts")
+
+    def stage_after(prev: DataFrame, etype: str, tcol: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(tcol))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = stage_after(s1, "view", "t1", "t2")
+    s3 = stage_after(s2, "click", "t2", "t3")
+    s4 = stage_after(s3, "purchase", "t3", "t4")
+
+    def cnt(df: DataFrame, stage: int, etype: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.lit(etype).alias("event_type"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        cnt(s1, 1, "signup")
+        .unionByName(cnt(s2, 2, "view"))
+        .unionByName(cnt(s3, 3, "click"))
+        .unionByName(cnt(s4, 4, "purchase"))
+    )

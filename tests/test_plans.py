@@ -322,3 +322,19 @@ def test_repetition_stats_shuffles_only_on_doc_keys(spark):
     (+token) — no global token key ever concentrates."""
     df = QUERIES["docs_repetition_stats"](spark, SF_DIR)
     assert plans.count_exchanges(df) <= 3
+
+
+def test_pq_assignment_rides_in_scan(spark):
+    """PQ code assignment is a pure projection against an inlined
+    codebook: zero exchanges, zero joins."""
+    df = QUERIES["embed_pq_codes"](spark, SF_DIR)
+    assert plans.count_exchanges(df) == 0
+    assert plans.broadcast_join_count(df) == 0
+
+
+def test_funnel_broadcasts_stage_outputs(spark):
+    """Each funnel stage joins the (tiny, user-cardinality) previous
+    stage back to the event log as a broadcast — the event fact is
+    never shuffled for a join, only for its per-stage user agg."""
+    df = QUERIES["events_funnel_stages"](spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 3
