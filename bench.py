@@ -58,6 +58,7 @@ HEADLINE = [
     "q14_promo_effect",
     "q18_large_orders",
     "events_asof_join",
+    "events_cogroup_asof",
     "events_rolling_window",
     "events_tumbling_5min",
     "events_sliding_10m5m",

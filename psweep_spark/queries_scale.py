@@ -920,3 +920,71 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cnt(s3, 3, "click"))
         .unionByName(cnt(s4, 4, "purchase"))
     )
+
+
+@_q(
+    "events_cogroup_asof",
+    """
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id,
+           p.value AS purchase_value,
+           v.value AS view_value,
+           CAST(date_diff('microsecond', v.ts, p.ts) AS BIGINT) AS us_since_view
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def events_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the CO-GROUPED pandas API: purchases and views
+    are grouped on user_id, each pair of per-user groups meets in one
+    arrow-batched ``pd.merge_asof`` — the sanctioned escape hatch when
+    per-key logic genuinely needs pandas (here it has a JVM twin,
+    `events_asof_join`, which doubles as the perf baseline; same DuckDB
+    ASOF oracle).
+
+    Scale shape: ONE co-partitioned shuffle on user_id for both sides,
+    then group-local merges — state is bounded by the largest single
+    user's history, never |L|·|R|."""
+    import pandas as pd
+
+    ev = _ld_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("value").alias("view_value")
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts")
+        if len(right) == 0:
+            out = left.copy()
+            out["v_ts"] = pd.NaT
+            out["view_value"] = float("nan")
+            return out[["event_id", "user_id", "ts", "purchase_value",
+                        "v_ts", "view_value"]]
+        right = right.sort_values("v_ts")
+        out = pd.merge_asof(
+            left, right.drop(columns=["user_id"]),
+            left_on="ts", right_on="v_ts", direction="backward",
+            allow_exact_matches=True,
+        )
+        return out[["event_id", "user_id", "ts", "purchase_value",
+                    "v_ts", "view_value"]]
+
+    schema = ("event_id long, user_id long, ts timestamp, "
+              "purchase_value double, v_ts timestamp, view_value double")
+    merged = (
+        p.groupBy("user_id")
+        .cogroup(v.groupBy("user_id"))
+        .applyInPandas(merge, schema)
+    )
+    return merged.select(
+        "event_id",
+        "user_id",
+        "purchase_value",
+        "view_value",
+        (F.unix_micros("ts") - F.unix_micros("v_ts")).alias("us_since_view"),
+    )
