@@ -20,6 +20,7 @@ __all__ = [
     "pushed_filters",
     "read_schema_columns",
     "codegen_span_count",
+    "partition_filters",
     "ensure_parallelism",
 ]
 
@@ -85,3 +86,10 @@ def codegen_span_count(df: DataFrame) -> int:
     plan = df._jdf.queryExecution().executedPlan().toString()
     ids = re.findall(r"\*\((\d+)\)", plan)
     return len(set(ids))
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters entries of every scan node — non-empty means the
+    query prunes hive-partition directories before any I/O."""
+    plan = formatted_plan(df)
+    return re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)

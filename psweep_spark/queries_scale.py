@@ -838,15 +838,22 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in range(4):
         sv = F.slice(F.col("e"), s * 16 + 1, 16)
         sv_dot = _dot(sv, sv)
-        dists = F.array(*[
-            F.round(
-                sv_dot
-                - F.lit(2.0) * _dot(sv, F.array(*[F.lit(x) for x in row["e"][s*16:s*16+16]]))
-                + F.lit(sum(x * x for x in row["e"][s*16:s*16+16])),
-                6,
+        # codebook as ONE literal array<struct<cw,dd>>: the distance is a
+        # single transform-lambda instead of 16 inlined fold copies —
+        # keeps the generated code inside JIT/codegen method limits
+        cb = F.array(*[
+            F.struct(
+                F.array(*[F.lit(x) for x in row["e"][s*16:s*16+16]]).alias("cw"),
+                F.lit(sum(x * x for x in row["e"][s*16:s*16+16])).alias("dd"),
             )
             for row in codebook_rows
         ])
+        dists = F.transform(
+            cb,
+            lambda c: F.round(
+                sv_dot - F.lit(2.0) * _dot(sv, c["cw"]) + c["dd"], 6
+            ),
+        )
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
         )

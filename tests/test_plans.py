@@ -338,3 +338,23 @@ def test_funnel_broadcasts_stage_outputs(spark):
     never shuffled for a join, only for its per-stage user agg."""
     df = QUERIES["events_funnel_stages"](spark, SF_DIR)
     assert plans.broadcast_join_count(df) >= 3
+
+
+def test_database_per_run_query_prunes_partitions(spark, tmp_path):
+    """The DB is written partitionBy(_run_id): a per-run query must
+    show a non-trivial PartitionFilters on the scan (directory pruning
+    before any I/O — at 10^4 runs a per-run query reads 1/10^4 of the
+    store) and ZERO PushedFilters-era row filtering for the run
+    predicate."""
+    import psweep_spark as ps
+
+    params = ps.pgrid([ps.plist("a", [1, 2, 3])])
+    calc = str(tmp_path / "calc")
+    ps.run(spark, lambda p: {"y_": p["a"] * 2}, params, calc_dir=calc)
+    ps.run(spark, lambda p: {"y_": p["a"] * 2},
+           ps.pgrid([ps.plist("a", [4, 5])]), calc_dir=calc)
+    db = ps.Database(calc + "/database").load(spark)
+    run_id = db.select("_run_id").orderBy("_run_seq").first()["_run_id"]
+    q = db.filter(db._run_id == run_id).select("a", "y_")
+    pf = plans.partition_filters(q)
+    assert any("_run_id" in f for f in pf), pf
