@@ -65,6 +65,8 @@ HEADLINE = [
     "events_sessionization",
     "events_hourly_by_type",
     "events_user_props_json",
+    "events_resample_1min",
+    "multimodal_binaryfile_ingest",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "dedup_simhash",

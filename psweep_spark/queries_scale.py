@@ -995,3 +995,101 @@ def events_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_value",
         (F.unix_micros("ts") - F.unix_micros("v_ts")).alias("us_since_view"),
     )
+
+
+@_q(
+    "events_resample_1min",
+    """
+    WITH e AS (SELECT event_type, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m
+               FROM events),
+    bounds AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM e),
+    minutes AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS m
+                FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM e),
+    grid AS (SELECT event_type, m FROM types, minutes),
+    c AS (SELECT event_type, m, COUNT(*) AS n FROM e GROUP BY 1, 2)
+    SELECT g.event_type, g.m AS minute,
+           COALESCE(c.n, 0) AS n_events
+    FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.m = c.m
+    """,
+)
+def events_resample_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 1-minute resample per event type — the time-series
+    densification Spark has no primitive for: the minute grid is built
+    executor-side with sequence()+explode from a one-row bounds agg
+    (never a driver loop), cross-joined with the type dim, then
+    left-joined against the real per-minute counts with zero fill.
+
+    Scale shape: counts aggregate shuffles on (type, minute) — bounded
+    by grid cardinality, not event count; the grid side is |types|·|minutes|
+    rows (tiny vs the event log) and broadcast-joins against the
+    aggregated counts."""
+    ev = _ld_events(spark, sf_dir).select(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("m")
+    )
+    bounds = ev.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+    minutes = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("m")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(minutes)
+    counts = ev.groupBy("event_type", "m").agg(F.count("*").alias("n"))
+    return (
+        grid.alias("g")
+        .join(
+            counts.alias("c"),
+            (F.col("g.event_type") == F.col("c.event_type"))
+            & (F.col("g.m") == F.col("c.m")),
+            "left",
+        )
+        .select(
+            F.col("g.event_type").alias("event_type"),
+            F.col("g.m").alias("minute"),
+            F.coalesce(F.col("c.n"), F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@_q(
+    "multimodal_binaryfile_ingest",
+    """
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal ingestion path end-to-end: opaque per-document
+    blobs land as FILES (here: executor-written from the text corpus;
+    production: image/audio objects in a landing bucket), are ingested
+    with Spark's `binaryFile` source — content + path + length per row,
+    no Python in the read path — keyed by id parsed from the filename,
+    and fingerprinted JVM-side (md5 over the raw bytes).  The oracle
+    recomputes length+digest from the source column, proving the blob
+    round-trip is byte-exact."""
+    import tempfile
+
+    docs = _ld(spark, sf_dir, "documents").select("doc_id", "text")
+    blob_dir = tempfile.mkdtemp(prefix="psq_blobs_")
+
+    def write_blobs(it):
+        import os as _os
+        import pandas as _pd
+
+        for pdf in it:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                with open(_os.path.join(blob_dir, f"{doc_id}.bin"), "wb") as fh:
+                    fh.write(str(text).encode("utf-8"))
+            yield _pd.DataFrame({"n": [len(pdf)]})
+
+    docs.mapInPandas(write_blobs, "n long").agg(F.sum("n")).collect()
+    blobs = spark.read.format("binaryFile").load(blob_dir)
+    return blobs.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
