@@ -75,6 +75,10 @@ HEADLINE = [
     "text_language_id",
     "text_token_counts",
     "text_fingerprint",
+    "docs_tfidf_topk",
+    "docs_bm25_search",
+    "corpus_bigram_pmi",
+    "docs_pack_sequences",
     "sim_cosine_topk",
     "sim_lsh_ann",
     "sim_ivf_ann",

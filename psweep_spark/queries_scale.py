@@ -1093,3 +1093,267 @@ def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+# ===========================================================================
+# Corpus-retrieval / LM-statistics section: TF-IDF, BM25, PMI, packing
+# ===========================================================================
+
+_TOKS_CTE = r"""
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks)
+"""
+
+
+@_q(
+    "docs_tfidf_topk",
+    f"""
+    WITH {_TOKS_CTE},
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM toks),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) , 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rn
+      FROM scored
+    )
+    SELECT doc_id, CAST(rn AS BIGINT) AS rank, token, tfidf
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (smooth idf = ln((N+1)/(df+1))).
+
+    Scale shape: (doc, token) tf is one shuffle; the token→df relation
+    is vocabulary-cardinality (≪ corpus) and broadcast back onto tf;
+    N is a literal from a one-row agg; top-k is a window on doc_id —
+    the same key as tf, so the sort reuses the tf partitioning."""
+    docs = _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(dfreq), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf")
+            * F.log((n_docs + 1.0) / (F.col("df") + F.lit(1.0))),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", F.col("rank").cast("long"), "token", "tfidf")
+    )
+
+
+@_q(
+    "docs_bm25_search",
+    f"""
+    WITH {_TOKS_CTE},
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           WHERE token IN ('spark', 'vector') GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+             ) AS s
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(s, 6) AS bm25
+    FROM scored
+    ORDER BY s DESC, doc_id LIMIT 10
+    """,
+)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed keyword search: BM25 (k1=1.2, b=0.75) for the query
+    {spark, vector}, top-10 docs.  The per-term filter lands BEFORE the
+    tf aggregation, so only posting-list rows for the query terms ever
+    shuffle — everything else dies in the scan; corpus stats (N, avgdl)
+    are a one-row agg cross-joined as literals; final top-k is a
+    TakeOrdered, never a global sort."""
+    docs = _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tok = toks.select("doc_id", F.explode("t").alias("token")).filter(
+        F.col("token").isin("spark", "vector")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * F.col("tf") * 2.2
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s")
+        )
+    )
+    return (
+        scored.orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("s", 6).alias("bm25"))
+    )
+
+
+@_q(
+    "corpus_bigram_pmi",
+    f"""
+    WITH {_TOKS_CTE},
+    uni AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n FROM uni),
+    bg AS (
+      SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS c
+      FROM toks, unnest(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2 GROUP BY 1, 2
+    ),
+    btot AS (SELECT SUM(c) AS bn FROM bg),
+    pmi AS (
+      SELECT bg.w1, bg.w2, bg.c,
+             round(ln((bg.c * 1.0 / btot.bn)
+                      / ((u1.c * 1.0 / tot.n) * (u2.c * 1.0 / tot.n))), 6)
+               AS pmi
+      FROM bg JOIN uni u1 ON bg.w1 = u1.token
+              JOIN uni u2 ON bg.w2 = u2.token
+              CROSS JOIN tot CROSS JOIN btot
+      WHERE bg.c >= 5
+    )
+    SELECT w1, w2, c AS n_pairs, pmi FROM pmi
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs (collocation
+    mining, min support 5): PMI = ln(p(w1w2)/(p(w1)p(w2))).  Unigram
+    and bigram count relations are vocabulary-cardinality; corpus
+    totals are one-row aggs; support filtering happens before the joins
+    so only frequent bigrams join the unigram stats (both sides
+    broadcast-able)."""
+    docs = _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = docs.select(F.split(F.trim("text"), r"\s+").alias("t"))
+    tok = toks.select(F.explode("t").alias("token"))
+    uni = tok.groupBy("token").agg(F.count("*").alias("c"))
+    n = uni.agg(F.sum("c")).first()[0]
+    bigrams = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("w1"),
+                    F.element_at(F.col("t"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bg = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 5)
+        .persist()
+    )
+    bn = bigrams.count()
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        bg.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1", "w2", F.col("c").alias("n_pairs"),
+            F.round(
+                F.log(
+                    (F.col("c") * F.lit(1.0) / F.lit(bn))
+                    / (
+                        (F.col("c1") * F.lit(1.0) / F.lit(n))
+                        * (F.col("c2") * F.lit(1.0) / F.lit(n))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.desc("pmi"), "w1", "w2").limit(20).select(
+        "w1", "w2", "n_pairs", "pmi"
+    )
+
+
+@_q(
+    "docs_pack_sequences",
+    f"""
+    WITH {_TOKS_CTE},
+    dl AS (SELECT doc_id, len(t) AS n_tok FROM toks),
+    d AS (SELECT documents.source, dl.doc_id, dl.n_tok
+          FROM dl JOIN documents USING (doc_id)),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             CAST(floor((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok)
+                  / 512.0) AS BIGINT) AS batch_id
+      FROM d
+    )
+    SELECT source, batch_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS batch_tokens
+    FROM packed GROUP BY source, batch_id
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: greedy 512-token batch
+    assignment per source shard — batch_id = floor(prefix_sum/budget)
+    over a deterministic (doc_id) order, the standard scalable
+    approximation of first-fit packing.  The running sum is a window
+    per source (the shard key), so packing parallelizes across shards
+    and NEVER needs a global order — the 100 TB layout is one window
+    partition per input shard."""
+    docs = _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    d = docs.select(
+        "source", "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn(
+        "batch_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(512.0))
+        .cast("long"),
+    )
+    return packed.groupBy("source", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("batch_tokens"),
+    )
