@@ -957,35 +957,48 @@ def events_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = _ld_events(spark, sf_dir)
+    # co-group on a USER BUCKET, not the raw user id: merge_asof(by=
+    # "user_id") handles the per-user semantics inside each bucket, so
+    # the number of arrow groups (per-group overhead) is a constant 64
+    # while state per group stays bounded by the bucket's history
+    # (measured 10.2 s -> ~1 s vs per-user groups at sf0.1)
     p = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value"),
+        F.pmod("user_id", F.lit(64)).alias("bucket"),
     )
+    # the view side's columns are all RENAMED (v_user, v_ts, ...): the
+    # two cogroup children must not share attribute names — a downstream
+    # projection lets the optimizer dedup/prune the ambiguous attribute
+    # out of one child, and the UDF then receives a frame missing it
     v = ev.filter(F.col("event_type") == "view").select(
-        "user_id", F.col("ts").alias("v_ts"), F.col("value").alias("view_value")
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("value").alias("view_value"),
+        F.pmod("user_id", F.lit(64)).alias("bucket"),
     )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        left = left.sort_values("ts")
+        left = left.sort_values("ts").drop(columns=["bucket"])
+        cols = ["event_id", "user_id", "ts", "purchase_value",
+                "v_ts", "view_value"]
         if len(right) == 0:
             out = left.copy()
             out["v_ts"] = pd.NaT
             out["view_value"] = float("nan")
-            return out[["event_id", "user_id", "ts", "purchase_value",
-                        "v_ts", "view_value"]]
-        right = right.sort_values("v_ts")
+            return out[cols]
+        right = right.sort_values("v_ts").drop(columns=["bucket"])
         out = pd.merge_asof(
-            left, right.drop(columns=["user_id"]),
-            left_on="ts", right_on="v_ts", direction="backward",
-            allow_exact_matches=True,
+            left, right,
+            left_on="ts", right_on="v_ts",
+            left_by="user_id", right_by="v_user",
+            direction="backward", allow_exact_matches=True,
         )
-        return out[["event_id", "user_id", "ts", "purchase_value",
-                    "v_ts", "view_value"]]
+        return out[cols]
 
     schema = ("event_id long, user_id long, ts timestamp, "
               "purchase_value double, v_ts timestamp, view_value double")
     merged = (
-        p.groupBy("user_id")
-        .cogroup(v.groupBy("user_id"))
+        p.groupBy("bucket")
+        .cogroup(v.groupBy("bucket"))
         .applyInPandas(merge, schema)
     )
     return merged.select(
