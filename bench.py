@@ -54,6 +54,7 @@ HEADLINE = [
     "q_rollup_region_revenue",
     "q_cube_flag_status",
     "q_percentile_quantity",
+    "q_hll_sketch_union_regions",
     "q10_returned_items",
     "q14_promo_effect",
     "q18_large_orders",

@@ -28,6 +28,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 10,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``;
     cluster_id = min node id reachable through the pair graph.
@@ -38,7 +39,13 @@ def connected_components(
     the already-persisted label relation, never a self-join.  Adding a
     self-loop per node folds the "keep my own label" leg into the same
     join+groupBy as the neighbor minimum, so each round is exactly ONE
-    shuffle join + ONE min-groupBy + ONE scalar agg."""
+    shuffle join + ONE min-groupBy + ONE scalar agg.
+
+    Every ``checkpoint_every`` rounds the label relation is
+    localCheckpoint-ed: the iterative plan otherwise grows one
+    join+agg layer per round, and on long-diameter graphs (chains —
+    where this loop runs tens of rounds) analysis cost and recovery
+    lineage grow with it.  Checkpointing caps both at a constant."""
     # persist the raw edge relation FIRST: edges and labels both derive
     # from it, and without this the (potentially very expensive) pairs
     # plan — e.g. an n-gram Jaccard self-join — is executed twice
@@ -61,14 +68,17 @@ def connected_components(
     _lsum = F.sum(F.col("label").cast("decimal(38,0)"))
     prev_sum = object()  # sentinel: round 1 always runs, no extra action
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         new_labels = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("label"))
             .withColumnRenamed("src", "node")
-            .persist()
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
         new_sum = new_labels.agg(_lsum).first()[0]
         labels.unpersist()
         labels = new_labels

@@ -1370,3 +1370,50 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("batch_tokens"),
     )
+
+
+@_q(
+    "q_hll_sketch_union_regions",
+    """
+    SELECT r_name,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           TRUE AS sketch_ok
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_hll_sketch_union_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL):
+    per-nation customer sketches built in one pass, then UNIONED up to
+    region — the pattern that makes 100 TB rollup hierarchies cheap
+    (each level re-aggregates fixed-size sketches, never the raw keys;
+    a exact distinct at every level would re-shuffle the full key set
+    per level).  Guardrailed: the sketch estimate must land within 2%
+    of the exact count, which this query also computes (exact per
+    nation sums to exact per region because nation partitions
+    customers)."""
+    cu = _ld(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = _ld(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    re = _ld(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_nation = cu.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count_distinct("c_custkey").alias("exact_n"),
+    )
+    return (
+        per_nation.join(F.broadcast(na), per_nation.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum("exact_n").alias("n_customers"),
+            (
+                F.abs(
+                    F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("double")
+                    - F.sum("exact_n").cast("double")
+                )
+                / F.sum("exact_n").cast("double")
+                <= F.lit(0.02)
+            ).alias("sketch_ok"),
+        )
+    )

@@ -397,3 +397,22 @@ def test_connected_components_chain_and_clique(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_connected_components_long_chain_with_checkpoint(spark):
+    """A diameter-9 chain forces many propagation rounds across the
+    localCheckpoint lineage cut; every node must still resolve to the
+    chain minimum, and separate components must stay separate."""
+    from psweep_spark.operators.cluster import connected_components
+
+    chain = [(i, i + 1) for i in range(9)]            # 0-1-2-...-9
+    other = [(100, 101), (101, 102)]
+    pairs = spark.createDataFrame(chain + other, "id_a long, id_b long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            pairs, max_iter=20, checkpoint_every=2
+        ).collect()
+    }
+    assert got == {**{i: 0 for i in range(10)},
+                   **{i: 100 for i in (100, 101, 102)}}

@@ -116,3 +116,38 @@ def test_stream_to_database(spark, tmp_path):
     assert df is not None
     assert "_stream_batch_id" in df.columns
     assert df.count() > 0
+
+
+def test_rocksdb_state_store_matches_default(spark, batch_events):
+    """The RocksDB state-store provider (the 100 TB deployment choice:
+    state spills off-heap/on-disk instead of living in executor heap)
+    drains to the same result as the default provider."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = st.events_stream(spark, EVENTS)
+        got = st.run_available_now(
+            st.tumbling_counts(stream), f"rdb_{uuid.uuid4().hex[:8]}"
+        )
+        exp = (
+            batch_events.groupBy(
+                F.window("ts", "5 minutes").alias("w"), "event_type"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select("w.start", "event_type", "n_events")
+        )
+        assert got.count() == exp.count()
+        assert (
+            got.groupBy().sum("n_events").first()[0]
+            == exp.groupBy().sum("n_events").first()[0]
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
