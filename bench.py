@@ -67,6 +67,8 @@ HEADLINE = [
     "events_hourly_by_type",
     "events_user_props_json",
     "events_resample_1min",
+    "events_value_outliers",
+    "events_value_histogram",
     "multimodal_binaryfile_ingest",
     "dedup_exact_docs",
     "dedup_minhash_lsh",

@@ -1417,3 +1417,120 @@ def q_hll_sketch_union_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_ok"),
         )
     )
+
+
+@_q(
+    "events_value_outliers",
+    """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(round(value * 10000) AS BIGINT)) AS qsum,
+             SUM(CAST(round(value * 10000) AS BIGINT)
+                 * CAST(round(value * 10000) AS BIGINT)) AS qsumsq
+      FROM events GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n,
+             qsum / 10000.0 / n AS mean,
+             sqrt((qsumsq / 100000000.0 - (qsum / 10000.0)
+                   * (qsum / 10000.0) / n) / (n - 1)) AS std
+      FROM s
+    )
+    SELECT e.event_type,
+           CAST(stats.n AS BIGINT) AS n_events,
+           round(stats.mean, 6) AS mean_value,
+           round(stats.std, 6) AS std_value,
+           CAST(SUM(CASE WHEN abs((e.value - stats.mean) / stats.std) > 3.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN stats ON e.event_type = stats.event_type
+    GROUP BY e.event_type, stats.n, stats.mean, stats.std
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass z-score outlier detection, engine-exact: pass 1 reduces
+    each event type to (n, Σq, Σq²) over values QUANTIZED to 1e-4 —
+    integer sums, so mean/std derive from exact inputs and both engines
+    compute bit-identical doubles (a naive stddev_samp would disagree
+    in the last bits from summation order); pass 2 re-scans with the
+    tiny stats relation broadcast and counts |z| > 3.  The fact shuffles
+    once per pass on event_type — and pass 1's partial aggs are
+    map-side."""
+    ev = _ld_events(spark, sf_dir)
+    q = F.round(F.col("value") * 10000).cast("long")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("qsum"),
+        F.sum(q * q).alias("qsumsq"),
+    )
+    stats = s.select(
+        "event_type",
+        "n",
+        (F.col("qsum") / 10000.0 / F.col("n")).alias("mean"),
+        F.sqrt(
+            (
+                F.col("qsumsq") / 100000000.0
+                - (F.col("qsum") / 10000.0)
+                * (F.col("qsum") / 10000.0)
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n", "mean", "std")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs((F.col("value") - F.col("mean")) / F.col("std"))
+                    > 3.0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.round("mean", 6).alias("mean_value"),
+            F.round("std", 6).alias("std_value"),
+            "n_outliers",
+        )
+    )
+
+
+@_q(
+    "events_value_histogram",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN value <= 0.0 THEN 0
+                  WHEN value >= 100.0 THEN 21
+                  ELSE CAST(floor(value / 5.0) AS INTEGER) + 1 END AS bucket
+      FROM events
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid value histogram per event type (20 buckets of width 5
+    over [0,100] + under/overflow): bucketing is exact integer floor
+    math inside the scan, the only shuffle is the (type, bucket)
+    count — output cardinality |types|·22 regardless of input size.
+    (width_bucket() exists in both engines but disagrees on boundary
+    semantics across versions; explicit floor is portable.)"""
+    ev = _ld_events(spark, sf_dir)
+    bucket = (
+        F.when(F.col("value") <= 0.0, 0)
+        .when(F.col("value") >= 100.0, 21)
+        .otherwise(F.floor(F.col("value") / 5.0).cast("int") + 1)
+    )
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+        .select("event_type", F.col("bucket").cast("long"), "n")
+    )
