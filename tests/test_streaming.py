@@ -151,3 +151,53 @@ def test_rocksdb_state_store_matches_default(spark, batch_events):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_checkpoint_restart_exactly_once(spark, batch_events, tmp_path):
+    """Incremental ingestion across RESTARTS: drain 1 processes the
+    first file; after a new file lands, drain 2 restarts from the SAME
+    checkpoint and must process ONLY the new file — the Database ends
+    with exactly one row per event, no replays, no gaps."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    half = batch_events.select("event_id", "ts", "user_id", "event_type",
+                               "value").withColumn(
+        "ts", F.unix_micros("ts") * 1000
+    )
+    n_total = half.count()
+    a = half.filter(F.col("event_id") % 2 == 0)
+    b = half.filter(F.col("event_id") % 2 == 1)
+    a.toPandas().to_parquet(str(landing / "a.parquet"), index=False)
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(str(landing))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        q = st.stream_to_database(
+            stream.select("event_id", "event_type", "user_id"),
+            str(tmp_path / "db"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    drain()
+    n1 = Database(str(tmp_path / "db")).load(spark).count()
+    assert n1 == a.count()
+
+    b.toPandas().to_parquet(str(landing / "b.parquet"), index=False)
+    drain()
+    db = Database(str(tmp_path / "db")).load(spark)
+    assert db.count() == n_total
+    assert db.select("event_id").distinct().count() == n_total
