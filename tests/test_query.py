@@ -86,3 +86,16 @@ def test_df_to_json_and_table(spark, db, tmp_path):
     assert "result_" in txt and "_run_id" not in txt
     txt_all = df_to_table(df, prefix_cols=True)
     assert "_run_id" in txt_all
+
+
+def test_catalog_contract():
+    """Driver contract: every query has an oracle twin (no weak
+    rows-only checks), names are stable identifiers, and the flagship
+    query is registered."""
+    import __spark_entry__ as entry
+
+    qs, orc = entry.queries(), entry.oracle_sql()
+    assert len(qs) >= 120
+    assert set(orc) == set(qs), set(qs) ^ set(orc)
+    assert all(n.replace("_", "").isalnum() for n in qs)
+    assert "q1_pricing_summary" in qs
