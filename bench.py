@@ -66,6 +66,7 @@ HEADLINE = [
     "events_sessionization",
     "events_hourly_by_type",
     "events_user_props_json",
+    "events_props_variant",
     "events_resample_1min",
     "events_value_outliers",
     "events_value_histogram",

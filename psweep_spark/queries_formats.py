@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from psweep_spark.queries_catalog import _ld, _mem_name, _q
+from psweep_spark.queries_catalog import _ld, _ld_events, _mem_name, _q
 
 
 @_q(
@@ -282,3 +282,69 @@ def q_pandas_udf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         wavg(F.col("cents"), F.col("qty")).alias("wavg_price")
     )
+
+
+@_q(
+    "events_props_variant",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS VARCHAR) AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(CAST(json_extract(props, '$.k') AS VARCHAR) AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the VARIANT type (Spark 4):
+    parse_json once into a binary variant, then typed variant_get
+    paths — the open-schema ingestion pattern that replaces repeated
+    get_json_object string re-parsing (one parse per row instead of one
+    per extracted path; at 100 TB of event payloads that difference is
+    the scan cost).  Same aggregation as the string-path twin
+    `events_user_props_json`."""
+    ev = _ld_events(spark, sf_dir)
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("pv")
+    ).select(
+        "event_type", F.variant_get(F.col("pv"), "$.k", "long").alias("k")
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@_q(
+    "source_xml_roundtrip",
+    """
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface (native in Spark 4): each supplier row serialized to
+    an XML record with to_xml, parsed back with from_xml against an
+    explicit schema — both directions are JVM expressions riding the
+    scan (no files, no Python), proving lossless typed round-trip
+    including DECIMAL→DOUBLE money."""
+    su = _ld(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey",
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+    )
+    xml = su.select(
+        F.to_xml(
+            F.struct("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "x",
+            "s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, "
+            "s_acctbal DOUBLE",
+        ).alias("s")
+    )
+    return parsed.select("s.*")
