@@ -55,14 +55,13 @@ def connected_components(
         .persist()
     )
     nodes = undirected.select(F.col("src").alias("node")).distinct()
-    # self-loops: min over (self ∪ neighbors) becomes a single groupBy
-    edges = (
-        undirected.union(
-            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-        )
-        .distinct()
-        .persist()
-    )
+    # self-loops: min over (self ∪ neighbors) becomes a single groupBy.
+    # NO distinct on edges — min-label propagation is duplicate-edge
+    # idempotent (min over a multiset), so deduping would only add a
+    # shuffle to shrink a relation the groupBy collapses anyway.
+    edges = undirected.union(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).persist()
     labels = nodes.withColumn("label", F.col("node")).persist()
     # decimal(38,0) sum: overflow-proof at any node-id magnitude
     _lsum = F.sum(F.col("label").cast("decimal(38,0)"))
