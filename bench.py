@@ -128,8 +128,28 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from psweep_spark.session import get_spark
 
-    spark = get_spark("psweep-spark-bench")
+    # UI on: its REST endpoint is the per-stage metrics source — the
+    # bench reports shuffle volume per query, not just seconds
+    spark = get_spark(
+        "psweep-spark-bench", extra_conf={"spark.ui.enabled": "true"}
+    )
     queries = entrymod.queries()
+
+    def stage_totals() -> dict[str, int]:
+        import json as _json
+        import urllib.request
+
+        sc = spark.sparkContext
+        try:
+            url = (f"{sc.uiWebUrl}/api/v1/applications/"
+                   f"{sc.applicationId}/stages?status=complete")
+            stages = _json.load(urllib.request.urlopen(url, timeout=10))
+            return {
+                "shuffle_write": sum(s["shuffleWriteBytes"] for s in stages),
+                "input": sum(s["inputBytes"] for s in stages),
+            }
+        except Exception:  # noqa: BLE001  (metrics are best-effort)
+            return {}
 
     # Untimed warmup: pay one-time JVM/codegen/Arrow-worker init once so
     # per-query numbers measure steady-state throughput (the 100 TB
@@ -167,14 +187,22 @@ def main() -> int:
         time.sleep(3)
 
     timings: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
+        before = stage_totals()
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).collect()
             timings[name] = round(time.perf_counter() - t0, 4)
+            after = stage_totals()
+            if before and after:
+                shuffle_mb[name] = round(
+                    (after["shuffle_write"] - before["shuffle_write"])
+                    / 1048576, 3
+                )
         except Exception as e:  # noqa: BLE001
             print(f"# bench error {name}: {str(e)[:200]}", file=sys.stderr)
             timings[name] = -1.0
@@ -195,6 +223,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "shuffle_write_mb": shuffle_mb,
                 "sf": sf_val,
             }
         )

@@ -358,3 +358,24 @@ def test_database_per_run_query_prunes_partitions(spark, tmp_path):
     q = db.filter(db._run_id == run_id).select("a", "y_")
     pf = plans.partition_filters(q)
     assert any("_run_id" in f for f in pf), pf
+
+
+def test_retrieval_queries_plan_shapes(spark):
+    """Ceilings for the retrieval/LM family: vocabulary-side relations
+    broadcast (never shuffle-joined), histogram/window suites stay at
+    one exchange."""
+    shapes = {
+        # name: (max exchanges, min broadcast joins)
+        "docs_tfidf_topk": (4, 1),
+        "docs_bm25_search": (4, 2),
+        "corpus_bigram_pmi": (3, 2),
+        "events_resample_1min": (2, 1),
+        "q_hll_sketch_union_regions": (3, 2),
+        "events_value_outliers": (2, 1),
+        "events_value_histogram": (1, 0),
+        "q_supplier_balance_dist": (1, 0),
+    }
+    for name, (max_exch, min_bcast) in shapes.items():
+        df = QUERIES[name](spark, SF_DIR)
+        assert plans.count_exchanges(df) <= max_exch, name
+        assert plans.broadcast_join_count(df) >= min_bcast, name
