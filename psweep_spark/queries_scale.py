@@ -1147,7 +1147,9 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document (smooth idf = ln((N+1)/(df+1))).
 
     Scale shape: (doc, token) tf is one shuffle; the token→df relation
-    is vocabulary-cardinality (≪ corpus) and broadcast back onto tf;
+    is vocabulary-cardinality and broadcast back onto tf (the dial at
+    100 TB: frequency-cap the vocabulary or drop the hint and let AQE
+    pick a shuffle join once df outgrows the broadcast threshold);
     N is a literal from a one-row agg; top-k is a window on doc_id —
     the same key as tf, so the sort reuses the tf partitioning."""
     docs = _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
@@ -1300,8 +1302,16 @@ def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     bn = bigrams.count()
-    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
-    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
+    # semi-filter the unigram stats to words that occur in a FREQUENT
+    # bigram before broadcasting: the broadcast relation is bounded by
+    # 2x|frequent bigrams|, not by the raw vocabulary (which at 100 TB
+    # is billions of distinct tokens and must never be broadcast)
+    words = bg.select(F.col("w1").alias("token")).union(
+        bg.select(F.col("w2").alias("token"))
+    ).distinct()
+    uni_f = uni.join(F.broadcast(words), "token", "left_semi")
+    u1 = uni_f.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni_f.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
     pmi = (
         bg.join(F.broadcast(u1), "w1")
         .join(F.broadcast(u2), "w2")
