@@ -128,14 +128,20 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from psweep_spark.session import get_spark
 
-    # UI on: its REST endpoint is the per-stage metrics source — the
-    # bench reports shuffle volume per query, not just seconds
+    # Opt-in shuffle instrumentation (SPARK_GRAFT_BENCH_METRICS=1): the
+    # UI's REST endpoint supplies per-stage shuffle volume, but the UI
+    # event pipeline + polling costs ~15% wall, so the default timing
+    # run keeps it off.
+    with_metrics = os.environ.get("SPARK_GRAFT_BENCH_METRICS") == "1"
     spark = get_spark(
-        "psweep-spark-bench", extra_conf={"spark.ui.enabled": "true"}
+        "psweep-spark-bench",
+        extra_conf={"spark.ui.enabled": "true"} if with_metrics else None,
     )
     queries = entrymod.queries()
 
     def stage_totals() -> dict[str, int]:
+        if not with_metrics:
+            return {}
         import json as _json
         import urllib.request
 

@@ -1295,13 +1295,14 @@ def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     ).select("b.w1", "b.w2")
-    bg = (
-        bigrams.groupBy("w1", "w2")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 5)
-        .persist()
-    )
-    bn = bigrams.count()
+    # ONE (w1,w2) shuffle serves everything downstream: the total mass
+    # (denominator), the support filter, and the word list — persisted
+    # and materialized by the bn action, so every later branch reads the
+    # in-memory bigram-TYPE relation (vocabulary-cardinality), never the
+    # raw exploded bigram stream
+    bgall = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c")).persist()
+    bn = bgall.agg(F.sum("c")).first()[0]
+    bg = bgall.filter(F.col("c") >= 5)
     # semi-filter the unigram stats to words that occur in a FREQUENT
     # bigram before broadcasting: the broadcast relation is bounded by
     # 2x|frequent bigrams|, not by the raw vocabulary (which at 100 TB
