@@ -1545,3 +1545,44 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select("event_type", F.col("bucket").cast("long"), "n")
     )
+
+
+@_q(
+    "run_compare_runs",
+    """
+    SELECT a,
+           CAST(a * 10.0 AS DOUBLE) AS y_prev,
+           CAST(a * 10.0 + 1.0 AS DOUBLE) AS y_new,
+           CAST(1.0 AS DOUBLE) AS delta
+    FROM (VALUES (1), (2), (3), (4), (5)) AS t(a)
+    """,
+)
+def run_compare_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run regression diff: the same sweep re-run under a changed
+    ``func`` (a new code version), then each pset's latest result
+    compared to its previous one — the experiment-tracking question
+    ("what did the code change do to every point of the sweep?") as ONE
+    map-side-combinable aggregate keyed on the canonical pset hash
+    (min_by/max_by over _run_seq), no window, no self-join."""
+    import os
+    import tempfile
+
+    from psweep_spark.grid import plist
+    from psweep_spark.runner import run
+
+    calc = os.path.join(tempfile.mkdtemp(prefix="psq_cmp_"), "calc")
+    run(spark, lambda p: {"y_": p["a"] * 10.0}, plist("a", [1, 2, 3, 4, 5]),
+        calc_dir=calc)
+    df = run(spark, lambda p: {"y_": p["a"] * 10.0 + 1.0},
+             plist("a", [1, 2, 3, 4, 5]), calc_dir=calc)
+    return (
+        df.groupBy("a")
+        .agg(
+            F.min_by("y_", F.col("_run_seq")).alias("y_prev"),
+            F.max_by("y_", F.col("_run_seq")).alias("y_new"),
+        )
+        .select(
+            "a", "y_prev", "y_new",
+            (F.col("y_new") - F.col("y_prev")).alias("delta"),
+        )
+    )
