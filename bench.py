@@ -99,6 +99,7 @@ HEADLINE = [
     "events_funnel_stages",
     "q_salted_skew_join",
     "events_lead_lag_gaps",
+    "events_markov_transitions",
     "events_first_last_by_user",
     "dedup_keep_best",
     "corpus_token_stats",

@@ -1586,3 +1586,71 @@ def run_compare_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("y_new") - F.col("y_prev")).alias("delta"),
         )
     )
+
+
+@_q(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (SELECT event_type, next_type, COUNT(*) AS n
+          FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT event_type, SUM(n) AS t FROM c GROUP BY 1)
+    SELECT c.event_type, c.next_type, c.n,
+           round(c.n * 1.0 / tot.t, 6) AS p
+    FROM c JOIN tot ON c.event_type = tot.event_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: counts and
+    conditional probabilities of event_type → next event_type per user
+    sequence (unique (ts, event_id) order).  One user_id window shuffle
+    produces the transitions; everything after is |types|² rows."""
+    ev = _ld_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    tot = c.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return (
+        c.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type", "next_type", "n",
+            F.round(F.col("n") * F.lit(1.0) / F.col("t"), 6).alias("p"),
+        )
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    from psweep_spark.queries_catalog import _lang_id_oracle
+
+    return f"""
+    WITH pred AS ({_lang_id_oracle()})
+    SELECT lang, lang_pred, COUNT(*) AS n
+    FROM pred GROUP BY lang, lang_pred
+    """
+
+
+@_q("docs_lang_confusion")  # oracle attached below (generated)
+def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier quality as a query: confusion matrix of the heuristic
+    language-ID predictions against the labeled lang column — the
+    model-eval step of a data pipeline run AS a distributed aggregate
+    (per-row scoring in the scan, one |langs|² shuffle)."""
+    from psweep_spark.operators.text import lang_id
+
+    return (
+        lang_id(_ld(spark, sf_dir, "documents"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+from psweep_spark.queries_catalog import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["docs_lang_confusion"] = _lang_confusion_oracle()
