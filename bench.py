@@ -83,6 +83,8 @@ HEADLINE = [
     "docs_bm25_search",
     "corpus_bigram_pmi",
     "docs_pack_sequences",
+    "docs_lm_perplexity",
+    "multimodal_phash_pairs",
     "sim_cosine_topk",
     "sim_lsh_ann",
     "sim_ivf_ann",

@@ -1654,3 +1654,166 @@ def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 from psweep_spark.queries_catalog import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["docs_lang_confusion"] = _lang_confusion_oracle()
+
+
+@_q(
+    "docs_lm_perplexity",
+    f"""
+    WITH {_TOKS_CTE},
+    uni AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+    v AS (SELECT COUNT(*) AS vsz FROM uni),
+    bgc AS (
+      SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS c
+      FROM toks, unnest(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2 GROUP BY 1, 2
+    ),
+    dbg AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2
+    )
+    SELECT dbg.doc_id,
+           COUNT(*) AS n_bigrams,
+           round(-AVG(ln((bgc.c + 1.0) / (uni.c + v.vsz))), 6) AS nll
+    FROM dbg
+    JOIN bgc ON dbg.w1 = bgc.w1 AND dbg.w2 = bgc.w2
+    JOIN uni ON dbg.w1 = uni.token
+    CROSS JOIN v
+    GROUP BY dbg.doc_id
+    """,
+)
+def docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: per-document mean negative log
+    likelihood under an add-one-smoothed corpus bigram model — the
+    "does this doc look like the corpus" filter used to rank training
+    data.  Count relations are vocabulary-cardinality; the per-doc
+    bigram stream joins them keyed on the bigram (broadcast here; at a
+    vocabulary too big to broadcast the same plan runs as a shuffle
+    join on (w1,w2) — counts come from exact integer aggregates either
+    way, so the doubles are engine-identical)."""
+    docs = _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    tok = toks.select(F.explode("t").alias("token"))
+    uni = tok.groupBy("token").agg(F.count("*").alias("uc"))
+    vsz = uni.count()
+    bg_expr = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("t"), i).alias("w1"),
+                F.element_at(F.col("t"), i + 1).alias("w2"),
+            ),
+        )
+    )
+    dbg = (
+        toks.filter(F.size("t") >= 2)
+        .select("doc_id", bg_expr.alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bgc = dbg.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    return (
+        dbg.join(F.broadcast(bgc), ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("token", "w1")), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                -F.avg(
+                    F.log(
+                        (F.col("bc") + F.lit(1.0))
+                        / (F.col("uc") + F.lit(float(vsz)))
+                    )
+                ),
+                6,
+            ).alias("nll"),
+        )
+    )
+
+
+@_q(
+    "multimodal_phash_pairs",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             md5(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        1, 40)) AS ph
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id,
+             array_to_string(list_transform(range(1, 33),
+               i -> CASE WHEN CAST('0x' || ph[i] AS INTEGER) >= 8
+                         THEN '1' ELSE '0' END), '') AS bits
+      FROM m
+    ),
+    bands AS (
+      SELECT doc_id, bits, b, substr(bits, b * 8 + 1, 8) AS band
+      FROM fp, (SELECT unnest(range(0, 4)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.bits AS bits_a,
+                      c.doc_id AS id_b, c.bits AS bits_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.band = c.band AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_filter(range(1, 33),
+                i -> bits_a[i] <> bits_b[i])) AS BIGINT) AS hamming
+    FROM cand
+    WHERE len(list_filter(range(1, 33), i -> bits_a[i] <> bits_b[i])) <= 2
+    """,
+)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection for media: a 32-bit
+    fingerprint per asset (stub: bit i = high half of digest nibble i —
+    a real pHash swaps in DCT-of-pixels, identical plumbing), LSH-banded
+    into 4 bucket joins so candidate pairs are bounded by band
+    collisions — never an all-pairs scan — then exact Hamming ≤ 2
+    verification on candidates only.  The same shape as text
+    MinHash/LSH, proving the media-dedup path end-to-end."""
+    docs = _ld(spark, sf_dir, "documents")
+    ph = F.md5(F.substring(
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), 1, 40
+    ))
+    nib = lambda i: F.conv(F.substring("ph", i, 1), 16, 10).cast("int")  # noqa: E731
+    bits = F.concat(*[
+        F.when(nib(i) >= 8, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(1, 33)
+    ])
+    fp = docs.select("doc_id", ph.alias("ph")).select(
+        "doc_id", bits.alias("bits")
+    )
+    bands = fp.select(
+        "doc_id", "bits",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.substring("bits", b * 8 + 1, 8).alias("band"),
+            )
+            for b in range(4)
+        ])).alias("bb"),
+    ).select("doc_id", "bits", "bb.b", "bb.band")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("bits").alias("bits_a"),
+        "b", "band",
+    )
+    c = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("bits").alias("bits_b"),
+        F.col("b").alias("b2"), F.col("band").alias("band2"),
+    )
+    cand = (
+        a.join(c, (a.b == c.b2) & (a.band == c.band2)
+               & (a.id_a < c.id_b))
+        .select("id_a", "bits_a", "id_b", "bits_b")
+        .distinct()
+    )
+    ham = F.size(F.filter(
+        F.sequence(F.lit(1), F.lit(32)),
+        lambda i: F.substring("bits_a", 1, 32).substr(i, F.lit(1))
+        != F.col("bits_b").substr(i, F.lit(1)),
+    ))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= 2)
+        .select("id_a", "id_b", "hamming")
+    )

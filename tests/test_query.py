@@ -95,7 +95,7 @@ def test_catalog_contract():
     import __spark_entry__ as entry
 
     qs, orc = entry.queries(), entry.oracle_sql()
-    assert len(qs) >= 125
+    assert len(qs) >= 127
     assert set(orc) == set(qs), set(qs) ^ set(orc)
     assert all(n.replace("_", "").isalnum() for n in qs)
     assert "q1_pricing_summary" in qs
