@@ -43,13 +43,20 @@ def _q(name: str, oracle: str | None = None):
 
 
 def _ld(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # Naive parquet timestamps (no isAdjustedToUTC) must surface as
+    # TIMESTAMP, not TIMESTAMP_NTZ: the session tz is UTC so the epoch is
+    # identical, every ts function (unix_micros, window, ...) accepts it,
+    # and — unlike a post-read cast — the reader-level conf keeps filter
+    # pushdown on the timestamp columns intact.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
 def _ld_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet is written with TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects; read nanos as long and truncate to µs
-    (DuckDB's CAST(ts_ns AS TIMESTAMP) truncates identically)."""
+    """events.parquet historically used TIMESTAMP(NANOS) (read as long ns,
+    truncated to µs — DuckDB's CAST(ts_ns AS TIMESTAMP) truncates
+    identically); newer generations write TIMESTAMP(MICROS), which `_ld`
+    already surfaces as TIMESTAMP.  Handle both."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _ld(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") == "bigint":

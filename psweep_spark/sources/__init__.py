@@ -72,13 +72,19 @@ def load_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """One driver-testdata table; `events` gets its nanos→µs fix."""
     if table == "events":
         return load_events(spark, sf_dir)
+    # Naive parquet timestamps surface as TIMESTAMP (not NTZ): session tz
+    # is UTC so the epoch is unchanged, and the reader-level conf (unlike
+    # a post-read cast) keeps timestamp filter pushdown intact.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet is TIMESTAMP(NANOS); read nanos as long, truncate
-    to µs (matches DuckDB's CAST(ts_ns AS TIMESTAMP))."""
+    """events.parquet: TIMESTAMP(NANOS) generations read nanos as long,
+    truncated to µs (matches DuckDB's CAST(ts_ns AS TIMESTAMP));
+    TIMESTAMP(MICROS) generations read directly as TIMESTAMP."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

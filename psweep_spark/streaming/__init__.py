@@ -57,6 +57,7 @@ def events_stream(
     downstream is source-agnostic.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if os.path.isfile(path):
         # the file source requires a directory; wrap a bare file in a
         # temp dir via symlink (local/test convenience — real deployments
@@ -66,11 +67,16 @@ def events_stream(
         d = tempfile.mkdtemp(prefix="psq_stream_")
         os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
         path = d
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    # the stream needs an explicit schema; probe the data so both events
+    # generations work (ts as long nanos vs native TIMESTAMP(MICROS))
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def tumbling_counts(

@@ -19,9 +19,9 @@ EVENTS = os.path.join(SF_DIR, "events.parquet")
 
 @pytest.fixture(scope="module")
 def batch_events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(EVENTS)
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from psweep_spark.sources import load_events
+
+    return load_events(spark, SF_DIR)
 
 
 def test_tumbling_matches_batch(spark, batch_events):
