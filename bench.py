@@ -117,6 +117,10 @@ HEADLINE = [
     "q_pandas_udf_weighted_avg",
     "dedup_clusters",
     "pipeline_prepare_corpus",
+    "docs_decontaminate",
+    "events_user_retention",
+    "events_growth_accounting",
+    "embed_kmeans_lloyd",
 ]
 
 

@@ -1817,3 +1817,315 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 2)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination, cohort/growth analytics, exact-parity k-means
+# --------------------------------------------------------------------------
+
+_NGRAM5_CTE = r"""
+    norm AS (SELECT doc_id,
+                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+             FROM documents),
+    toks AS (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM norm),
+    sh AS (
+      SELECT doc_id AS id, unnest(
+        CASE WHEN len(t) >= 5
+             THEN list_distinct(list_transform(range(1, len(t) - 3),
+                                i -> array_to_string(t[i:i+4], ' ')))
+             ELSE [nt] END) AS shingle
+      FROM toks
+    )"""
+
+
+@_q(
+    "docs_decontaminate",
+    f"""
+    WITH {_NGRAM5_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 50 = 0),
+    corpus AS (SELECT * FROM sh WHERE id % 50 <> 0),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM corpus GROUP BY id),
+    hits AS (
+      SELECT c.id, COUNT(*) AS n_hits
+      FROM corpus c JOIN bench b ON c.shingle = b.shingle
+      GROUP BY c.id
+    )
+    SELECT s.id AS doc_id, s.n_sh,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                 / CAST(s.n_sh AS DOUBLE), 6) AS overlap_ratio,
+           (CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+            / CAST(s.n_sh AS DOUBLE)) >= 0.2 AS contaminated
+    FROM sizes s LEFT JOIN hits h ON s.id = h.id
+    """,
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-leakage gate every training
+    pipeline runs before a model sees the corpus (GPT-3/Pile style:
+    n-gram collision against the held-out benchmark set).  Docs with
+    ``doc_id % 50 == 0`` stand in for the benchmark; every other doc is
+    scored by the fraction of its distinct word-5-grams that collide
+    with ANY benchmark 5-gram and flagged at ≥ 0.2 overlap.
+
+    Scale shape: the benchmark shingle set is inherently small (evals
+    are thousands of docs, not billions) → ``broadcast`` semi-side, so
+    the corpus side never shuffles for the probe; the only exchanges are
+    the two per-doc-key aggregations.  The flag threshold compares the
+    UNROUNDED ratio (an IEEE division of identical integers in both
+    engines) so the verdict column is exactly deterministic."""
+    from psweep_spark.operators.dedup import word_shingles
+
+    docs = _ld(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=5)  # (id, shingle), distinct per doc
+    bench = sh.filter(F.col("id") % 50 == 0).select("shingle").distinct()
+    corpus = sh.filter(F.col("id") % 50 != 0)
+    sizes = corpus.groupBy("id").agg(F.count("*").alias("n_sh"))
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    ratio = F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col(
+        "n_sh"
+    ).cast("double")
+    return (
+        sizes.join(hits, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_sh",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(ratio, 6).alias("overlap_ratio"),
+            (ratio >= 0.2).alias("contaminated"),
+        )
+    )
+
+
+@_q(
+    "events_user_retention",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    first AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           datediff('day', f.cohort_day, d.day) AS day_offset,
+           COUNT(*) AS n_users
+    FROM days d JOIN first f ON d.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day,
+    counted on every later active day (the product-analytics staple).
+    (user, day) is deduped first, so the cohort join key count is
+    |users|·|days| at worst, not |events|; the cohort map aggregates
+    down to one row per user and broadcasts.  Per-(cohort, offset) rows
+    are unique per user after the dedup, so a plain COUNT(*) replaces
+    COUNT(DISTINCT)."""
+    ev = _ld_events(spark, sf_dir)
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(F.broadcast(first), "user_id")
+        .groupBy(
+            # ISO string, not DATE: date objects normalize differently
+            # across engine→pandas bridges; strings hash identically
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@_q(
+    "events_growth_accounting",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    first AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM days GROUP BY day),
+    new_u AS (
+      SELECT cohort_day AS day, COUNT(*) AS n_new FROM first GROUP BY 1
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau,
+           COALESCE(n.n_new, 0) AS n_new,
+           CAST(SUM(COALESCE(n.n_new, 0))
+                OVER (ORDER BY d.day) AS BIGINT) AS cum_users
+    FROM dau d LEFT JOIN new_u n ON d.day = n.day
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, active users (DAU), first-time users,
+    and the cumulative user base (running sum of new users).  Both heavy
+    stages aggregate on the SAME (user, day) dedup so Catalyst reuses
+    one exchange; the running-sum window runs over the per-day rollup —
+    |days| rows, driver-scale — which is the only unpartitioned window
+    and is bounded regardless of input size."""
+    ev = _ld_events(spark, sf_dir)
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = days.groupBy("day").agg(F.count("*").alias("dau"))
+    new_u = (
+        days.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_new"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(new_u, "day", "left")
+        .select("day", "dau", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .withColumn("cum_users", F.sum("n_new").over(w).cast("long"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau", "n_new", "cum_users",
+        )
+    )
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled-CTE Lloyd iterations.  All arithmetic that decides an
+    assignment is exact: embeddings quantize to integers (×1000), a
+    centroid is the exact rational (num: bigint list, den: count), and
+    the scaled distance Σ(q·den − num)² is a bigint — the only doubles
+    are one final division of identical integers per (vector, centroid),
+    bit-identical in any IEEE engine.  Ties break on cluster id."""
+    parts = [
+        f"""
+    qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             q AS num, CAST(1 AS BIGINT) AS den
+      FROM qv QUALIFY row_number() OVER (ORDER BY vec_id) <= {k}
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+    d{t} AS (
+      SELECT v.vec_id, v.q, c.cid,
+             CAST(list_sum(list_transform(range(1, {dim + 1}),
+                  i -> (v.q[i]*c.den - c.num[i])
+                       * (v.q[i]*c.den - c.num[i]))) AS DOUBLE)
+               / CAST(c.den*c.den AS DOUBLE) AS dist
+      FROM qv v CROSS JOIN c{t - 1} c
+    ),
+    a{t} AS (
+      SELECT vec_id, q, cid FROM d{t}
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) = 1
+    ),
+    e{t} AS (
+      SELECT cid, unnest(q) AS qe, generate_subscripts(q, 1) AS d
+      FROM a{t}
+    ),
+    s{t} AS (
+      SELECT cid, d, CAST(SUM(qe) AS BIGINT) AS s
+      FROM e{t} GROUP BY cid, d
+    ),
+    n{t} AS (SELECT cid, COUNT(*) AS den FROM a{t} GROUP BY cid),
+    c{t} AS (
+      SELECT s.cid AS cid, list(s.s ORDER BY s.d) AS num, n.den AS den
+      FROM s{t} s JOIN n{t} n ON s.cid = n.cid
+      GROUP BY s.cid, n.den
+    )""")
+    dims_out = ",\n           ".join(
+        f"CAST(num[{d + 1}] AS DOUBLE) / CAST(1000 * den AS DOUBLE) AS c{d}"
+        for d in range(4)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+    SELECT cid AS cluster_id, CAST(den AS BIGINT) AS n_members,
+           {dims_out}
+    FROM c{iters}
+    """
+    )
+
+
+@_q("embed_kmeans_lloyd", _kmeans_oracle())
+def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd), k=4 × 3 iterations, with EXACT
+    cross-engine parity — the iterative-ML pattern (same loop shape as
+    LR/EM/PageRank) run as: broadcast centroids → map-side assignment →
+    one partial-aggregated shuffle per iteration, centroids collected to
+    the driver between rounds (k rows, never the data).
+
+    Exactness design: embeddings quantize to int (×1000); a centroid is
+    the exact rational (Σq, count); the assignment metric
+    Σ(q·den − num)² is computed in bigint and divided by den² once —
+    both engines perform the identical IEEE division, so assignments
+    (and the tie-break on cluster id) match bit-for-bit.  The returned
+    frame is the LAST aggregation, still lazy: per-cluster size and the
+    first 4 centroid coordinates (de-quantized)."""
+    DIM, K, ITERS = 64, 4, 3
+    emb = _ld(spark, sf_dir, "embeddings")
+    qexpr = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    v = emb.select("vec_id", qexpr.alias("q"))
+
+    init = v.orderBy("vec_id").limit(K).collect()
+    cents = [
+        (i, [int(x) for x in r["q"]], 1) for i, r in enumerate(init)
+    ]  # (cid, num list, den)
+
+    def assign_col():
+        dists = []
+        for _, num, den in cents:
+            num_lit = F.array(*[F.lit(n) for n in num])
+            sq = F.zip_with(
+                F.col("q"),
+                num_lit,
+                lambda a, b: (a * F.lit(den) - b) * (a * F.lit(den) - b),
+            )
+            acc = F.aggregate(
+                sq, F.lit(0).cast("long"), lambda s, x: s + x
+            )
+            dists.append(acc.cast("double") / F.lit(float(den * den)))
+        darr = F.array(*dists)
+        pos = F.array_position(darr, F.array_min(darr)).cast("int") - 1
+        cid_lit = F.array(*[F.lit(c) for c, _, _ in cents])
+        return F.element_at(cid_lit, pos + 1)
+
+    def agg_round():
+        return (
+            v.select("q", assign_col().alias("cid"))
+            .groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("q", d + 1)).alias(f"s{d}")
+                    for d in range(DIM)
+                ],
+            )
+        )
+
+    for _ in range(ITERS - 1):
+        rows = agg_round().collect()
+        cents = sorted(
+            (int(r["cid"]), [int(r[f"s{d}"]) for d in range(DIM)], int(r["n"]))
+            for r in rows
+        )
+
+    final = agg_round()
+    return final.select(
+        F.col("cid").alias("cluster_id"),
+        F.col("n").cast("long").alias("n_members"),
+        *[
+            (
+                F.col(f"s{d}").cast("double")
+                / (F.lit(1000.0) * F.col("n").cast("double"))
+            ).alias(f"c{d}")
+            for d in range(4)
+        ],
+    )
