@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .hashing import filter_cols, hash_expr
+from .hashing import df_hash_expr, filter_cols
 
 META_BASENAME = "_psweep_meta.json"
 DATA_DIRNAME = "data"
@@ -134,7 +134,7 @@ class Database:
                 widened = widened.withColumn(c, F.lit(None).cast(new_types[c]))
             all_df = widened.unionByName(new_df, allowMissingColumns=True)
             all_df = all_df.withColumn(
-                "_pset_hash", hash_expr(all_df.schema)
+                "_pset_hash", df_hash_expr(all_df.schema)
             )
             self._rewrite(all_df)
         else:

@@ -33,8 +33,15 @@ Canonical encoding (sha256 over the UTF-8 concatenation):
            | "t:" <UTC "yyyy-MM-dd HH:mm:ss.ffffff">
            | "D:" <ISO date>
            | "x:" <lowercase hex of bytes>
+           | "p:" <lowercase hex of cloudpickle bytes>   arbitrary object
            | "[" value ("," value)* "]"          array
            | "{" name "=" value ("," ...)* "}"   struct, name-sorted
+
+Arbitrary objects (the reference's dtype=object params) are value-wise:
+``canon_value`` pickles them, and stored ``MAGIC+pickle`` binary cells
+canon over the payload — see ``objects.py``.  DataFrames whose pset
+columns may hold such cells hash via :func:`hash_expr_py` (Arrow-batched
+pandas UDF twin); everything else stays on the JVM :func:`hash_expr`.
 """
 
 from __future__ import annotations
@@ -113,7 +120,38 @@ def _canon_double(v: float) -> str:
 
 
 def canon_value(v) -> str:
-    """Canonical string for one value (Python mirror of the Spark expr)."""
+    """Canonical string for one value (Python mirror of the Spark expr).
+
+    Value-wise object semantics (reference dtype=object parity): a
+    ``MAGIC+cloudpickle`` framed cell unpickles first, so a string that
+    happened to be stored in a pickled column canons as ``s:`` exactly
+    like a string column — ``pset_hash(extracted) == stored`` holds for
+    every value.  Only genuinely un-typable objects canon as ``p:`` +
+    hex of the pickle payload (the ORIGINAL stored payload when framed —
+    no re-dump, so byte-instability of re-pickling can't shift the
+    hash)."""
+    from .objects import MAGIC, obj_from_bytes
+
+    if isinstance(v, (bytes, bytearray)) and bytes(v[: len(MAGIC)]) == MAGIC:
+        payload_hex = bytes(v)[len(MAGIC):].hex()
+        try:
+            obj = obj_from_bytes(v)
+        except Exception:  # deps missing at hash site: payload still hashes
+            return "p:" + payload_hex
+        try:
+            return _canon_native(obj)
+        except TypeError:
+            return "p:" + payload_hex
+    try:
+        return _canon_native(v)
+    except TypeError:
+        from pyspark import cloudpickle
+
+        return "p:" + cloudpickle.dumps(v).hex()
+
+
+def _canon_native(v) -> str:
+    """Canonical string for a natively-typed value; TypeError otherwise."""
     import numpy as np
 
     if v is None:
@@ -135,6 +173,7 @@ def canon_value(v) -> str:
         b = v.encode("utf-8")
         return f"s{len(b)}:{v}"
     if isinstance(v, (bytes, bytearray)):
+        # framed pickled cells never reach here (canon_value handles them)
         return "x:" + bytes(v).hex()
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
@@ -156,8 +195,7 @@ def canon_value(v) -> str:
             + "}"
         )
     raise TypeError(
-        f"type {type(v).__name__} is not canonical-hashable; wrap it in the "
-        "binary escape hatch (cloudpickle → bytes) explicitly"
+        f"type {type(v).__name__} has no native canonical form"
     )
 
 
@@ -257,6 +295,81 @@ def hash_expr(schema: T.StructType, cols: list[str] | None = None) -> Column:
     row count without leaving the JVM.
     """
     return F.sha2(canon_expr(schema, cols), 256)
+
+
+def _coerce_pandas_cell(v, dt: T.DataType):
+    """Undo Arrow→pandas type washing so canon_value sees the declared
+    Catalyst type (nullable long columns arrive as float64, timestamps
+    as pd.Timestamp, binary as bytes)."""
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        # integral/other columns: NaN is the null marker; double columns
+        # keep NaN (canon_value maps scalar NaN → missing anyway)
+        return None if not isinstance(dt, (T.DoubleType, T.FloatType)) else v
+    if isinstance(dt, _INTEGRAL):
+        return int(v)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return float(v)
+    if isinstance(dt, T.ArrayType):
+        seq = v.tolist() if isinstance(v, np.ndarray) else list(v)
+        return [_coerce_pandas_cell(x, dt.elementType) for x in seq]
+    if isinstance(dt, T.StructType):
+        by = {f.name: f.dataType for f in dt.fields}
+        return {k: _coerce_pandas_cell(x, by[k]) for k, x in dict(v).items()}
+    return v
+
+
+def hash_expr_py(schema: T.StructType, cols: list[str] | None = None) -> Column:
+    """Arrow-batched Python twin of :func:`hash_expr`.
+
+    Required whenever a pset column is ``BinaryType`` — its cells may be
+    ``MAGIC+cloudpickle`` framed objects, whose canonical form (``p:`` +
+    payload hex) the JVM expression cannot distinguish from raw bytes.
+    Value-wise ``canon_value`` keeps the hash identical to
+    ``pset_hash`` on the original dicts.  Pickled-object psets are the
+    declared slow path (SURVEY §1.4); this stays Arrow-batched, never
+    row-at-a-time Python UDF."""
+    names = sorted(cols if cols is not None else filter_cols(schema.names))
+    by_name = {f.name: f.dataType for f in schema.fields}
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _h_fn(pdf):
+        out = []
+        for rec in pdf.to_dict("records"):
+            pset = {k: _coerce_pandas_cell(rec[k], by_name[k]) for k in names}
+            out.append(pset_hash(pset, skip_special_cols=False))
+        return pd.Series(out, dtype="object")
+
+    # `from __future__ import annotations` stringifies hints and pyspark
+    # can't resolve "pd.*" from this module's globals — set them directly
+    _h_fn.__annotations__ = {"pdf": pd.DataFrame, "return": pd.Series}
+    _h = pandas_udf(_h_fn, "string")
+    return _h(F.struct(*[F.col(n) for n in names]))
+
+
+def df_hash_expr(schema: T.StructType, cols: list[str] | None = None) -> Column:
+    """JVM hash when possible, Python twin when a pset column is binary
+    (pickled-object escape hatch)."""
+    names = cols if cols is not None else filter_cols(schema.names)
+    by_name = {f.name: f.dataType for f in schema.fields}
+
+    def _has_binary(dt: T.DataType) -> bool:
+        if isinstance(dt, T.BinaryType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _has_binary(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(_has_binary(f.dataType) for f in dt.fields)
+        return False
+
+    if any(_has_binary(by_name[n]) for n in names):
+        return hash_expr_py(schema, cols)
+    return hash_expr(schema, cols)
 
 
 # ---------------------------------------------------------------------------

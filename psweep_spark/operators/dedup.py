@@ -233,6 +233,8 @@ def minhash_dedup(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = 512,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-verified.
 
@@ -244,6 +246,21 @@ def minhash_dedup(
     (2) groupBy band-bucket (bounded fan-out), (3) the verification
     join over *candidates only* — no all-pairs stage.  Returns
     (id_a, id_b, jaccard).
+
+    **Hot-bucket cap** (``max_bucket_size``): a degenerate corpus —
+    millions of empty/boilerplate docs sharing one signature — would
+    otherwise concentrate into a single band bucket whose
+    ``collect_list`` blows an executor and whose pair expansion is
+    quadratic.  The cap keeps only the first ``max_bucket_size`` ids
+    (per-bucket ``row_number``, id order — deterministic) **before**
+    the list is collected, so executor memory is bounded at
+    cap × id-width per bucket regardless of corpus degeneracy.  Docs
+    beyond the cap in one band keep every chance to pair in their
+    other ``bands-1`` buckets (and truly identical docs are exact-dedup
+    territory — run :func:`exact_dedup` first).  ``log_dropped=True``
+    additionally counts the dropped (bucket, id) rows — one extra
+    pass over the (cheap, cached upstream) banding relation — and
+    warns through the module logger.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -281,9 +298,18 @@ def minhash_dedup(
     ).select("id", F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket"))
     # candidate pairs via groupBy(bucket) + in-bucket pair expansion — ONE
     # evaluation of the signature pipeline (a self-join would recompute it
-    # on both sides) and a shuffle bounded by doc count × bands.  Buckets
-    # are small by construction; a hot bucket (degenerate corpus) should
-    # be capped upstream, not joined through.
+    # on both sides) and a shuffle bounded by doc count × bands.
+    ranked = None
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        # cap BEFORE collect_list: the window shuffle partitions on the
+        # same (band_idx, bucket) keys as the groupBy below, so Catalyst
+        # reuses the exchange — capping costs a per-bucket sort, not an
+        # extra shuffle, and the agg buffer never holds a hot bucket
+        w = Window.partitionBy("band_idx", "bucket").orderBy("id")
+        ranked = stacked.withColumn("__rn", F.row_number().over(w))
+        stacked = ranked.filter(F.col("__rn") <= max_bucket_size).drop("__rn")
     grouped = (
         stacked.groupBy("band_idx", "bucket")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
@@ -318,6 +344,17 @@ def minhash_dedup(
     # a bimodal 6 s ↔ 24 s swing from duplicate evaluation of the
     # signature pipeline under block-manager lock contention
     cands.count()
+    if log_dropped and ranked is not None:
+        import logging
+
+        dropped = ranked.filter(F.col("__rn") > max_bucket_size).count()
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "minhash_dedup: hot-bucket cap %d dropped %d (bucket, id) "
+                "rows from candidate generation",
+                max_bucket_size,
+                dropped,
+            )
     # exact verification restricted to CANDIDATE pairs only. The
     # candidate DOC set after banding is tiny relative to the corpus
     # (bounded by LSH collisions), so: broadcast-semi-filter the corpus

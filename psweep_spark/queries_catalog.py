@@ -88,6 +88,32 @@ def _revenue_expr():
     return _m(F.col("l_extendedprice")) * (_one() - _m(F.col("l_discount")))
 
 
+def _arr_csv(col):
+    """array<integral> → deterministic comma-joined string.
+
+    The driver's canonicalizer sorts result cells with pandas — list
+    cells are unhashable and crash it — so checked projections never
+    expose arrays; operators still return real arrays for API users."""
+    return F.concat_ws(
+        ",", F.transform(col, lambda x: x.cast("long").cast("string"))
+    )
+
+
+def _arr_csv_micro(col):
+    """array<double> → comma-joined micro-units (round(x·1e6) as long).
+
+    Integer text sidesteps %.6f printf divergence (Java half-up vs C
+    half-even); round() itself is half-away-from-zero in both engines.
+    DuckDB twin: array_to_string(list_transform(a,
+    x -> CAST(round(x*1000000) AS BIGINT)), ',')."""
+    return F.concat_ws(
+        ",",
+        F.transform(
+            col, lambda x: F.round(x * 1000000).cast("long").cast("string")
+        ),
+    )
+
+
 _REV_SQL = (
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
 )
@@ -1138,9 +1164,9 @@ def embed_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_sum(list_transform(range(1, 65),
                   i -> ascii(substring(payload_hex, i, 1)))) AS DOUBLE)
              / CAST(64 AS DOUBLE) AS mean_byte,
-           list_transform(range(0, 8),
-             i -> CAST(CAST('0x' || substring(digest_hex, 2*i + 1, 2) AS INTEGER) AS DOUBLE)
-                  / CAST(255.0 AS DOUBLE)) AS feature
+           array_to_string(list_transform(range(0, 8),
+             i -> CAST(round(CAST(CAST('0x' || substring(digest_hex, 2*i + 1, 2) AS INTEGER) AS DOUBLE)
+                  / CAST(255.0 AS DOUBLE) * 1000000) AS BIGINT)), ',') AS feature_csv
     FROM d
     """,
 )
@@ -1149,12 +1175,18 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas feature extraction (the real-decoder seam
     is stubbed with deterministic sha256 features; schema/partitioning/
     batch plumbing is the real thing).  Embarrassingly parallel — no
-    shuffle at any scale."""
+    shuffle at any scale.  The checked projection flattens the feature
+    vector to micro-int CSV (see ``_arr_csv_micro``); ``decode_images``
+    itself returns the real ``array<double>`` column."""
     from .operators.multimodal import attach_fake_media, decode_images
 
     docs = _ld(spark, sf_dir, "documents").select("doc_id")
     return decode_images(attach_fake_media(docs)).select(
-        "doc_id", "width", "height", "mean_byte", "feature"
+        "doc_id",
+        "width",
+        "height",
+        "mean_byte",
+        _arr_csv_micro(F.col("feature")).alias("feature_csv"),
     )
 
 
@@ -1910,10 +1942,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, CAST(4 AS INTEGER) AS n_frames,
-           list_transform(range(0, 4),
-             f -> CAST(list_sum(list_transform(range(1, 17),
+           array_to_string(list_transform(range(0, 4),
+             f -> CAST(round(CAST(list_sum(list_transform(range(1, 17),
                     i -> ascii(substring(payload_hex, f * 16 + i, 1))))
-                  AS DOUBLE) / 16.0) AS frame_energy
+                  AS DOUBLE) / 16.0 * 1000000) AS BIGINT)), ',')
+             AS frame_energy_csv
     FROM m
     """,
 )
@@ -1921,11 +1954,16 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature-extract plumbing: payload bytes framed into 16-byte
     windows, per-frame mean energy — the deterministic stand-in for PCM
     decode + RMS frames, over the same Arrow-batched mapInPandas path a
-    real codec would use."""
+    real codec would use.  Checked projection: micro-int CSV of the
+    frame vector (driver canonicalizer can't hash list cells)."""
     from .operators.multimodal import attach_fake_media, audio_features
 
     docs = _ld(spark, sf_dir, "documents").select("doc_id")
-    return audio_features(attach_fake_media(docs), frame_size=16)
+    return audio_features(attach_fake_media(docs), frame_size=16).select(
+        "doc_id",
+        "n_frames",
+        _arr_csv_micro(F.col("frame_energy")).alias("frame_energy_csv"),
+    )
 
 
 # ===========================================================================
@@ -2048,8 +2086,9 @@ def q_pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_percentile_quantity",
     """
     SELECT l_returnflag,
-           list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
-                          x -> round(x, 6)) AS qty_quartiles,
+           array_to_string(list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+                          x -> CAST(round(x * 1000000) AS BIGINT)), ',')
+             AS qty_quartiles_csv,
            round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -2057,16 +2096,16 @@ def q_pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (ANSI ``quantile_cont`` semantics =
-    Spark ``percentile``), rounded to 6 dp.  Scale note: exact
-    percentile shuffles per-group values; at 100 TB swap in
-    ``percentile_approx`` (t-digest, mergeable map-side) — the
-    guardrail pattern of q_approx_distinct_parts applies."""
+    Spark ``percentile``), emitted as micro-int CSV (list cells crash
+    the driver canonicalizer).  Scale note: exact percentile shuffles
+    per-group values; at 100 TB swap in ``percentile_approx``
+    (t-digest, mergeable map-side) — the guardrail pattern of
+    q_approx_distinct_parts applies."""
     li = _ld(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "transform(percentile(l_quantity, array(0.25D, 0.5D, 0.75D)),"
-            " x -> round(x, 6))"
-        ).alias("qty_quartiles"),
+        _arr_csv_micro(
+            F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+        ).alias("qty_quartiles_csv"),
         F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 6).alias(
             "median_price"
         ),

@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from psweep_spark.queries_catalog import _ld, _ld_events, _mem_name, _q
+from psweep_spark.queries_catalog import _arr_csv, _ld, _ld_events, _mem_name, _q
 
 
 @_q(
@@ -135,10 +135,11 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            round(max_abs, 6) AS scale_max_abs,
-           CASE WHEN max_abs = 0 THEN list_transform(e, x -> 0)
-                ELSE list_transform(e,
-                       x -> CAST(round(x * 127.0 / max_abs) AS BIGINT))
-           END AS q_int8
+           array_to_string(
+             CASE WHEN max_abs = 0 THEN list_transform(e, x -> 0)
+                  ELSE list_transform(e,
+                         x -> CAST(round(x * 127.0 / max_abs) AS BIGINT))
+             END, ',') AS q_int8_csv
     FROM s
     """,
 )
@@ -166,7 +167,7 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "vec_id",
         F.round(F.col("max_abs"), 6).alias("scale_max_abs"),
-        q.alias("q_int8"),
+        _arr_csv(q).alias("q_int8_csv"),
     )
 
 

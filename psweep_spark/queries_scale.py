@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from psweep_spark.operators.skew import salted_join
 from psweep_spark.queries_catalog import (
     _REV_SQL,
+    _arr_csv,
     _dsum,
     _ld,
     _ld_events,
@@ -293,7 +294,8 @@ def docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_order_lines_nested",
     """
     SELECT l_orderkey,
-           list_sort(list(l_linenumber)) AS line_numbers,
+           array_to_string(list_sort(list(l_linenumber)), ',')
+             AS line_numbers_csv,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
              AS total_qty
@@ -310,7 +312,9 @@ def q_order_lines_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle comparator."""
     li = _ld(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        _arr_csv(F.sort_array(F.collect_list("l_linenumber"))).alias(
+            "line_numbers_csv"
+        ),
         F.count("*").alias("n_lines"),
         _dsum(F.col("l_quantity"), "decimal(18,4)").alias("total_qty"),
     )
@@ -801,7 +805,9 @@ def q_supplier_balance_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY d2, code) AS rn
       FROM d
     )
-    SELECT vec_id, list(CAST(code AS BIGINT) ORDER BY s) AS pq_code
+    SELECT vec_id,
+           array_to_string(list(CAST(code AS BIGINT) ORDER BY s), ',')
+             AS pq_code_csv
     FROM best WHERE rn = 1 GROUP BY vec_id
     """,
 )
@@ -857,7 +863,7 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
         )
-    return df.select("vec_id", F.array(*codes).alias("pq_code"))
+    return df.select("vec_id", _arr_csv(F.array(*codes)).alias("pq_code_csv"))
 
 
 @_q(
@@ -1741,79 +1747,85 @@ def docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fp AS (
       SELECT doc_id,
-             array_to_string(list_transform(range(1, 33),
-               i -> CASE WHEN CAST('0x' || ph[i] AS INTEGER) >= 8
-                         THEN '1' ELSE '0' END), '') AS bits
+             CAST('0x' || substr(ph, 1, 8) AS BIGINT) AS h1,
+             CAST('0x' || substr(ph, 9, 8) AS BIGINT) AS h2,
+             substr(ph, 1, 16) AS hex16
       FROM m
     ),
     bands AS (
-      SELECT doc_id, bits, b, substr(bits, b * 8 + 1, 8) AS band
+      SELECT doc_id, b, substr(hex16, b * 4 + 1, 4) AS band
       FROM fp, (SELECT unnest(range(0, 4)) AS b)
     ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, a.bits AS bits_a,
-                      c.doc_id AS id_b, c.bits AS bits_b
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
       FROM bands a JOIN bands c
         ON a.b = c.b AND a.band = c.band AND a.doc_id < c.doc_id
+    ),
+    scored AS (
+      SELECT cand.id_a, cand.id_b,
+             CAST(bit_count(xor(fa.h1, fb.h1))
+                  + bit_count(xor(fa.h2, fb.h2)) AS BIGINT) AS hamming
+      FROM cand
+      JOIN fp fa ON cand.id_a = fa.doc_id
+      JOIN fp fb ON cand.id_b = fb.doc_id
     )
-    SELECT id_a, id_b,
-           CAST(len(list_filter(range(1, 33),
-                i -> bits_a[i] <> bits_b[i])) AS BIGINT) AS hamming
-    FROM cand
-    WHERE len(list_filter(range(1, 33), i -> bits_a[i] <> bits_b[i])) <= 2
+    SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 2
     """,
 )
 def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash near-dup detection for media: a 32-bit
-    fingerprint per asset (stub: bit i = high half of digest nibble i —
-    a real pHash swaps in DCT-of-pixels, identical plumbing), LSH-banded
-    into 4 bucket joins so candidate pairs are bounded by band
-    collisions — never an all-pairs scan — then exact Hamming ≤ 2
-    verification on candidates only.  The same shape as text
-    MinHash/LSH, proving the media-dedup path end-to-end."""
+    """Perceptual-hash near-dup detection for media: a **64-bit**
+    fingerprint per asset (stub: first 16 md5 hex chars of the
+    normalized prefix — a real pHash swaps in DCT-of-pixels, identical
+    plumbing), LSH-banded into 4 × **16-bit** bands so bucket
+    cardinality (2^16 per band) grows with the corpus — at 10^9 media
+    rows the expected in-bucket population is ~15k, not the ~4M a
+    bands-of-8-bits layout concentrates (VERDICT r01).  Candidate
+    dedup shuffles ONLY ``(id_a, id_b)`` pairs; the fingerprints are
+    re-joined after the distinct, so no 32-char bitstrings ride the
+    exchange.  Verification is two 32-bit ``bit_count(xor)`` ops —
+    whole-stage-codegen integer math, no per-bit string scan."""
     docs = _ld(spark, sf_dir, "documents")
     ph = F.md5(F.substring(
         F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), 1, 40
     ))
-    nib = lambda i: F.conv(F.substring("ph", i, 1), 16, 10).cast("int")  # noqa: E731
-    bits = F.concat(*[
-        F.when(nib(i) >= 8, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(1, 33)
-    ])
     fp = docs.select("doc_id", ph.alias("ph")).select(
-        "doc_id", bits.alias("bits")
+        "doc_id",
+        F.conv(F.substring("ph", 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("ph", 9, 8), 16, 10).cast("long").alias("h2"),
+        F.substring("ph", 1, 16).alias("hex16"),
     )
     bands = fp.select(
-        "doc_id", "bits",
+        "doc_id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("b"),
-                F.substring("bits", b * 8 + 1, 8).alias("band"),
+                F.substring("hex16", b * 4 + 1, 4).alias("band"),
             )
             for b in range(4)
         ])).alias("bb"),
-    ).select("doc_id", "bits", "bb.b", "bb.band")
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("bits").alias("bits_a"),
-        "b", "band",
-    )
+    ).select("doc_id", F.col("bb.b").alias("b"), F.col("bb.band").alias("band"))
+    a = bands.select(F.col("doc_id").alias("id_a"), "b", "band")
     c = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("bits").alias("bits_b"),
+        F.col("doc_id").alias("id_b"),
         F.col("b").alias("b2"), F.col("band").alias("band2"),
     )
     cand = (
-        a.join(c, (a.b == c.b2) & (a.band == c.band2)
-               & (a.id_a < c.id_b))
-        .select("id_a", "bits_a", "id_b", "bits_b")
+        a.join(c, (a.b == c.b2) & (a.band == c.band2) & (a.id_a < c.id_b))
+        .select("id_a", "id_b")
         .distinct()
     )
-    ham = F.size(F.filter(
-        F.sequence(F.lit(1), F.lit(32)),
-        lambda i: F.substring("bits_a", 1, 32).substr(i, F.lit(1))
-        != F.col("bits_b").substr(i, F.lit(1)),
-    ))
+    fa = fp.select(F.col("doc_id").alias("id_a"),
+                   F.col("h1").alias("h1_a"), F.col("h2").alias("h2_a"))
+    fb = fp.select(F.col("doc_id").alias("id_b"),
+                   F.col("h1").alias("h1_b"), F.col("h2").alias("h2_b"))
+    ham = (
+        F.bit_count(F.col("h1_a").bitwiseXOR(F.col("h1_b")))
+        + F.bit_count(F.col("h2_a").bitwiseXOR(F.col("h2_b")))
+    )
     return (
-        cand.withColumn("hamming", ham.cast("long"))
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= 2)
         .select("id_a", "id_b", "hamming")
     )

@@ -87,7 +87,12 @@ def df_extract_dicts(df: DataFrame, order: bool = True) -> list[dict]:
     to reproduce the reference's index order."""
     if order and "_pset_seq" in df.columns:
         df = df.orderBy("_pset_seq")
-    return [r.asDict(recursive=True) for r in df.collect()]
+    from .objects import maybe_unpickle
+
+    return [
+        {k: maybe_unpickle(v) for k, v in r.asDict(recursive=True).items()}
+        for r in df.collect()
+    ]
 
 
 def df_extract_params(df: DataFrame, order: bool = True) -> list[dict]:
@@ -108,7 +113,12 @@ def df_extract_row(df: DataFrame, pset_id: str, kind: str | None = None) -> dict
         raise ValueError(
             f"_pset_id {pset_id!r} matches {len(rows)} rows, expected exactly 1"
         )
-    d = rows[0].asDict(recursive=True)
+    from .objects import maybe_unpickle
+
+    d = {
+        k: maybe_unpickle(v)
+        for k, v in rows[0].asDict(recursive=True).items()
+    }
     if kind is not None:
         d = {k: v for k, v in d.items() if col_kind(k) == kind}
     return d

@@ -50,7 +50,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .database import Database
-from .hashing import filter_cols, hash_expr, pset_hash
+from .hashing import df_hash_expr, filter_cols, pset_hash
+from .objects import META_KEY, maybe_unpickle, obj_to_bytes, pickled_cols
 
 __all__ = ["run", "prepare_params_df", "uuid5_expr", "infer_schema"]
 
@@ -128,8 +129,18 @@ def _merge_types(ts: list[T.DataType]) -> T.DataType:
     return out
 
 
-def infer_schema(params: Sequence[dict]) -> T.StructType:
-    """Union-of-keys, type-merged schema for a list of psets."""
+def infer_schema(
+    params: Sequence[dict], pickle_objects: bool = False
+) -> T.StructType:
+    """Union-of-keys, type-merged schema for a list of psets.
+
+    ``pickle_objects=True`` is the arbitrary-object escape hatch
+    (reference dtype=object params, tests/test_all.py:1360-1437): a
+    column whose values cannot be typed — or cannot be merged into one
+    type — becomes a ``BinaryType`` column of ``MAGIC+cloudpickle``
+    cells, marked with field metadata.  The canonical hash stays
+    value-wise (see hashing.py), so extracted psets re-hash to the
+    stored ``_pset_hash`` exactly as in the reference."""
     cols: dict[str, list] = {}
     for pset in params:
         for k, v in pset.items():
@@ -138,8 +149,18 @@ def infer_schema(params: Sequence[dict]) -> T.StructType:
                 cols[k].append(v)
     fields = []
     for name, vals in cols.items():
-        dt = _merge_types([_spark_type_of(v) for v in vals]) if vals else T.StringType()
-        fields.append(T.StructField(name, dt, nullable=True))
+        meta: dict | None = None
+        if not vals:
+            dt: T.DataType = T.StringType()
+        else:
+            try:
+                dt = _merge_types([_spark_type_of(v) for v in vals])
+            except TypeError:
+                if not pickle_objects:
+                    raise
+                dt = T.BinaryType()
+                meta = {META_KEY: True}
+        fields.append(T.StructField(name, dt, nullable=True, metadata=meta))
     return T.StructType(fields)
 
 
@@ -165,18 +186,27 @@ def _to_row_value(v, dt: T.DataType):
 
 
 def prepare_params_df(
-    spark: SparkSession, params: Sequence[dict] | DataFrame
+    spark: SparkSession,
+    params: Sequence[dict] | DataFrame,
+    pickle_objects: bool = False,
 ) -> DataFrame:
     """List-of-psets → typed DataFrame (union-of-keys, NULL back-fill)."""
     if isinstance(params, DataFrame):
         return params
     if len(params) == 0:
         raise ValueError("empty params")
-    schema = infer_schema(params)
-    rows = [
-        tuple(_to_row_value(p.get(f.name), f.dataType) for f in schema.fields)
-        for p in params
-    ]
+    schema = infer_schema(params, pickle_objects=pickle_objects)
+    pkl = pickled_cols(schema)
+
+    def _cell(p: dict, f: T.StructField):
+        v = p.get(f.name)
+        if f.name in pkl:
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                return None
+            return obj_to_bytes(v)
+        return _to_row_value(v, f.dataType)
+
+    rows = [tuple(_cell(p, f) for f in schema.fields) for p in params]
     return spark.createDataFrame(rows, schema)
 
 
@@ -239,6 +269,20 @@ def _make_mapper(
     double_cols = {
         f.name for f in out_schema.fields if isinstance(f.dataType, T.DoubleType)
     }
+    pkl_cols = pickled_cols(out_schema)
+
+    def _emit(pset: dict, rec: dict, c: str):
+        v = pset.get(c)
+        if c in pkl_cols and v is not None:
+            # input pickled param: pass the ORIGINAL framed bytes through
+            # (re-pickling a loaded dynamic object may not be
+            # byte-stable, and _pset_hash was computed over these bytes);
+            # result pickled cols are framed fresh
+            orig = rec.get(c)
+            if orig is not None:
+                return bytes(orig)
+            return obj_to_bytes(v)
+        return v
 
     def mapper(batches):
         import pandas as pd
@@ -247,7 +291,8 @@ def _make_mapper(
         for pdf in batches:
             out_rows = []
             for rec in pdf.to_dict("records"):
-                pset = {k: _pyval(v) for k, v in rec.items()}
+                # framed pickled cells → live objects for the user's func
+                pset = {k: maybe_unpickle(_pyval(v)) for k, v in rec.items()}
                 t0 = time.time()
                 pset["_time_utc"] = _dt.datetime.utcfromtimestamp(int(t0))
                 pset["_exec_host"] = host
@@ -293,7 +338,7 @@ def _make_mapper(
                         os.path.join(d, f"{pset['_pset_id']}.pk"), "wb"
                     ) as fh:
                         pickle.dump(pset, fh)
-                out_rows.append(tuple(pset.get(c) for c in out_names))
+                out_rows.append(tuple(_emit(pset, rec, c) for c in out_names))
             out = pd.DataFrame(out_rows, columns=out_names)
             # object → float for double columns so Arrow doesn't choke on
             # None-mixed python floats
@@ -357,6 +402,7 @@ def run(
     git: bool = False,
     git_dir: str = ".",
     verbose: bool = False,
+    pickle_objects: bool = False,
 ) -> DataFrame:
     """Dispatch ``func`` over every pset; append results to the DB.
 
@@ -376,7 +422,7 @@ def run(
         db = Database(database_dir or os.path.join(calc_dir, "database"))
     os.makedirs(calc_dir, exist_ok=True)
 
-    params_df = prepare_params_df(spark, params)
+    params_df = prepare_params_df(spark, params, pickle_objects=pickle_objects)
     pset_cols = filter_cols(params_df.columns)
     if not pset_cols:
         raise ValueError("params contain no pset (bare-named) columns")
@@ -398,8 +444,10 @@ def run(
             "__order", F.monotonically_increasing_id()
         )
 
+    # JVM expr normally; Arrow-batched Python twin when a pset column is
+    # binary (pickled-object cells need value-wise canon — hashing.py)
     params_df = params_df.withColumn(
-        "_pset_hash", hash_expr(params_df.schema, pset_cols)
+        "_pset_hash", df_hash_expr(params_df.schema, pset_cols)
     )
 
     max_run_seq, max_pset_seq = db.max_seqs(spark)
@@ -465,7 +513,8 @@ def run(
         probe_res: dict | None = None
         for probe_row in probe_rows:
             probe = {
-                k: _pyval(v) for k, v in probe_row.asDict(recursive=True).items()
+                k: maybe_unpickle(_pyval(v))
+                for k, v in probe_row.asDict(recursive=True).items()
             }
             probe.update(
                 _run_id=run_id,
@@ -491,7 +540,9 @@ def run(
                     "safe=True; pass result_schema= explicitly"
                 )
             probe_res = {}
-        res_fields = list(infer_schema([probe_res]).fields)
+        res_fields = list(
+            infer_schema([probe_res], pickle_objects=pickle_objects).fields
+        )
 
     in_schema = params_df.schema
     out_fields = list(in_schema.fields)

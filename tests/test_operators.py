@@ -102,6 +102,51 @@ def test_minhash_matches_exact_jaccard_on_dups(spark, docs):
             assert r["jaccard"] == 1.0
 
 
+def test_minhash_hot_bucket_cap_bounds_degenerate_corpus(spark):
+    """VERDICT r01 #4: 10^4 identical docs share every band bucket — the
+    cap must bound the in-bucket expansion (completes fast, candidate
+    count = C(cap, 2), not C(10^4, 2) ≈ 5·10^7) and still report the
+    duplicate pairs among the kept ids, all exact-verified at 1.0."""
+    n, cap = 10_000, 64
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated in every document").alias(
+            "text"
+        ),
+    )
+    pairs = minhash_dedup(
+        docs, num_hashes=12, bands=4, threshold=0.9,
+        max_bucket_size=cap, log_dropped=True,
+    )
+    rows = pairs.collect()
+    # identical signatures → every band keeps the SAME first `cap` ids →
+    # exactly C(cap,2) distinct pairs
+    assert len(rows) == cap * (cap - 1) // 2
+    assert all(r["jaccard"] == 1.0 for r in rows)
+    assert all(r["id_a"] < cap and r["id_b"] < cap for r in rows)
+
+
+def test_minhash_cap_does_not_change_normal_results(spark, docs):
+    """On a non-degenerate corpus the cap is a no-op: same pairs with
+    and without it."""
+    d = docs.limit(30)
+    dup = d.limit(6).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = d.unionByName(dup)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup(
+            both, num_hashes=12, bands=4, threshold=0.9, max_bucket_size=512
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup(
+            both, num_hashes=12, bands=4, threshold=0.9, max_bucket_size=None
+        ).collect()
+    }
+    assert capped == uncapped
+
+
 def test_minhash_signatures_shape(docs):
     sig = minhash_signatures(docs.limit(10), num_hashes=8)
     assert sig.count() == 10
