@@ -116,6 +116,7 @@ HEADLINE = [
     "stream_static_enrich",
     "q_pandas_udf_weighted_avg",
     "dedup_clusters",
+    "dedup_clusters_lsh",
     "pipeline_prepare_corpus",
     "docs_decontaminate",
     "events_user_retention",

@@ -7,7 +7,17 @@ Usage::
     python -m psweep_spark.cli db2json  <database_dir> [-o OUT_DIR]
     python -m psweep_spark.cli db2table <database_dir> [-a] [column ...]
     python -m psweep_spark.cli check-calc-dir <calc_dir>
-"""
+    python -m psweep_spark.cli sync <src> <dst> [--dry-run]
+
+``sync`` replaces the reference's rsync push/pull pair
+(`/root/reference/bin/psweep-push:1-24`, `bin/psweep-pull:52-77`): under
+shared storage there is usually nothing to sync, but moving a study
+between storage tiers (laptop → object store, cluster → archive) is the
+same ergonomic need.  It copies through the Hadoop FileSystem API, so
+src/dst accept ANY scheme the Spark runtime knows — ``file://``,
+``hdfs://``, ``s3a://`` — not just local paths.  For petabyte trees use
+the platform's native distcp/replication; this is the thin study-sized
+tool."""
 
 from __future__ import annotations
 
@@ -48,6 +58,16 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--database", default=None,
                     help="database dir (default <calc_dir>/database)")
 
+    psync = sub.add_parser(
+        "sync",
+        help="copy a study dir between storage locations "
+        "(reference psweep-push/pull replacement; any Hadoop FS scheme)",
+    )
+    psync.add_argument("src")
+    psync.add_argument("dst")
+    psync.add_argument("-n", "--dry-run", action="store_true",
+                       help="list what would be copied")
+
     args = p.parse_args(argv)
 
     if args.cmd == "db2json":
@@ -78,7 +98,43 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(check_calc_dir(args.calc_dir, df), indent=2))
         return 0
 
+    if args.cmd == "sync":
+        n, total = sync_paths(args.src, args.dst, dry_run=args.dry_run)
+        verb = "would copy" if args.dry_run else "copied"
+        print(f"{verb} {n} files ({total} bytes) {args.src} -> {args.dst}")
+        return 0
+
     return 1  # pragma: no cover
+
+
+def sync_paths(src: str, dst: str, dry_run: bool = False) -> tuple[int, int]:
+    """Copy ``src`` (file or tree) to ``dst`` via the Hadoop FileSystem
+    API.  Returns (file_count, byte_count) of the source tree."""
+    from .session import get_spark
+
+    spark = get_spark("psweep-spark-cli")
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    HPath = jvm.org.apache.hadoop.fs.Path
+    src_path, dst_path = HPath(src), HPath(dst)
+    src_fs = src_path.getFileSystem(conf)
+    dst_fs = dst_path.getFileSystem(conf)
+    if not src_fs.exists(src_path):
+        raise FileNotFoundError(src)
+
+    n = total = 0
+    it = src_fs.listFiles(src_path, True)  # recursive
+    while it.hasNext():
+        st = it.next()
+        n += 1
+        total += st.getLen()
+        if dry_run:
+            print(f"  {st.getPath()} ({st.getLen()} bytes)")
+    if not dry_run:
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            src_fs, src_path, dst_fs, dst_path, False, True, conf
+        )
+    return n, total
 
 
 if __name__ == "__main__":

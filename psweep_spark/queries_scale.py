@@ -496,6 +496,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_clusters_oracle() -> str:
+    from psweep_spark.queries_catalog import _minhash_lsh_oracle
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """
+
+
+@_q("dedup_clusters_lsh", _lsh_clusters_oracle())
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION cluster path (VERDICT r01 #6):
+    ``connected_components(minhash_dedup(...))`` — candidate pairs come
+    from banded LSH (bucket-bounded, hot-bucket-capped, exact-verified),
+    never from the exact shingle self-join that is quadratic in
+    docs-per-shingle.  ``dedup_clusters`` keeps the exact-Jaccard
+    composition as the small-SF oracle twin; this one is what a 100 TB
+    corpus runs.  Oracle: DuckDB recursive closure over the SAME LSH
+    pair set (signature math is engine-identical integer arithmetic)."""
+    from psweep_spark.operators.cluster import connected_components
+    from psweep_spark.operators.dedup import minhash_dedup
+
+    pairs = minhash_dedup(
+        _ld(spark, sf_dir, "documents"), num_hashes=12, bands=4, threshold=0.5
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
 @_q(
     "pipeline_prepare_corpus",
     r"""
@@ -1079,7 +1118,9 @@ def events_resample_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_binaryfile_ingest(
+    spark: SparkSession, sf_dir: str, blob_dir: str | None = None
+) -> DataFrame:
     """The multimodal ingestion path end-to-end: opaque per-document
     blobs land as FILES (here: executor-written from the text corpus;
     production: image/audio objects in a landing bucket), are ingested
@@ -1087,29 +1128,30 @@ def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python in the read path — keyed by id parsed from the filename,
     and fingerprinted JVM-side (md5 over the raw bytes).  The oracle
     recomputes length+digest from the source column, proving the blob
-    round-trip is byte-exact."""
+    round-trip is byte-exact.
+
+    ``blob_dir`` (or ``$SPARK_GRAFT_BLOB_DIR``) is the shared landing
+    path — on a cluster an object-store/NFS location both executors and
+    the reader see; the tempdir default only holds in local mode
+    (operators/multimodal.py: write_blob_landing)."""
+    import os as _os
     import tempfile
 
+    from psweep_spark.operators.multimodal import (
+        read_blob_landing,
+        write_blob_landing,
+    )
+
+    blob_dir = (
+        blob_dir
+        or _os.environ.get("SPARK_GRAFT_BLOB_DIR")
+        or tempfile.mkdtemp(prefix="psq_blobs_")
+    )
     docs = _ld(spark, sf_dir, "documents").select("doc_id", "text")
-    blob_dir = tempfile.mkdtemp(prefix="psq_blobs_")
-
-    def write_blobs(it):
-        import os as _os
-        import pandas as _pd
-
-        for pdf in it:
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                with open(_os.path.join(blob_dir, f"{doc_id}.bin"), "wb") as fh:
-                    fh.write(str(text).encode("utf-8"))
-            yield _pd.DataFrame({"n": [len(pdf)]})
-
-    docs.mapInPandas(write_blobs, "n long").agg(F.sum("n")).collect()
-    blobs = spark.read.format("binaryFile").load(blob_dir)
-    return blobs.select(
-        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
-        .cast("long")
-        .alias("doc_id"),
-        F.col("length").alias("n_bytes"),
+    write_blob_landing(docs, blob_dir)
+    return read_blob_landing(spark, blob_dir).select(
+        "doc_id",
+        "n_bytes",
         F.md5(F.col("content")).alias("content_md5"),
     )
 
@@ -1932,15 +1974,18 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users grouped by first-active day,
     counted on every later active day (the product-analytics staple).
     (user, day) is deduped first, so the cohort join key count is
-    |users|·|days| at worst, not |events|; the cohort map aggregates
-    down to one row per user and broadcasts.  Per-(cohort, offset) rows
-    are unique per user after the dedup, so a plain COUNT(*) replaces
+    |users|·|days| at worst, not |events|; the cohort map is one row
+    per user — NOT force-broadcast (unbounded in |users|; AQE picks
+    broadcast below the threshold and a co-partitioned shuffle join
+    above it, since both sides already hash on user_id from their
+    aggregations — ADVICE r01).  Per-(cohort, offset) rows are unique
+    per user after the dedup, so a plain COUNT(*) replaces
     COUNT(DISTINCT)."""
     ev = _ld_events(spark, sf_dir)
     days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        days.join(F.broadcast(first), "user_id")
+        days.join(first, "user_id")
         .groupBy(
             # ISO string, not DATE: date objects normalize differently
             # across engine→pandas bridges; strings hash identically
@@ -2001,11 +2046,15 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_oracle(k: int = 4, iters: int = 3, dim: int = 64) -> str:
     """Unrolled-CTE Lloyd iterations.  All arithmetic that decides an
-    assignment is exact: embeddings quantize to integers (×1000), a
-    centroid is the exact rational (num: bigint list, den: count), and
-    the scaled distance Σ(q·den − num)² is a bigint — the only doubles
-    are one final division of identical integers per (vector, centroid),
-    bit-identical in any IEEE engine.  Ties break on cluster id."""
+    assignment is exact: embeddings quantize to integers (×1000) and
+    every round's centroid is FLOORED back to the integer grid
+    (floor(Σq / n), one double division of integers that both engines
+    perform identically — exact while |Σq| < 2^53, i.e. up to ~10^12
+    members/cluster), so the distance Σ(q − c)² is a bigint bounded by
+    dim·(2·max|q|)² ≈ 10^9 — no overflow at ANY cluster size (ADVICE
+    r01: the previous rational (Σq, n) centroid made the scaled
+    distance grow with n² and silently wrap past ~10^5 members).
+    Ties break on cluster id."""
     parts = [
         f"""
     qv AS (
@@ -2016,7 +2065,7 @@ def _kmeans_oracle(k: int = 4, iters: int = 3, dim: int = 64) -> str:
     ),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-             q AS num, CAST(1 AS BIGINT) AS den
+             q AS num
       FROM qv QUALIFY row_number() OVER (ORDER BY vec_id) <= {k}
     )"""
     ]
@@ -2024,10 +2073,8 @@ def _kmeans_oracle(k: int = 4, iters: int = 3, dim: int = 64) -> str:
         parts.append(f"""
     d{t} AS (
       SELECT v.vec_id, v.q, c.cid,
-             CAST(list_sum(list_transform(range(1, {dim + 1}),
-                  i -> (v.q[i]*c.den - c.num[i])
-                       * (v.q[i]*c.den - c.num[i]))) AS DOUBLE)
-               / CAST(c.den*c.den AS DOUBLE) AS dist
+             list_sum(list_transform(range(1, {dim + 1}),
+                  i -> (v.q[i] - c.num[i]) * (v.q[i] - c.num[i]))) AS dist
       FROM qv v CROSS JOIN c{t - 1} c
     ),
     a{t} AS (
@@ -2045,20 +2092,27 @@ def _kmeans_oracle(k: int = 4, iters: int = 3, dim: int = 64) -> str:
     ),
     n{t} AS (SELECT cid, COUNT(*) AS den FROM a{t} GROUP BY cid),
     c{t} AS (
-      SELECT s.cid AS cid, list(s.s ORDER BY s.d) AS num, n.den AS den
+      SELECT s.cid AS cid,
+             list(CAST(floor(CAST(s.s AS DOUBLE) / n.den) AS BIGINT)
+                  ORDER BY s.d) AS num
       FROM s{t} s JOIN n{t} n ON s.cid = n.cid
-      GROUP BY s.cid, n.den
+      GROUP BY s.cid
     )""")
     dims_out = ",\n           ".join(
-        f"CAST(num[{d + 1}] AS DOUBLE) / CAST(1000 * den AS DOUBLE) AS c{d}"
+        f"CAST(sl[{d + 1}] AS DOUBLE) / CAST(1000 * den AS DOUBLE) AS c{d}"
         for d in range(4)
     )
     return (
         "WITH " + ",".join(parts)
         + f"""
+    , f AS (
+      SELECT s.cid, n.den, list(s.s ORDER BY s.d) AS sl
+      FROM s{iters} s JOIN n{iters} n ON s.cid = n.cid
+      GROUP BY s.cid, n.den
+    )
     SELECT cid AS cluster_id, CAST(den AS BIGINT) AS n_members,
            {dims_out}
-    FROM c{iters}
+    FROM f
     """
     )
 
@@ -2071,13 +2125,18 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partial-aggregated shuffle per iteration, centroids collected to
     the driver between rounds (k rows, never the data).
 
-    Exactness design: embeddings quantize to int (×1000); a centroid is
-    the exact rational (Σq, count); the assignment metric
-    Σ(q·den − num)² is computed in bigint and divided by den² once —
-    both engines perform the identical IEEE division, so assignments
-    (and the tie-break on cluster id) match bit-for-bit.  The returned
-    frame is the LAST aggregation, still lazy: per-cluster size and the
-    first 4 centroid coordinates (de-quantized)."""
+    Exactness design: embeddings quantize to int (×1000); each round's
+    centroid is FLOORED back to the integer grid (floor(Σq/n), one
+    double division of integers, identical in both engines — exact
+    while |Σq| < 2^53 ≈ 10^12 members/cluster), so the assignment
+    metric Σ(q − c)² stays a small bigint (≤ dim·(2·max|q|)² ≈ 10^9)
+    at ANY cluster size — the previous rational-centroid metric wrapped
+    int64 past ~10^5 members (ADVICE r01).  Assignments and the
+    cluster-id tie-break match bit-for-bit.  The returned frame is the
+    LAST aggregation, still lazy: per-cluster size and the first 4
+    centroid coordinates (de-quantized)."""
+    import math
+
     DIM, K, ITERS = 64, 4, 3
     emb = _ld(spark, sf_dir, "embeddings")
     qexpr = F.transform(
@@ -2087,26 +2146,21 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select("vec_id", qexpr.alias("q"))
 
     init = v.orderBy("vec_id").limit(K).collect()
-    cents = [
-        (i, [int(x) for x in r["q"]], 1) for i, r in enumerate(init)
-    ]  # (cid, num list, den)
+    cents = [(i, [int(x) for x in r["q"]]) for i, r in enumerate(init)]
 
     def assign_col():
         dists = []
-        for _, num, den in cents:
+        for _, num in cents:
             num_lit = F.array(*[F.lit(n) for n in num])
             sq = F.zip_with(
-                F.col("q"),
-                num_lit,
-                lambda a, b: (a * F.lit(den) - b) * (a * F.lit(den) - b),
+                F.col("q"), num_lit, lambda a, b: (a - b) * (a - b)
             )
-            acc = F.aggregate(
-                sq, F.lit(0).cast("long"), lambda s, x: s + x
+            dists.append(
+                F.aggregate(sq, F.lit(0).cast("long"), lambda s, x: s + x)
             )
-            dists.append(acc.cast("double") / F.lit(float(den * den)))
         darr = F.array(*dists)
         pos = F.array_position(darr, F.array_min(darr)).cast("int") - 1
-        cid_lit = F.array(*[F.lit(c) for c, _, _ in cents])
+        cid_lit = F.array(*[F.lit(c) for c, _ in cents])
         return F.element_at(cid_lit, pos + 1)
 
     def agg_round():
@@ -2125,7 +2179,13 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(ITERS - 1):
         rows = agg_round().collect()
         cents = sorted(
-            (int(r["cid"]), [int(r[f"s{d}"]) for d in range(DIM)], int(r["n"]))
+            (
+                int(r["cid"]),
+                [
+                    math.floor(int(r[f"s{d}"]) / int(r["n"]))
+                    for d in range(DIM)
+                ],
+            )
             for r in rows
         )
 

@@ -68,8 +68,13 @@ def events_stream(
         os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
         path = d
     # the stream needs an explicit schema; probe the data so both events
-    # generations work (ts as long nanos vs native TIMESTAMP(MICROS))
-    schema = spark.read.parquet(path).schema
+    # generations work (ts as long nanos vs native TIMESTAMP(MICROS)).
+    # An initially-EMPTY landing dir must still start (ADVICE r01):
+    # fall back to the static nanos schema when the probe finds nothing.
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:  # AnalysisException: unable to infer schema
+        schema = EVENTS_SCHEMA
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

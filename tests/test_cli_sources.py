@@ -4,6 +4,7 @@ source surface."""
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 
@@ -59,6 +60,47 @@ def test_cli_db2table_and_check(spark, tmp_path):
     # run() didn't create per-pset dirs (no file workloads) → db_not_disk=3
     assert len(out["db_not_disk"]) == 3
     assert out["disk_not_db"] == []
+
+
+def test_sync_roundtrip(spark, tmp_path):
+    """cli sync (SURVEY §2 #39): a study tree copies to a second storage
+    location and the database loads from there identically."""
+    from psweep_spark.cli import sync_paths
+    from psweep_spark.database import Database
+
+    calc = _mk_db(spark, tmp_path)
+    dst = str(tmp_path / "mirror")
+    n, total = sync_paths(calc, dst, dry_run=True)
+    assert n > 0 and total > 0
+    n2, total2 = sync_paths(calc, dst)
+    assert (n2, total2) == (n, total)
+    back = Database(os.path.join(dst, "database")).load(spark)
+    assert back is not None
+    assert back.count() == 3
+    assert {r["a"] for r in back.collect()} == {1, 2, 3}
+
+
+def test_blob_landing_parameterized_dir(spark, tmp_path):
+    """VERDICT r01 #8: blob ingestion takes an explicit landing path —
+    executor-written blobs round-trip byte-exact through binaryFile."""
+    from pyspark.sql import functions as F
+
+    from psweep_spark.operators.multimodal import (
+        read_blob_landing,
+        write_blob_landing,
+    )
+
+    blob_dir = str(tmp_path / "landing")
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("text"),
+    )
+    assert write_blob_landing(docs, blob_dir) == 20
+    back = read_blob_landing(spark, blob_dir)
+    rows = {r["doc_id"]: r for r in back.collect()}
+    assert len(rows) == 20
+    assert bytes(rows[7]["content"]) == b"payload-7"
+    assert rows[7]["n_bytes"] == len(b"payload-7")
 
 
 def test_read_write_table_roundtrip(spark, tmp_path):
@@ -144,6 +186,27 @@ def test_database_compact_reduces_files(spark, tmp_path):
     assert after_files < before_files
     # hashes survive the rewrite
     assert db.load(spark).select("_pset_hash").distinct().count() == 20
+
+
+def test_zorder_value_no_global_sort(spark):
+    """VERDICT r01 #7 plan contract: the z-value projection must be
+    map-side — no window, no single-partition exchange, no global sort
+    in the plan (the old ntile-over-global-Window serialized OPTIMIZE
+    onto one task at scale)."""
+    from pyspark.sql import functions as F
+
+    from psweep_spark import plans
+    from psweep_spark.sources.layout import zorder_value
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 999).alias("b")
+    )
+    z = zorder_value(df, ["a", "b"])
+    s = plans.formatted_plan(z)
+    assert "Exchange SinglePartition" not in s, s
+    assert "Window" not in s, s
+    assert "Sort" not in s, s
+    assert plans.count_exchanges(z) == 0, s
 
 
 def test_zorder_layout_narrows_file_stats(spark, tmp_path):

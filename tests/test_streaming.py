@@ -44,6 +44,34 @@ def test_tumbling_matches_batch(spark, batch_events):
     assert got.exceptAll(exp).count() == 0
 
 
+def test_stream_starts_on_empty_dir(spark, tmp_path):
+    """ADVICE r01: a stream over an initially-empty landing dir must
+    start (static EVENTS_SCHEMA fallback), drain zero rows, and pick up
+    files on a later trigger."""
+    import shutil
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    stream = st.events_stream(spark, landing)
+    assert stream.isStreaming
+    got = st.run_available_now(
+        st.tumbling_counts(stream), f"empty_{uuid.uuid4().hex[:8]}"
+    )
+    assert got.count() == 0
+    # drop real data in; a fresh availableNow drain sees it
+    if os.path.isdir(EVENTS):
+        for f in os.listdir(EVENTS):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(EVENTS, f), landing)
+    else:
+        shutil.copy(EVENTS, os.path.join(landing, "events.parquet"))
+    stream2 = st.events_stream(spark, landing)
+    got2 = st.run_available_now(
+        st.tumbling_counts(stream2), f"late_{uuid.uuid4().hex[:8]}"
+    )
+    assert got2.count() > 0
+
+
 def test_session_counts_match_batch_sessionization(spark, batch_events):
     stream = st.events_stream(spark, EVENTS)
     got = st.run_available_now(
