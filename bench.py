@@ -117,6 +117,10 @@ HEADLINE = [
     "q_pandas_udf_weighted_avg",
     "dedup_clusters",
     "dedup_clusters_lsh",
+    "docs_substring_dup",
+    "docs_source_quota",
+    "embed_semdedup",
+    "docs_mixture_epochs",
     "pipeline_prepare_corpus",
     "docs_decontaminate",
     "events_user_retention",

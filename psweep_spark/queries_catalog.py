@@ -2489,5 +2489,6 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- registration side-effect imports (kept at the bottom so the shared
 # helpers above are defined before the submodules that use them) --------
 from psweep_spark import queries_formats as _queries_formats  # noqa: E402,F401
+from psweep_spark import queries_pipeline as _queries_pipeline  # noqa: E402,F401
 from psweep_spark import queries_scale as _queries_scale  # noqa: E402,F401
 from psweep_spark import queries_tpch as _queries_tpch  # noqa: E402,F401

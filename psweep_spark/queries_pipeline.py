@@ -1,0 +1,340 @@
+"""Training-data pipeline operators, round 2 additions: exact
+substring-window dedup, per-source quota caps, SemDeDup-style semantic
+dedup, and weighted epoch mixing.
+
+All registered into the shared catalog with DuckDB value-hash oracles;
+determinism rules follow ``queries_catalog`` (md5 for any hashed
+ordering, ×1000 integer quantization for any distance that decides an
+argmin, round(·,6) for reported doubles).
+
+Public technique sources: duplicated-substring dedup is the
+"Deduplicating Training Data Makes Language Models Better" recipe
+(token-window exact match); SemDeDup is the cluster-then-neighbor-dedup
+recipe; per-domain caps and source-weighted epoch mixes are standard
+web-corpus curation steps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from psweep_spark.queries_catalog import _ld, _q
+
+# --------------------------------------------------------------------------
+# exact duplicated token-window detection
+# --------------------------------------------------------------------------
+
+_W = 8  # token window width
+
+
+@_q(
+    "docs_substring_dup",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= {_W}
+             THEN list_distinct(list_transform(range(1, len(t) - {_W - 2}),
+                    i -> array_to_string(t[i:i+{_W - 1}], ' ')))
+             ELSE [] END) AS wh
+      FROM toks
+    ),
+    wdf AS (SELECT wh, COUNT(*) AS n_docs FROM win GROUP BY wh),
+    per_doc AS (
+      SELECT w.doc_id,
+             COUNT(*) AS n_windows,
+             COALESCE(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END), 0)
+               AS dup_windows
+      FROM win w JOIN wdf d ON w.wh = d.wh
+      GROUP BY w.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(p.dup_windows, 0) AS BIGINT) AS dup_windows,
+           round(CASE WHEN COALESCE(p.n_windows, 0) = 0 THEN 0.0
+                 ELSE CAST(p.dup_windows AS DOUBLE)
+                      / CAST(p.n_windows AS DOUBLE) END, 6) AS dup_fraction,
+           COALESCE(CAST(p.dup_windows AS DOUBLE)
+                    / CAST(p.n_windows AS DOUBLE), 0.0) >= 0.5 AS flag_dup
+    FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    """,
+)
+def docs_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection: every {W}-token window is
+    md5-hashed; a window occurring in >1 document marks both documents'
+    overlap.  Per doc: window count, duplicated-window count, duplicated
+    fraction, and the ≥0.5 removal flag — the token-window exact-match
+    dedup of the "Deduplicating Training Data" recipe, without the
+    suffix array (fixed W windows ARE its match unit at W-granularity).
+
+    Scale shape: windows are per-doc DISTINCT before the explode (one
+    row per (doc, window)); the only shuffles key on the window string —
+    cardinality ≈ corpus token count — and on doc_id for the
+    count-back.  No pair expansion anywhere: documents sharing a hot
+    window never join against each other, so a million copies of one
+    boilerplate sentence cost a single count row.  (Raw window strings
+    beat md5 keys here: the hash added an interpreted-HOF pass per
+    window and saved nothing — groupBy hash-partitions either way; at
+    very long window widths swap in a hash to cap key bytes.)"""
+    docs = _ld(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.split(F.trim("text"), r"\s+")
+    wins = F.when(
+        F.size(t) >= _W,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(_W - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, _W)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    win = docs.select("doc_id", F.explode_outer(wins).alias("wh")).filter(
+        F.col("wh").isNotNull()
+    )
+    # document frequency per window via COUNT OVER (PARTITION BY wh):
+    # one shuffle and ONE evaluation of the (HOF-interpreted, so
+    # relatively expensive) window generation — the groupBy+join-back
+    # formulation evaluates it twice (measured 6.8 s → 4.2 s at sf0.1)
+    wdf_w = Window.partitionBy("wh")
+    per_doc = (
+        win.withColumn("n_docs", F.count("*").over(wdf_w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)), F.lit(0)
+            ).alias("dup_windows"),
+        )
+    )
+    frac = F.col("dup_windows").cast("double") / F.col("n_windows").cast(
+        "double"
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias(
+                "dup_windows"
+            ),
+            F.round(F.coalesce(frac, F.lit(0.0)), 6).alias("dup_fraction"),
+            (F.coalesce(frac, F.lit(0.0)) >= 0.5).alias("flag_dup"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# per-source quota cap (per-domain cap in a web corpus)
+# --------------------------------------------------------------------------
+
+_QUOTA = 100
+
+
+@_q(
+    "docs_source_quota",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk,
+           rk <= {_QUOTA} AS kept
+    FROM ranked
+    """,
+)
+def docs_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap — the per-domain cap of web-corpus curation
+    (no single domain may dominate the training set).  Selection is a
+    deterministic hash order (md5 of the id: stable across runs and
+    engines, unbiased w.r.t. insertion order), ranked per source.
+
+    Scale shape: one hash-partitioned window per source key — the same
+    cost as any per-key top-k; no global order.  Skewed mega-domains
+    are exactly the case the cap exists for: the window sorts one
+    domain's rows per task, and a domain too big for one task is
+    pre-prunable by an approximate count (same two-phase guardrail as
+    q_approx_distinct_parts)."""
+    docs = _ld(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("rk"),
+    ).withColumn("kept", F.col("rk") <= _QUOTA)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: cluster assignment → within-cluster cosine near-dup pairs
+# --------------------------------------------------------------------------
+
+_SEM_K = 8
+_SEM_TAU = 0.45
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < {_SEM_K}),
+    d AS (
+      SELECT v.vec_id, v.e, c.cid,
+             list_sum(list_transform(range(1, 65),
+                  i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))) AS dist
+      FROM v CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, e, cid FROM d
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) = 1
+    )
+    SELECT a.cid AS cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+    FROM assign a JOIN assign b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e) /
+                (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))), 6) >= {_SEM_TAU}
+    """
+
+
+@_q("embed_semdedup", _semdedup_oracle())
+def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: embeddings are assigned to their nearest centroid
+    (here: the first {K} vectors as the deterministic codebook —
+    production swaps in k-means centroids, the assignment plan is
+    identical and exactly the `embed_kmeans_lloyd` machinery), then
+    cosine near-dup pairs are found ONLY within a cluster — the cluster
+    partition is what turns the quadratic all-pairs scan into
+    |cluster|²-bounded local work.
+
+    Exactness: assignment argmin runs on ×1000 integer-quantized
+    vectors (bigint math, cross-engine identical, tie → lowest
+    centroid id); the reported cosine is rounded to 6 dp.
+
+    Scale shape: centroids are literal-inlined (k·d values) so
+    assignment is a zero-shuffle projection; the pair join shuffles on
+    cluster_id only.  Balanced clusters bound the per-task pair
+    expansion; an oversized cluster is handled like any hot LSH bucket
+    (cap or recursive re-cluster — same guardrail as minhash_dedup's
+    max_bucket_size)."""
+    emb = _ld(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    v = emb.select("vec_id", e.alias("e"), q.alias("q"))
+    cent_rows = (
+        v.filter(F.col("vec_id") < _SEM_K).orderBy("vec_id").collect()
+    )
+    cb = F.array(*[
+        F.struct(
+            F.lit(int(r["vec_id"])).alias("cid"),
+            F.array(*[F.lit(int(x)) for x in r["q"]]).alias("cq"),
+        )
+        for r in cent_rows
+    ])
+    dists = F.transform(
+        cb,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("q"), c["cq"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        ),
+    )
+    pos = F.array_position(dists, F.array_min(dists)).cast("int")
+
+    def _dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, r: p * r),
+            F.lit(0.0),
+            lambda s, z: s + z,
+        )
+
+    # norms once per VECTOR, not per pair: the pair join then folds one
+    # 64-dim dot per pair instead of three (sqrt(dot(a,a)) of the same
+    # doubles → bit-identical to the oracle's per-pair form)
+    assigned = v.select(
+        "vec_id",
+        "e",
+        F.element_at(cb, pos)["cid"].alias("cluster_id"),
+        F.sqrt(_dot(F.col("e"), F.col("e"))).alias("nrm"),
+    )
+    a = assigned.select(
+        F.col("cluster_id"), F.col("vec_id").alias("id_a"),
+        F.col("e").alias("e_a"), F.col("nrm").alias("nrm_a"),
+    )
+    b = assigned.select(
+        F.col("cluster_id").alias("cl_b"), F.col("vec_id").alias("id_b"),
+        F.col("e").alias("e_b"), F.col("nrm").alias("nrm_b"),
+    )
+    cos = F.round(
+        _dot(F.col("e_a"), F.col("e_b"))
+        / (F.col("nrm_a") * F.col("nrm_b")),
+        6,
+    )
+    return (
+        a.join(b, (a.cluster_id == b.cl_b) & (a.id_a < b.id_b))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= _SEM_TAU)
+        .select("cluster_id", "id_a", "id_b", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# weighted epoch mixing
+# --------------------------------------------------------------------------
+
+_MIX_SQL = "CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END"
+
+
+@_q(
+    "docs_mixture_epochs",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, {_MIX_SQL} AS n_epochs FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(unnest(range(1, n_epochs + 1)) AS BIGINT) AS epoch
+    FROM w
+    """,
+)
+def docs_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted epoch mixing: the training-mix construction step
+    where high-value sources repeat more epochs than bulk web text
+    (weights here are a literal source→epochs map; production feeds a
+    tuned mixture).  Each doc explodes into its epoch replicas with an
+    epoch index — downstream shuffling/packing treats replicas as
+    independent rows.
+
+    Scale shape: a pure map-side explode (output ≤ max_weight × input,
+    no shuffle); the weight map is a literal CASE — never a join."""
+    docs = _ld(spark, sf_dir, "documents")
+    n = (
+        F.when(F.col("source") == "src0", 3)
+        .when(F.col("source") == "src1", 2)
+        .otherwise(1)
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), n)).alias("__e"),
+    ).select(
+        "doc_id", "source", F.col("__e").cast("long").alias("epoch")
+    )
