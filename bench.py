@@ -87,6 +87,7 @@ HEADLINE = [
     "multimodal_phash_pairs",
     "sim_cosine_topk",
     "sim_lsh_ann",
+    "sim_lsh_recall",
     "sim_ivf_ann",
     "embed_nearest_centroid",
     "embedding_near_dup",
@@ -118,6 +119,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_clusters_lsh",
     "docs_substring_dup",
+    "dedup_incremental_batch",
     "docs_source_quota",
     "embed_semdedup",
     "docs_mixture_epochs",

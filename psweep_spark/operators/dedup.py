@@ -136,6 +136,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard ≥ τ).
 
@@ -143,11 +144,23 @@ def jaccard_pairs(
     sets.  This is the *correctness oracle* for MinHash; the self-join
     on shingle is quadratic in docs-per-shingle, so at 100 TB use
     :func:`minhash_dedup` (banded LSH) and reserve this for candidate
-    verification or small corpora.  Skew guard: very common shingles
-    (df > huge) should be dropped before the join at scale — they only
-    add candidates that exact verification would keep anyway.
-    """
+    verification or small corpora.
+
+    ``max_shingle_df`` is the skew guard for when this DOES run at
+    size: shingles whose document frequency exceeds the cap are dropped
+    from the join's candidate-generation side (a count-over-window
+    filter, one extra shuffle on the same key).  The intersection
+    counts then UNDERCOUNT pairs that share only ultra-common shingles
+    — with the denominator still exact, reported jaccard is a lower
+    bound, so τ-filtering loses only pairs held together by
+    boilerplate.  Default None keeps the operator an exact oracle."""
     sh = word_shingles(df, n=n, id_col=id_col, text_col=text_col)
+    if max_shingle_df is not None:
+        from pyspark.sql.window import Window
+
+        sh = sh.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("__df") <= max_shingle_df).drop("__df")
     # set sizes from the array form: per-row size(), no explode+groupBy
     sizes = shingled(df, n=n, id_col=id_col, text_col=text_col).select(
         # coalesce makes sz provably non-nullable: otherwise the join
@@ -225,6 +238,52 @@ def minhash_signatures(
     return out.select("id", *sigs)
 
 
+def _stacked_buckets(
+    df: DataFrame,
+    num_hashes: int,
+    bands: int,
+    n: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, band_idx, bucket) LSH banding relation: band bucket =
+    md5(concat of that band's signature rows)."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        df, num_hashes=num_hashes, n=n, id_col=id_col, text_col=text_col
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    # explode_outer: avoids the InferFiltersFromGenerate duplication of
+    # the inline band/signature expressions (the array is always size
+    # `bands`, never empty — outer ≡ inner); measured 48 copies of the
+    # signature expr in the plan with plain explode
+    return banded.select(
+        "id",
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_dedup(
     df: DataFrame,
     num_hashes: int = 12,
@@ -262,40 +321,10 @@ def minhash_dedup(
     pass over the (cheap, cached upstream) banding relation — and
     warns through the module logger.
     """
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(
-        df, num_hashes=num_hashes, n=n, id_col=id_col, text_col=text_col
+    stacked = _stacked_buckets(
+        df, num_hashes=num_hashes, bands=bands, n=n,
+        id_col=id_col, text_col=text_col,
     )
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[
-                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("id", *band_cols)
-    # explode_outer: avoids the InferFiltersFromGenerate duplication of
-    # the inline band/signature expressions (the array is always size
-    # `bands`, never empty — outer ≡ inner); measured 48 copies of the
-    # signature expr in the plan with plain explode
-    stacked = banded.select(
-        "id",
-        F.explode_outer(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket"))
     # candidate pairs via groupBy(bucket) + in-bucket pair expansion — ONE
     # evaluation of the signature pipeline (a self-join would recompute it
     # on both sides) and a shuffle bounded by doc count × bands.
@@ -393,6 +422,93 @@ def minhash_dedup(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental near-dup check: a NEW batch against the EXISTING
+    corpus — the production update flow (daily crawl vs the lake).
+
+    Candidates come from joining the new batch's band buckets against
+    the corpus's band buckets: **never new×new or corpus×corpus**, so
+    the cost is proportional to the batch's bucket collisions, not the
+    corpus size — re-running full dedup on corpus+batch would redo
+    O(|corpus|) signature work per update and regenerate all historical
+    pairs.  (At steady state the corpus side's banding relation is a
+    precomputed table keyed by (band_idx, bucket) — bucketed storage
+    makes the candidate join co-located with zero shuffle on the big
+    side; here it is recomputed because the test corpus is parquet.)
+
+    Verification is the same exact-Jaccard array-intersect as
+    :func:`minhash_dedup`, restricted to candidate docs on each side.
+    Returns (id_new, id_old, jaccard ≥ τ).
+    """
+    s_new = _stacked_buckets(
+        new_df, num_hashes=num_hashes, bands=bands, n=n,
+        id_col=id_col, text_col=text_col,
+    )
+    s_old = _stacked_buckets(
+        corpus_df, num_hashes=num_hashes, bands=bands, n=n,
+        id_col=id_col, text_col=text_col,
+    ).select(
+        F.col("id").alias("id_old"),
+        F.col("band_idx").alias("band_idx_o"),
+        F.col("bucket").alias("bucket_o"),
+    )
+    from pyspark import StorageLevel
+
+    cands = (
+        s_new.join(
+            s_old,
+            (s_new.band_idx == s_old.band_idx_o)
+            & (s_new.bucket == s_old.bucket_o),
+        )
+        .select(F.col("id").alias("id_new"), "id_old")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cands.count()  # materialize once; three consumers below
+    new_ids = cands.select(F.col("id_new").alias("id")).distinct()
+    old_ids = cands.select(F.col("id_old").alias("id")).distinct()
+    sh_new = (
+        shingled(new_df, n=n, id_col=id_col, text_col=text_col)
+        .join(F.broadcast(new_ids), "id", "left_semi")
+        .select(
+            F.col("id").alias("id_new"),
+            F.coalesce(F.col("__sh"), F.array()).alias("__sh_n"),
+        )
+    )
+    sh_old = (
+        shingled(corpus_df, n=n, id_col=id_col, text_col=text_col)
+        .join(F.broadcast(old_ids), "id", "left_semi")
+        .select(
+            F.col("id").alias("id_old"),
+            F.coalesce(F.col("__sh"), F.array()).alias("__sh_o"),
+        )
+    )
+    n_inter = F.size(F.array_intersect(F.col("__sh_n"), F.col("__sh_o")))
+    return (
+        cands.join(sh_new, "id_new")
+        .join(sh_old, "id_old")
+        .withColumn("n_inter", n_inter)
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (
+                F.size("__sh_n") + F.size("__sh_o") - F.col("n_inter")
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_old", "jaccard")
     )
 
 

@@ -298,6 +298,135 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# incremental near-dup: new batch vs existing corpus
+# --------------------------------------------------------------------------
+
+
+def _incremental_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+    from psweep_spark.queries_catalog import _SHINGLES_CTE
+
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"min(({2 * i + 1} * h30 + {7919 * i}) % 2147483647) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS bucket FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT id,
+             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) & 1073741823 AS h30
+      FROM sh
+    ),
+    sig AS (SELECT id, {mins} FROM hashed GROUP BY id),
+    bands AS ({band_rows}),
+    cands AS (
+      SELECT DISTINCT nb.id AS id_new, ob.id AS id_old
+      FROM bands nb JOIN bands ob
+        ON nb.band_idx = ob.band_idx AND nb.bucket = ob.bucket
+      WHERE nb.id % 10 = 0 AND ob.id % 10 <> 0
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_new, b.id AS id_old, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.id % 10 = 0 AND b.id % 10 <> 0
+      GROUP BY 1, 2
+    )
+    SELECT c.id_new, c.id_old,
+           CAST(n_inter AS DOUBLE)
+             / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+    FROM cands c JOIN inter i ON i.id_new = c.id_new AND i.id_old = c.id_old
+      JOIN sizes sa ON sa.id = c.id_new JOIN sizes sb ON sb.id = c.id_old
+    WHERE CAST(n_inter AS DOUBLE)
+          / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+    """
+
+
+@_q("dedup_incremental_batch", _incremental_oracle())
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus update: docs with ``doc_id % 10 == 0`` play
+    the NEW daily batch, the rest the existing lake; LSH band buckets of
+    the batch join against the corpus's buckets — never batch×batch or
+    corpus×corpus — then exact-Jaccard verification on candidates only
+    (operators/dedup.py: minhash_dedup_incremental)."""
+    from psweep_spark.operators.dedup import minhash_dedup_incremental
+
+    docs = _ld(spark, sf_dir, "documents")
+    new_df = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus_df = docs.filter(F.col("doc_id") % 10 != 0)
+    return minhash_dedup_incremental(
+        new_df, corpus_df, num_hashes=12, bands=4, threshold=0.5
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN quality: recall@k of the LSH index against the exact baseline
+# --------------------------------------------------------------------------
+
+
+def _lsh_recall_oracle() -> str:
+    from psweep_spark.queries_catalog import ORACLES
+
+    return f"""
+    WITH exact AS ({ORACLES["sim_cosine_topk"]}),
+    ann AS ({ORACLES["sim_lsh_ann"]}),
+    hits AS (
+      SELECT e.query_id, COUNT(*) AS n_hits
+      FROM exact e JOIN ann a
+        ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+      GROUP BY e.query_id
+    ),
+    qs AS (SELECT DISTINCT query_id FROM exact)
+    SELECT qs.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0, 6)
+             AS recall_at_5
+    FROM qs LEFT JOIN hits h ON qs.query_id = h.query_id
+    """
+
+
+@_q("sim_lsh_recall", _lsh_recall_oracle())
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QUALITY measurement — "measure, don't guess" for the
+    recall/cost dial: per query vector, how many of the exact cosine
+    top-5 the sign-LSH multiprobe index returned (recall@5).  This is
+    the metric that decides num_planes/multiprobe in production; the
+    exact side runs only over the (small) query set, so the measurement
+    stays cheap even on a large corpus."""
+    from psweep_spark.queries_catalog import QUERIES as _CAT
+
+    exact = _CAT["sim_cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
+    ann = (
+        _CAT["sim_lsh_ann"](spark, sf_dir)
+        .select(F.col("query_id").alias("q2"), F.col("vec_id").alias("v2"))
+    )
+    hits = (
+        exact.join(
+            ann, (exact.query_id == ann.q2) & (exact.vec_id == ann.v2)
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)).cast("double") / 5.0, 6
+        ).alias("recall_at_5"),
+    )
+
+
+# --------------------------------------------------------------------------
 # weighted epoch mixing
 # --------------------------------------------------------------------------
 

@@ -147,6 +147,58 @@ def test_minhash_cap_does_not_change_normal_results(spark, docs):
     assert capped == uncapped
 
 
+def test_minhash_incremental_new_vs_corpus_only(spark, docs):
+    """Incremental dedup returns only (new, corpus) pairs: a dup pair
+    inside the new batch is NOT reported; a new doc duplicating a
+    corpus doc is."""
+    from psweep_spark.operators.dedup import minhash_dedup_incremental
+
+    corpus = docs.limit(20)
+    # new batch: one dup of corpus doc, plus two identical new docs
+    dup_of_corpus = corpus.limit(1).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    twin_a = corpus.limit(1).withColumn("doc_id", F.col("doc_id") + 200000)
+    twin_b = corpus.limit(1).withColumn("doc_id", F.col("doc_id") + 300000)
+    new = dup_of_corpus.unionByName(twin_a).unionByName(twin_b)
+    out = minhash_dedup_incremental(new, corpus, threshold=0.9)
+    rows = out.collect()
+    new_ids = {r["id_new"] for r in rows}
+    old_ids = {r["id_old"] for r in rows}
+    assert all(i >= 100000 for i in new_ids)
+    assert all(i < 100000 for i in old_ids)  # never new×new
+    # every new doc (all three duplicate corpus doc 0) matches it
+    base = corpus.limit(1).collect()[0]["doc_id"]
+    assert {(i, base) for i in (base + 100000, base + 200000, base + 300000)} <= {
+        (r["id_new"], r["id_old"]) for r in rows
+    }
+
+
+def test_jaccard_shingle_df_cap_lower_bounds(spark, docs):
+    """With a df cap, reported jaccard is a lower bound of the exact
+    value and exact-duplicate pairs (sharing rare shingles too)
+    survive."""
+    from psweep_spark.operators.dedup import jaccard_pairs
+
+    d5 = docs.limit(5)
+    dup = d5.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = d5.unionByName(dup)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(both, threshold=0.3).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(both, threshold=0.3, max_shingle_df=4).collect()
+    }
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-9
+    # exact dups still found (their rare shingles are below any df cap
+    # shared by only the pair)
+    exp = {(r["doc_id"], r["doc_id"] + 100000) for r in d5.collect()}
+    assert exp <= set(capped)
+
+
 def test_minhash_signatures_shape(docs):
     sig = minhash_signatures(docs.limit(10), num_hashes=8)
     assert sig.count() == 10
