@@ -81,6 +81,40 @@ def test_mixture_epochs_counts(spark):
         assert r["max_epoch"] == w
 
 
+def test_semdedup_assignment_is_projection(spark):
+    """The centroid codebook is literal-inlined: cluster assignment adds
+    no join and no broadcast; the only joins in the whole plan are the
+    within-cluster pair join."""
+    from psweep_spark import plans
+
+    df = QUERIES["embed_semdedup"](spark, SF_DIR)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    # one equi-join (the pair join); assignment itself joins nothing
+    assert (
+        s.count("SortMergeJoin")
+        + s.count("BroadcastHashJoin")
+        + s.count("ShuffledHashJoin")
+    ) == 1, s
+
+
+def test_incremental_dedup_semantics_no_new_new(spark):
+    """dedup_incremental_batch returns only (new %10==0, corpus) pairs."""
+    rows = QUERIES["dedup_incremental_batch"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r["id_new"] % 10 == 0
+        assert r["id_old"] % 10 != 0
+
+
+def test_lsh_recall_range_and_coverage(spark):
+    rows = QUERIES["sim_lsh_recall"](spark, SF_DIR).collect()
+    assert len(rows) == 10  # one per query vector
+    for r in rows:
+        assert 0.0 <= r["recall_at_5"] <= 1.0
+        assert r["n_hits"] == round(r["recall_at_5"] * 5)
+
+
 def test_substring_dup_no_pair_expansion_plan(spark):
     """Hot-window safety: the plan contains joins keyed on the window
     hash and doc_id only — never a doc×doc join (no pair blowup on
