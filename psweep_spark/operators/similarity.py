@@ -183,6 +183,108 @@ def centroids_by_label(
     )
 
 
+def assign_cells(
+    df: DataFrame,
+    cent: DataFrame,
+    idc: str,
+    vc: str,
+    n: int,
+) -> DataFrame:
+    """Nearest-``n`` centroid cells per vector (broadcast centroids,
+    per-vector top-n window).  ``cent`` must have (c_label, cv2)."""
+    scored = df.crossJoin(F.broadcast(cent)).withColumn(
+        "sim", F.round(cosine_expr(F.col(vc), F.col("cv2")), 6)
+    )
+    w = Window.partitionBy(idc).orderBy(F.desc("sim"), F.asc("c_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select(idc, vc, F.col("c_label").alias("cell"))
+    )
+
+
+CENTROIDS_SUBDIR = "_psweep_centroids"  # leading _: invisible to readers
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> None:
+    """Materialize the IVF index as a **cell-partitioned parquet
+    layout**: one directory per coarse cell plus the centroid table
+    under ``_psweep_centroids`` (the ``_`` prefix keeps it out of the
+    data reader's listing).
+
+    This is the 100 TB ANN serving shape: the assignment scan is paid
+    ONCE at build time; every query afterwards reads only its
+    ``nprobe`` cell directories — directory-level partition pruning,
+    before any row IO (see :func:`ivf_index_topk` and the
+    PartitionFilters plan contract in tests)."""
+    cent = centroids_by_label(corpus, vec_col, label_col).withColumnRenamed(
+        "cv", "cv2"
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    cells = assign_cells(c, cent, "vec_id", "cv", 1)
+    (
+        cells.select("vec_id", F.col("cv").alias("v"), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    cent.select(F.col("c_label"), F.col("cv2").alias("cv")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/{CENTROIDS_SUBDIR}")
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    query_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a :func:`write_ivf_index` layout: assign each query to its
+    ``nprobe`` nearest cells (centroid table is tiny — driver-read),
+    then scan ONLY those cell partitions (``cell IN (...)`` reaches the
+    scan as a PartitionFilter → directory pruning) and rerank exactly.
+
+    Scale shape: with |cells| sized ~sqrt(corpus), a query batch
+    touches nprobe/|cells| of the data regardless of corpus size; the
+    probed union is bounded by |queries|·nprobe cells."""
+    cent = spark.read.parquet(f"{path}/{CENTROIDS_SUBDIR}").withColumnRenamed(
+        "cv", "cv2"
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    qcells = assign_cells(q, cent, "query_id", "qv", nprobe)
+    probe_cells = [r["cell"] for r in qcells.select("cell").distinct().collect()]
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    cand = (
+        idx.join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("v")), 6))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+            "cosine",
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -214,20 +316,9 @@ def ivf_topk(
         _as_double(F.col(vec_col)).alias("qv"),
     )
 
-    def assign(df: DataFrame, idc: str, vc: str, n: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).withColumn(
-            "sim", F.round(cosine_expr(F.col(vc), F.col("cv2")), 6)
-        )
-        w = Window.partitionBy(idc).orderBy(F.desc("sim"), F.asc("c_label"))
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= n)
-            .select(idc, vc, F.col("c_label").alias("cell"))
-        )
-
     cent = cent.withColumnRenamed("cv", "cv2")
-    cells = assign(c, "vec_id", "cv", 1)
-    qcells = assign(q, "query_id", "qv", nprobe)
+    cells = assign_cells(c, cent, "vec_id", "cv", 1)
+    qcells = assign_cells(q, cent, "query_id", "qv", nprobe)
     cand = (
         cells.join(F.broadcast(qcells), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -161,6 +161,49 @@ def test_without_optin_still_raises(spark):
         prepare_params_df(spark, [{"fn": np.sin}])
 
 
+def test_hash_parity_matrix_typed_and_pickled(spark):
+    """One DataFrame covering the whole type matrix — typed columns
+    (JVM hash_expr leg) and object/mixed columns (pandas-UDF twin leg)
+    — must hash row-for-row equal to pset_hash on the original dicts."""
+    import datetime as dt
+
+    from psweep_spark.hashing import df_hash_expr, filter_cols
+    from psweep_spark.runner import prepare_params_df
+
+    psets = [
+        {"i": 1, "f": 2.5, "s": "abc", "bl": True, "by": b"\x00\xff",
+         "obj": np.sin},
+        {"i": -7, "f": 0.0, "s": "", "bl": False, "by": b"", "obj": "mixed"},
+        {"i": None, "f": float("nan"), "s": "héllo", "bl": None, "by": None,
+         "obj": 3.25},
+        {"i": 2**60, "f": -1e-12, "s": "a'b", "bl": True,
+         "by": b"xyz", "obj": DummyClass()},
+        {"i": 5, "f": 123.456, "s": "zz", "bl": False, "by": b"\x01",
+         "obj": dummy_func},
+    ]
+    df = prepare_params_df(spark, psets, pickle_objects=True)
+    hashed = df.withColumn(
+        "_h", df_hash_expr(df.schema, filter_cols(df.columns))
+    )
+    got = [r["_h"] for r in hashed.collect()]
+    want = [pset_hash(p) for p in psets]
+    assert got == want
+
+    # pure-typed frame (no binary) goes through the JVM expression and
+    # must agree with Python too
+    typed = [
+        {"i": 1, "f": 2.5, "s": "abc", "bl": True,
+         "t": dt.datetime(2024, 1, 2, 3, 4, 5), "d": dt.date(2024, 1, 2),
+         "arr": [1, 2, 3]},
+        {"i": 9, "f": -0.0, "s": "q", "bl": False,
+         "t": dt.datetime(2020, 6, 1), "d": dt.date(1999, 12, 31),
+         "arr": []},
+    ]
+    df2 = prepare_params_df(spark, typed)
+    h2 = df2.withColumn("_h", df_hash_expr(df2.schema, filter_cols(df2.columns)))
+    assert [r["_h"] for r in h2.collect()] == [pset_hash(p) for p in typed]
+
+
 def test_framing_helpers():
     b = obj_to_bytes([1, "x"])
     assert b.startswith(MAGIC)

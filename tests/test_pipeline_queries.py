@@ -115,6 +115,38 @@ def test_lsh_recall_range_and_coverage(spark):
         assert r["n_hits"] == round(r["recall_at_5"] * 5)
 
 
+def test_ivf_index_layout_prunes_partitions(spark, tmp_path):
+    """The disk-backed IVF index: cell-partitioned parquet + centroid
+    sidecar.  A query batch must (a) return exactly the in-memory
+    ivf_topk results, and (b) read ONLY its probed cells — the cell IN
+    (...) predicate appears as a PartitionFilter (directory pruning
+    before row IO)."""
+    from pyspark.sql import functions as F
+
+    from psweep_spark import plans
+    from psweep_spark.operators.similarity import (
+        ivf_index_topk,
+        ivf_topk,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx_path = str(tmp_path / "ivf")
+    write_ivf_index(emb, idx_path)
+
+    got = ivf_index_topk(spark, idx_path, queries, k=5, nprobe=2)
+    exp = ivf_topk(emb, queries, k=5, nprobe=2, query_id_col="vec_id")
+    g = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+         for r in got.collect()}
+    e = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+         for r in exp.collect()}
+    assert g == e and len(g) == 50
+
+    pf = plans.partition_filters(got)
+    assert any("cell" in f for f in pf), pf
+
+
 def test_substring_dup_no_pair_expansion_plan(spark):
     """Hot-window safety: the plan contains joins keyed on the window
     hash and doc_id only — never a doc×doc join (no pair blowup on
