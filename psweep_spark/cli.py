@@ -108,32 +108,41 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def sync_paths(src: str, dst: str, dry_run: bool = False) -> tuple[int, int]:
-    """Copy ``src`` (file or tree) to ``dst`` via the Hadoop FileSystem
-    API.  Returns (file_count, byte_count) of the source tree."""
+    """Mirror ``src`` (file or tree) to ``dst`` via the Hadoop
+    FileSystem API.  rsync-like and IDEMPOTENT: each source file copies
+    to ``dst/<relative path>`` with overwrite, so re-running converges
+    instead of nesting ``dst/<basename(src)>`` the way a whole-tree
+    ``FileUtil.copy`` into an existing directory would.  Returns
+    (file_count, byte_count) of the source tree."""
     from .session import get_spark
 
     spark = get_spark("psweep-spark-cli")
     jvm = spark._jvm  # noqa: SLF001
     conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
     HPath = jvm.org.apache.hadoop.fs.Path
+    FileUtil = jvm.org.apache.hadoop.fs.FileUtil
     src_path, dst_path = HPath(src), HPath(dst)
     src_fs = src_path.getFileSystem(conf)
     dst_fs = dst_path.getFileSystem(conf)
     if not src_fs.exists(src_path):
         raise FileNotFoundError(src)
 
+    src_uri = src_fs.makeQualified(src_path).toString().rstrip("/")
     n = total = 0
     it = src_fs.listFiles(src_path, True)  # recursive
     while it.hasNext():
         st = it.next()
+        f = st.getPath()
+        fs_str = f.toString()
+        rel = fs_str[len(src_uri):].lstrip("/") if fs_str != src_uri else f.getName()
         n += 1
         total += st.getLen()
         if dry_run:
-            print(f"  {st.getPath()} ({st.getLen()} bytes)")
-    if not dry_run:
-        jvm.org.apache.hadoop.fs.FileUtil.copy(
-            src_fs, src_path, dst_fs, dst_path, False, True, conf
-        )
+            print(f"  {fs_str} -> {dst}/{rel} ({st.getLen()} bytes)")
+        else:
+            FileUtil.copy(
+                src_fs, f, dst_fs, HPath(f"{dst}/{rel}"), False, True, conf
+            )
     return n, total
 
 

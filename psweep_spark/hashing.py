@@ -169,6 +169,16 @@ def _canon_native(v) -> str:
         if math.isnan(f):
             return "n"  # scalar NaN in a pset == missing (pandas fill parity)
         return _canon_double(f)
+    if isinstance(v, Decimal):
+        # mirror of the JVM leg's CAST(x AS DECIMAL(38,18)) canon
+        if v.is_nan():
+            return "n"
+        with localcontext() as ctx:
+            ctx.prec = 60
+            d = v.quantize(_Q18, rounding=ROUND_HALF_UP)
+        if d == 0:
+            d = abs(d)  # normalize -0
+        return f"d:{d:.18f}"
     if isinstance(v, str):
         b = v.encode("utf-8")
         return f"s{len(b)}:{v}"
@@ -297,43 +307,38 @@ def hash_expr(schema: T.StructType, cols: list[str] | None = None) -> Column:
     return F.sha2(canon_expr(schema, cols), 256)
 
 
-def _coerce_pandas_cell(v, dt: T.DataType):
-    """Undo Arrow→pandas type washing so canon_value sees the declared
-    Catalyst type (nullable long columns arrive as float64, timestamps
-    as pd.Timestamp, binary as bytes)."""
-    import numpy as np
-
-    if v is None:
-        return None
-    if isinstance(v, float) and math.isnan(v):
-        # integral/other columns: NaN is the null marker; double columns
-        # keep NaN (canon_value maps scalar NaN → missing anyway)
-        return None if not isinstance(dt, (T.DoubleType, T.FloatType)) else v
-    if isinstance(dt, _INTEGRAL):
-        return int(v)
-    if isinstance(dt, (T.DoubleType, T.FloatType)):
-        return float(v)
+def _has_binary(dt: T.DataType) -> bool:
+    if isinstance(dt, T.BinaryType):
+        return True
     if isinstance(dt, T.ArrayType):
-        seq = v.tolist() if isinstance(v, np.ndarray) else list(v)
-        return [_coerce_pandas_cell(x, dt.elementType) for x in seq]
+        return _has_binary(dt.elementType)
     if isinstance(dt, T.StructType):
-        by = {f.name: f.dataType for f in dt.fields}
-        return {k: _coerce_pandas_cell(x, by[k]) for k, x in dict(v).items()}
-    return v
+        return any(_has_binary(f.dataType) for f in dt.fields)
+    return False
 
 
 def hash_expr_py(schema: T.StructType, cols: list[str] | None = None) -> Column:
     """Arrow-batched Python twin of :func:`hash_expr`.
 
     Required whenever a pset column is ``BinaryType`` — its cells may be
-    ``MAGIC+cloudpickle`` framed objects, whose canonical form (``p:`` +
-    payload hex) the JVM expression cannot distinguish from raw bytes.
-    Value-wise ``canon_value`` keeps the hash identical to
-    ``pset_hash`` on the original dicts.  Pickled-object psets are the
-    declared slow path (SURVEY §1.4); this stays Arrow-batched, never
-    row-at-a-time Python UDF."""
+    ``MAGIC+cloudpickle`` framed objects, whose canonical form the JVM
+    expression cannot distinguish from raw bytes.
+
+    Design: every NON-binary column is pre-canonicalized **JVM-side**
+    with the same :func:`_canon_col` expression the pure-JVM hash uses —
+    the UDF receives ready canonical strings, so Arrow→pandas type
+    washing (nullable int64 → float64, which silently corrupts integers
+    above 2^53) can never touch a value.  Only binary cells cross the
+    boundary raw, and Python ``canon_value`` handles their framing.
+    Pickled-object psets are the declared slow path (SURVEY §1.4); this
+    stays Arrow-batched, never row-at-a-time Python UDF."""
     names = sorted(cols if cols is not None else filter_cols(schema.names))
     by_name = {f.name: f.dataType for f in schema.fields}
+    raw = {n for n in names if _has_binary(by_name[n])}
+    struct_fields = [
+        (F.col(n) if n in raw else _canon_col(F.col(n), by_name[n])).alias(n)
+        for n in names
+    ]
 
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -341,15 +346,24 @@ def hash_expr_py(schema: T.StructType, cols: list[str] | None = None) -> Column:
     def _h_fn(pdf):
         out = []
         for rec in pdf.to_dict("records"):
-            pset = {k: _coerce_pandas_cell(rec[k], by_name[k]) for k in names}
-            out.append(pset_hash(pset, skip_special_cols=False))
+            parts = []
+            for n in names:
+                parts.append(f"k{len(n.encode('utf-8'))}:{n}")
+                v = rec[n]
+                if n in raw:
+                    parts.append(canon_value(None if v is None else bytes(v)))
+                else:
+                    parts.append(v)  # already the canonical string
+            out.append(
+                hashlib.sha256("".join(parts).encode("utf-8")).hexdigest()
+            )
         return pd.Series(out, dtype="object")
 
     # `from __future__ import annotations` stringifies hints and pyspark
     # can't resolve "pd.*" from this module's globals — set them directly
     _h_fn.__annotations__ = {"pdf": pd.DataFrame, "return": pd.Series}
     _h = pandas_udf(_h_fn, "string")
-    return _h(F.struct(*[F.col(n) for n in names]))
+    return _h(F.struct(*struct_fields))
 
 
 def df_hash_expr(schema: T.StructType, cols: list[str] | None = None) -> Column:
@@ -357,16 +371,6 @@ def df_hash_expr(schema: T.StructType, cols: list[str] | None = None) -> Column:
     (pickled-object escape hatch)."""
     names = cols if cols is not None else filter_cols(schema.names)
     by_name = {f.name: f.dataType for f in schema.fields}
-
-    def _has_binary(dt: T.DataType) -> bool:
-        if isinstance(dt, T.BinaryType):
-            return True
-        if isinstance(dt, T.ArrayType):
-            return _has_binary(dt.elementType)
-        if isinstance(dt, T.StructType):
-            return any(_has_binary(f.dataType) for f in dt.fields)
-        return False
-
     if any(_has_binary(by_name[n]) for n in names):
         return hash_expr_py(schema, cols)
     return hash_expr(schema, cols)

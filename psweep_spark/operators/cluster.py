@@ -38,13 +38,15 @@ def connected_components(
     relation is materialized (it is the near-dup pair list — tiny
     relative to the corpus by construction), counted, and
 
-    * ≤ ``driver_threshold`` edges → **driver union-find**: one collect
-      of (id_a, id_b) + path-compressed union-find + one
-      createDataFrame.  A label-propagation round is a full
-      join+groupBy+agg job pipeline; on a thousand-edge graph that is
-      pure scheduler overhead (measured 8 s for 245 pairs at sf0.1 vs
-      ~0.2 s here).  1M edges ≈ 16 MB on the driver — same budget as a
-      broadcast table.
+    * ≤ ``driver_threshold`` edges → **driver union-find**: one
+      Arrow-batched ``toPandas`` of (id_a, id_b) + path-compressed
+      union-find + one createDataFrame.  A label-propagation round is a
+      full join+groupBy+agg job pipeline; on a thousand-edge graph that
+      is pure scheduler overhead (measured 8 s for 245 pairs at sf0.1
+      vs ~0.2 s here).  1M edges via Arrow ≈ 16 MB columnar on the
+      driver (a ``collect()`` of Row objects would be ~20× that — don't
+      regress it); the union-find dict adds O(|nodes|) small ints —
+      same budget class as a broadcast table.
     * above it → the distributed min-label loop below, whose shuffles
       are what a billion-edge graph actually needs.
 
@@ -77,9 +79,10 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
+        pdf = edge_rel.toPandas()  # Arrow: columnar, no Row objects
         nodes = set()
-        for r in edge_rel.collect():
-            a_, b_ = r[0], r[1]
+        col_a, col_b = pdf.columns[0], pdf.columns[1]
+        for a_, b_ in zip(pdf[col_a].tolist(), pdf[col_b].tolist()):
             nodes.add(a_)
             nodes.add(b_)
             ra, rb = find(a_), find(b_)

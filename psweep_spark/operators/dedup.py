@@ -338,6 +338,10 @@ def minhash_dedup(
         # extra shuffle, and the agg buffer never holds a hot bucket
         w = Window.partitionBy("band_idx", "bucket").orderBy("id")
         ranked = stacked.withColumn("__rn", F.row_number().over(w))
+        if log_dropped:
+            # the drop-count pass below must not re-run the whole
+            # signature pipeline — cache the ranked banding relation
+            ranked = ranked.persist()
         stacked = ranked.filter(F.col("__rn") <= max_bucket_size).drop("__rn")
     grouped = (
         stacked.groupBy("band_idx", "bucket")
@@ -377,6 +381,7 @@ def minhash_dedup(
         import logging
 
         dropped = ranked.filter(F.col("__rn") > max_bucket_size).count()
+        ranked.unpersist()
         if dropped:
             logging.getLogger(__name__).warning(
                 "minhash_dedup: hot-bucket cap %d dropped %d (bucket, id) "

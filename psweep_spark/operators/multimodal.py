@@ -53,14 +53,15 @@ def write_blob_landing(
     payload_col: str = "text",
 ) -> int:
     """Executor-side blob write: one ``<id>.bin`` object per row under
-    ``blob_dir``.  ``blob_dir`` is any filesystem the EXECUTORS can
-    write and the binaryFile reader can list — on a cluster that means
-    a shared/object-store path (s3a://…, hdfs://…, NFS), never an
-    executor-local tempdir (VERDICT r01 #8).  Returns rows written.
-
-    Production media rarely needs this step (assets already land in a
-    bucket); it exists to materialize test corpora and to round-trip
-    the binaryFile ingestion path end-to-end."""
+    ``blob_dir``.  Writes through POSIX ``open()``, so ``blob_dir``
+    must be a path every executor can mount — a shared filesystem
+    (NFS/Lustre) on a cluster, a tempdir in local mode; never an
+    executor-local path the driver can't list (VERDICT r01 #8).
+    ``s3a://``/``hdfs://`` URIs are NOT writable from executor Python
+    (no JVM gateway there) — landing blobs in an object store is the
+    producer's job (assets normally already live in the bucket); this
+    operator exists to materialize test corpora and round-trip the
+    binaryFile ingestion path.  Returns rows written."""
 
     def _write(it: Iterator) -> Iterator:
         import os as _os
@@ -89,17 +90,19 @@ def write_blob_landing(
 
 
 def read_blob_landing(spark, blob_dir: str) -> DataFrame:
-    """binaryFile ingestion of a blob landing dir: (doc_id, n_bytes,
-    content, path) — content + length arrive JVM-side, no Python in the
-    read path; id parsed from the object name.  Scale: the source
-    lists + splits files across executors; pair with
-    ``pathGlobFilter``/partitioned landing prefixes for 10^9-object
-    buckets."""
+    """binaryFile ingestion of a blob landing dir: (blob_id, doc_id,
+    n_bytes, content, path) — content + length arrive JVM-side, no
+    Python in the read path.  ``blob_id`` is the raw object name
+    (string, works for any id the producer used); ``doc_id`` is its
+    numeric form (``try_cast`` → NULL for non-numeric names — join on
+    blob_id in that case).  Scale: the source lists + splits files
+    across executors; pair with ``pathGlobFilter``/partitioned landing
+    prefixes for 10^9-object buckets."""
     blobs = spark.read.format("binaryFile").load(blob_dir)
+    blob_id = F.regexp_extract(F.col("path"), r"([^/]+)\.bin$", 1)
     return blobs.select(
-        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
-        .cast("long")
-        .alias("doc_id"),
+        blob_id.alias("blob_id"),
+        blob_id.try_cast("long").alias("doc_id"),
         F.col("length").alias("n_bytes"),
         F.col("content"),
         F.col("path"),

@@ -808,11 +808,14 @@ def _minhash_lsh_oracle(num_hashes: int = 12, bands: int = 4) -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12) + 4-band LSH candidates, exact-verified at τ=0.5.
     The 100 TB dedup path: shuffles are per-doc signature agg + bounded
-    band-bucket join — never all-pairs."""
+    band-bucket join — never all-pairs.  max_bucket_size=None because
+    the DuckDB oracle has no bucket cap: the checked query must stay
+    exact at every SF; production keeps the operator default (512)."""
     from .operators.dedup import minhash_dedup
 
     return minhash_dedup(
-        _ld(spark, sf_dir, "documents"), num_hashes=12, bands=4, n=3, threshold=0.5
+        _ld(spark, sf_dir, "documents"), num_hashes=12, bands=4, n=3,
+        threshold=0.5, max_bucket_size=None,
     ).select("id_a", "id_b", "jaccard")
 
 

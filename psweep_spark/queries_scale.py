@@ -528,7 +528,8 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from psweep_spark.operators.dedup import minhash_dedup
 
     pairs = minhash_dedup(
-        _ld(spark, sf_dir, "documents"), num_hashes=12, bands=4, threshold=0.5
+        _ld(spark, sf_dir, "documents"), num_hashes=12, bands=4,
+        threshold=0.5, max_bucket_size=None,  # oracle has no cap
     )
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
@@ -1142,11 +1143,17 @@ def multimodal_binaryfile_ingest(
         write_blob_landing,
     )
 
-    blob_dir = (
-        blob_dir
-        or _os.environ.get("SPARK_GRAFT_BLOB_DIR")
-        or tempfile.mkdtemp(prefix="psq_blobs_")
-    )
+    import re as _re
+
+    base = blob_dir or _os.environ.get("SPARK_GRAFT_BLOB_DIR")
+    if base:
+        # per-source-SF subdir: a reused landing root must never serve
+        # stale blobs from a different corpus (larger previous SF would
+        # leave extra files the reader would happily ingest)
+        sub = _re.sub(r"\W+", "_", _os.path.abspath(sf_dir)).strip("_")
+        blob_dir = _os.path.join(base, sub)
+    else:
+        blob_dir = tempfile.mkdtemp(prefix="psq_blobs_")
     docs = _ld(spark, sf_dir, "documents").select("doc_id", "text")
     write_blob_landing(docs, blob_dir)
     return read_blob_landing(spark, blob_dir).select(

@@ -47,7 +47,10 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def events_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    fallback_schema: T.StructType | None = None,
 ) -> DataFrame:
     """File-source stream over events parquet (glob or dir).
 
@@ -55,6 +58,13 @@ def events_stream(
     identical to the batch reader (`queries_catalog._ld_events`).  On a
     real deployment the source swaps to Kafka/Kinesis; everything
     downstream is source-agnostic.
+
+    ``fallback_schema`` is used when the landing dir is EMPTY at start
+    (no files to probe).  Default is the long-nanos ``EVENTS_SCHEMA``;
+    a producer writing native TIMESTAMP(MICROS) events into an
+    initially-empty dir must pass its schema here — the stream schema
+    is fixed at start, so a wrong guess either kills the stream on the
+    first file (parquet type conversion) or mis-scales timestamps.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -74,7 +84,7 @@ def events_stream(
     try:
         schema = spark.read.parquet(path).schema
     except Exception:  # AnalysisException: unable to infer schema
-        schema = EVENTS_SCHEMA
+        schema = fallback_schema or EVENTS_SCHEMA
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

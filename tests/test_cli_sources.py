@@ -74,6 +74,10 @@ def test_sync_roundtrip(spark, tmp_path):
     assert n > 0 and total > 0
     n2, total2 = sync_paths(calc, dst)
     assert (n2, total2) == (n, total)
+    # idempotent: a re-sync converges (no dst/<basename> nesting)
+    n3, total3 = sync_paths(calc, dst)
+    assert (n3, total3) == (n, total)
+    assert not os.path.isdir(os.path.join(dst, os.path.basename(calc)))
     back = Database(os.path.join(dst, "database")).load(spark)
     assert back is not None
     assert back.count() == 3

@@ -176,7 +176,9 @@ def test_hash_parity_matrix_typed_and_pickled(spark):
         {"i": -7, "f": 0.0, "s": "", "bl": False, "by": b"", "obj": "mixed"},
         {"i": None, "f": float("nan"), "s": "héllo", "bl": None, "by": None,
          "obj": 3.25},
-        {"i": 2**60, "f": -1e-12, "s": "a'b", "bl": True,
+        # 2**60 + 1 is NOT float64-representable: catches Arrow's
+        # nullable-int64 -> float64 washing corrupting large ints
+        {"i": 2**60 + 1, "f": -1e-12, "s": "a'b", "bl": True,
          "by": b"xyz", "obj": DummyClass()},
         {"i": 5, "f": 123.456, "s": "zz", "bl": False, "by": b"\x01",
          "obj": dummy_func},
