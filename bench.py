@@ -120,6 +120,7 @@ HEADLINE = [
     "dedup_clusters_lsh",
     "docs_substring_dup",
     "dedup_incremental_batch",
+    "stream_near_dedup_docs",
     "docs_source_quota",
     "embed_semdedup",
     "docs_mixture_epochs",

@@ -369,6 +369,59 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# streaming near-dup gate: arriving docs LSH-checked against the corpus
+# --------------------------------------------------------------------------
+
+
+@_q("stream_near_dedup_docs", _incremental_oracle())
+def stream_near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup gate: documents arrive as files (doc_id % 10
+    == 0 plays the live feed), and each micro-batch runs
+    ``minhash_dedup_incremental`` against the static corpus inside
+    ``foreachBatch`` — the ingestion-time dedup filter of a production
+    pipeline (reject/flag a doc before it lands in the training set).
+
+    Batch-size invariance: every reported pair is (new doc, corpus
+    doc), so the result is identical no matter how the trigger slices
+    the feed — micro-batches need no cross-batch state.  (New×new dups
+    within the feed are the COMPACTION pass's job, not the gate's.)
+    The oracle is the batch incremental query's SQL — streaming and
+    batch must agree exactly."""
+    import tempfile
+
+    from psweep_spark.operators.dedup import minhash_dedup_incremental
+
+    docs = _ld(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    feed_dir = tempfile.mkdtemp(prefix="psq_feed_")
+    new_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    new_docs.write.mode("overwrite").parquet(feed_dir)
+
+    stream = (
+        spark.readStream.schema(new_docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feed_dir)
+    )
+    pairs: list = []
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        out = minhash_dedup_incremental(
+            batch_df, corpus, num_hashes=12, bands=4, threshold=0.5
+        )
+        pairs.extend(out.collect())  # gate OUTPUT is tiny: flagged pairs
+
+    q = stream.writeStream.foreachBatch(gate).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(300)
+    if pairs:
+        return spark.createDataFrame(
+            pairs, "id_new long, id_old long, jaccard double"
+        )
+    return spark.createDataFrame([], "id_new long, id_old long, jaccard double")
+
+
+# --------------------------------------------------------------------------
 # ANN quality: recall@k of the LSH index against the exact baseline
 # --------------------------------------------------------------------------
 
