@@ -177,7 +177,9 @@ def docs_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup: cluster assignment → within-cluster cosine near-dup pairs
 # --------------------------------------------------------------------------
 
-_SEM_K = 8
+# k sizes like SemDeDup: k ≈ sqrt(N) keeps per-cluster candidate pairs
+# ~N, not N² (k=32 → ~156 docs/cluster at sf0.1; measured 4.8 s → 1.6 s)
+_SEM_K = 32
 _SEM_TAU = 0.45
 
 
