@@ -307,16 +307,6 @@ def hash_expr(schema: T.StructType, cols: list[str] | None = None) -> Column:
     return F.sha2(canon_expr(schema, cols), 256)
 
 
-def _has_binary(dt: T.DataType) -> bool:
-    if isinstance(dt, T.BinaryType):
-        return True
-    if isinstance(dt, T.ArrayType):
-        return _has_binary(dt.elementType)
-    if isinstance(dt, T.StructType):
-        return any(_has_binary(f.dataType) for f in dt.fields)
-    return False
-
-
 def hash_expr_py(schema: T.StructType, cols: list[str] | None = None) -> Column:
     """Arrow-batched Python twin of :func:`hash_expr`.
 
@@ -334,7 +324,12 @@ def hash_expr_py(schema: T.StructType, cols: list[str] | None = None) -> Column:
     stays Arrow-batched, never row-at-a-time Python UDF."""
     names = sorted(cols if cols is not None else filter_cols(schema.names))
     by_name = {f.name: f.dataType for f in schema.fields}
-    raw = {n for n in names if _has_binary(by_name[n])}
+    # MAGIC framing only ever occurs in TOP-LEVEL BinaryType columns (the
+    # pickled-object storage form) — nested binary (array<binary>,
+    # struct-with-binary) is plain bytes and canonicalizes JVM-side via
+    # _canon_col's "x:" hex branch.  Routing nested binary to the raw leg
+    # would hand the UDF a list/ndarray whose bytes(v) raises TypeError.
+    raw = {n for n in names if isinstance(by_name[n], T.BinaryType)}
     struct_fields = [
         (F.col(n) if n in raw else _canon_col(F.col(n), by_name[n])).alias(n)
         for n in names
@@ -367,11 +362,13 @@ def hash_expr_py(schema: T.StructType, cols: list[str] | None = None) -> Column:
 
 
 def df_hash_expr(schema: T.StructType, cols: list[str] | None = None) -> Column:
-    """JVM hash when possible, Python twin when a pset column is binary
-    (pickled-object escape hatch)."""
+    """JVM hash when possible, Python twin when a pset column is
+    TOP-LEVEL binary (the pickled-object escape hatch).  Nested binary
+    (array<binary> etc.) can never hold MAGIC-framed cells, so it stays
+    on the pure-JVM expression."""
     names = cols if cols is not None else filter_cols(schema.names)
     by_name = {f.name: f.dataType for f in schema.fields}
-    if any(_has_binary(by_name[n]) for n in names):
+    if any(isinstance(by_name[n], T.BinaryType) for n in names):
         return hash_expr_py(schema, cols)
     return hash_expr(schema, cols)
 

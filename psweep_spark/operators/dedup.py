@@ -293,7 +293,7 @@ def minhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int | None = 512,
-    log_dropped: bool = False,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-verified.
 
@@ -313,13 +313,22 @@ def minhash_dedup(
     quadratic.  The cap keeps only the first ``max_bucket_size`` ids
     (per-bucket ``row_number``, id order — deterministic) **before**
     the list is collected, so executor memory is bounded at
-    cap × id-width per bucket regardless of corpus degeneracy.  Docs
-    beyond the cap in one band keep every chance to pair in their
-    other ``bands-1`` buckets (and truly identical docs are exact-dedup
-    territory — run :func:`exact_dedup` first).  ``log_dropped=True``
-    additionally counts the dropped (bucket, id) rows — one extra
-    pass over the (cheap, cached upstream) banding relation — and
-    warns through the module logger.
+    cap × id-width per bucket regardless of corpus degeneracy.
+
+    The cap is LOSSY in the degenerate case it guards against: docs
+    whose signatures FULLY collide (identical in every band — e.g.
+    identical or near-empty texts) rank in the same id order in every
+    band, so all ``bands`` buckets keep the same first
+    ``max_bucket_size`` ids and every pair among the docs beyond the
+    cap is silently lost (a 10⁴-identical-doc corpus yields only
+    C(cap, 2) pairs).  Docs that collide in only SOME bands still get
+    their chance in the others.  Mitigation for the lossy case: run
+    :func:`exact_dedup` first — fully-identical docs are its job, and
+    removing them leaves the cap handling only genuine near-dups.
+    ``log_dropped`` (default True, so silent loss is visible) counts
+    the dropped (bucket, id) rows — one extra pass over the cached
+    banding relation, cheap relative to any corpus degenerate enough
+    to trigger it — and warns through the module logger.
     """
     stacked = _stacked_buckets(
         df, num_hashes=num_hashes, bands=bands, n=n,

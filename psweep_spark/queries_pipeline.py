@@ -65,8 +65,8 @@ _W = 8  # token window width
     """,
 )
 def docs_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicated-substring detection: every {W}-token window is
-    md5-hashed; a window occurring in >1 document marks both documents'
+    """Exact duplicated-substring detection: a {W}-token window
+    occurring in >1 document marks both documents'
     overlap.  Per doc: window count, duplicated-window count, duplicated
     fraction, and the ≥0.5 removal flag — the token-window exact-match
     dedup of the "Deduplicating Training Data" recipe, without the

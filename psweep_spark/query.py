@@ -87,10 +87,19 @@ def df_extract_dicts(df: DataFrame, order: bool = True) -> list[dict]:
     to reproduce the reference's index order."""
     if order and "_pset_seq" in df.columns:
         df = df.orderBy("_pset_seq")
-    from .objects import maybe_unpickle
+    from .objects import maybe_unpickle, pickled_cols
 
+    # unpickle ONLY columns marked as pickled-object storage in their
+    # field metadata — sniffing the MAGIC prefix on every binary cell
+    # would (a) run cloudpickle.loads on attacker-controlled bytes from
+    # databases that never opted into pickle_objects, and (b) silently
+    # transform a user bytes param that legitimately starts with MAGIC
+    pcols = pickled_cols(df.schema)
     return [
-        {k: maybe_unpickle(v) for k, v in r.asDict(recursive=True).items()}
+        {
+            k: (maybe_unpickle(v) if k in pcols else v)
+            for k, v in r.asDict(recursive=True).items()
+        }
         for r in df.collect()
     ]
 
@@ -113,10 +122,12 @@ def df_extract_row(df: DataFrame, pset_id: str, kind: str | None = None) -> dict
         raise ValueError(
             f"_pset_id {pset_id!r} matches {len(rows)} rows, expected exactly 1"
         )
-    from .objects import maybe_unpickle
+    from .objects import maybe_unpickle, pickled_cols
 
+    # metadata-gated unpickling — same rationale as df_extract_dicts
+    pcols = pickled_cols(df.schema)
     d = {
-        k: maybe_unpickle(v)
+        k: (maybe_unpickle(v) if k in pcols else v)
         for k, v in rows[0].asDict(recursive=True).items()
     }
     if kind is not None:

@@ -172,16 +172,17 @@ def test_hash_parity_matrix_typed_and_pickled(spark):
 
     psets = [
         {"i": 1, "f": 2.5, "s": "abc", "bl": True, "by": b"\x00\xff",
-         "obj": np.sin},
-        {"i": -7, "f": 0.0, "s": "", "bl": False, "by": b"", "obj": "mixed"},
+         "ab": [b"\x00", b"\xff"], "obj": np.sin},
+        {"i": -7, "f": 0.0, "s": "", "bl": False, "by": b"", "ab": [],
+         "obj": "mixed"},
         {"i": None, "f": float("nan"), "s": "héllo", "bl": None, "by": None,
-         "obj": 3.25},
+         "ab": None, "obj": 3.25},
         # 2**60 + 1 is NOT float64-representable: catches Arrow's
         # nullable-int64 -> float64 washing corrupting large ints
         {"i": 2**60 + 1, "f": -1e-12, "s": "a'b", "bl": True,
-         "by": b"xyz", "obj": DummyClass()},
+         "by": b"xyz", "ab": [b"xy"], "obj": DummyClass()},
         {"i": 5, "f": 123.456, "s": "zz", "bl": False, "by": b"\x01",
-         "obj": dummy_func},
+         "ab": [b"", b"\x7f"], "obj": dummy_func},
     ]
     df = prepare_params_df(spark, psets, pickle_objects=True)
     hashed = df.withColumn(
@@ -191,15 +192,16 @@ def test_hash_parity_matrix_typed_and_pickled(spark):
     want = [pset_hash(p) for p in psets]
     assert got == want
 
-    # pure-typed frame (no binary) goes through the JVM expression and
-    # must agree with Python too
+    # typed frame with NO top-level binary — including array<binary>,
+    # which must stay on the JVM expression ("x:" hex canon), not be
+    # routed to the raw Python leg where bytes(list) would TypeError
     typed = [
         {"i": 1, "f": 2.5, "s": "abc", "bl": True,
          "t": dt.datetime(2024, 1, 2, 3, 4, 5), "d": dt.date(2024, 1, 2),
-         "arr": [1, 2, 3]},
+         "arr": [1, 2, 3], "ab": [b"\x00\xff", b"z"]},
         {"i": 9, "f": -0.0, "s": "q", "bl": False,
          "t": dt.datetime(2020, 6, 1), "d": dt.date(1999, 12, 31),
-         "arr": []},
+         "arr": [], "ab": []},
     ]
     df2 = prepare_params_df(spark, typed)
     h2 = df2.withColumn("_h", df_hash_expr(df2.schema, filter_cols(df2.columns)))
