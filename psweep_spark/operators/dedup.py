@@ -32,6 +32,9 @@ __all__ = [
     "jaccard_pairs",
     "minhash_signatures",
     "minhash_dedup",
+    "minhash_dedup_incremental",
+    "write_dedup_index",
+    "read_dedup_index",
     "simhash",
     "embedding_near_dup_pairs",
 ]
@@ -216,15 +219,24 @@ def minhash_signatures(
     signature stage rides inside the scan at any data size.
     """
     d, sh = _shingle_parts(df, n, id_col, text_col)
-    # one md5 per shingle; low 30 bits as the base hash (materialized so
-    # the 12 family mixes below reference it, not recompute it)
-    h30 = F.transform(
+    out = d.select("id", _h30_of_shingles(sh).alias("__h30"))
+    return _sig_of_h30(out, num_hashes)
+
+
+def _h30_of_shingles(sh: Column) -> Column:
+    """array<string> shingles → array<bigint> base hashes: one md5 per
+    shingle, low 30 bits (materialized once so the k family mixes
+    reference it, not recompute it)."""
+    return F.transform(
         sh,
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
         .cast("long")
         .bitwiseAND(F.lit((1 << 30) - 1)),
     )
-    out = d.select("id", h30.alias("__h30"))
+
+
+def _sig_of_h30(df: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, __h30) → (id, mh_0..mh_{k-1}) universal-hash family mins."""
     sigs = [
         F.array_min(
             F.transform(
@@ -235,7 +247,7 @@ def minhash_signatures(
         ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return out.select("id", *sigs)
+    return df.select("id", *sigs)
 
 
 def _stacked_buckets(
@@ -248,12 +260,17 @@ def _stacked_buckets(
 ) -> DataFrame:
     """(id, band_idx, bucket) LSH banding relation: band bucket =
     md5(concat of that band's signature rows)."""
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, num_hashes=num_hashes, n=n, id_col=id_col, text_col=text_col
     )
+    return _bands_of_sig(sig, num_hashes, bands)
+
+
+def _bands_of_sig(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Signature relation → exploded (id, band_idx, bucket)."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -439,15 +456,149 @@ def minhash_dedup(
     )
 
 
+def write_dedup_index(
+    corpus_df: DataFrame,
+    path: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Persist the corpus-side LSH dedup index — the steady-state
+    artifact that makes incremental/streaming dedup cost ∝ batch, not
+    ∝ corpus.  One-time O(|corpus|) shingle+signature work, then every
+    batch joins against the stored relations instead of recomputing
+    them.
+
+    Layout under ``path`` (any Hadoop-FS scheme):
+
+    * ``banding/``  — (id, band_idx, bucket), range-partitioned and
+      sorted by (band_idx, bucket) so parquet row-group min/max stats
+      make a pushed ``bucket IN (...)`` filter skip everything but the
+      probed buckets (see :func:`minhash_dedup_incremental`'s
+      bucket-pushdown).
+    * ``shingles/`` — (id, __sh array<string>): each doc's distinct
+      shingle set, the verification side (exact-Jaccard needs the
+      candidate old docs' shingles without re-scanning corpus text).
+    * ``meta/``     — single row (num_hashes, bands, n): the banding
+      parameters, validated on read so a batch can never probe an
+      index built with different hashing.
+
+    Rebuild cadence: append-only corpora can union a new banding delta
+    (the relation is keyed, order-free); compaction rewrites.
+
+    Build cost discipline: the corpus is shingled ONCE into a cached
+    relation feeding both outputs, and the banding relation is itself
+    persisted before the range shuffle — ``repartitionByRange`` samples
+    its child to pick bounds, which would otherwise execute the whole
+    signature pipeline a second time.  Meta is one tiny JSON written
+    through the Hadoop FS API (no Spark job for three integers).
+    """
+    from pyspark import StorageLevel
+
+    p = path.rstrip("/")
+    sh = (
+        shingled(corpus_df, n=n, id_col=id_col, text_col=text_col)
+        .select("id", F.coalesce(F.col("__sh"), F.array()).alias("__sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # sorted by id: a batch's candidate-id IN filter row-group-skips
+    # straight to the candidate docs' shingle rows
+    (
+        sh.repartitionByRange("id")
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .parquet(p + "/shingles")
+    )
+    sig = _sig_of_h30(
+        sh.select("id", _h30_of_shingles(F.col("__sh")).alias("__h30")),
+        num_hashes,
+    )
+    banding = _bands_of_sig(sig, num_hashes, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    (
+        banding.repartitionByRange("band_idx", "bucket")
+        .sortWithinPartitions("band_idx", "bucket")
+        .write.mode("overwrite")
+        .parquet(p + "/banding")
+    )
+    sh.unpersist()
+    banding.unpersist()
+    _write_meta_json(
+        corpus_df.sparkSession,
+        p + "/meta.json",
+        {"num_hashes": num_hashes, "bands": bands, "n": n},
+    )
+    return path
+
+
+def _write_meta_json(spark, path: str, meta: dict) -> None:
+    """Tiny driver-side JSON write through the Hadoop FS API — works on
+    any scheme (file/hdfs/s3a) without scheduling a Spark job."""
+    import json
+
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_meta_json(spark, path: str) -> dict:
+    import json
+
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    stream = fs.open(hpath)
+    try:
+        buf = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            buf.append(b)
+    finally:
+        stream.close()
+    return json.loads(bytes(buf).decode("utf-8"))
+
+
+def read_dedup_index(spark, path: str):
+    """Load a :func:`write_dedup_index` index.
+
+    Returns ``(banding_df, shingles_df, params)`` where ``params`` is
+    the dict of banding parameters the index was built with — pass
+    them to :func:`minhash_dedup_incremental` so the batch side hashes
+    identically.
+    """
+    p = path.rstrip("/")
+    params = _read_meta_json(spark, p + "/meta.json")
+    return (
+        spark.read.parquet(p + "/banding"),
+        spark.read.parquet(p + "/shingles"),
+        params,
+    )
+
+
 def minhash_dedup_incremental(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None = None,
     num_hashes: int = 12,
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_banding: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
+    bucket_pushdown_limit: int = 100_000,
 ) -> DataFrame:
     """Incremental near-dup check: a NEW batch against the EXISTING
     corpus — the production update flow (daily crawl vs the lake).
@@ -457,31 +608,77 @@ def minhash_dedup_incremental(
     the cost is proportional to the batch's bucket collisions, not the
     corpus size — re-running full dedup on corpus+batch would redo
     O(|corpus|) signature work per update and regenerate all historical
-    pairs.  (At steady state the corpus side's banding relation is a
-    precomputed table keyed by (band_idx, bucket) — bucketed storage
-    makes the candidate join co-located with zero shuffle on the big
-    side; here it is recomputed because the test corpus is parquet.)
+    pairs.
+
+    Two corpus-side modes:
+
+    * ``corpus_df`` — the banding and shingles are computed inline
+      (one-shot use; fine for a single batch check).
+    * ``corpus_banding`` + ``corpus_shingles`` (from
+      :func:`write_dedup_index` / :func:`read_dedup_index`) — the
+      steady-state path: NO corpus text is scanned and no corpus
+      signature is recomputed.  The batch's (small, persisted) bucket
+      set is additionally collected and pushed into the banding scan as
+      a ``bucket IN (...)`` parquet filter when it has at most
+      ``bucket_pushdown_limit`` entries — with the index sorted by
+      (band_idx, bucket), row-group min/max stats skip every non-probed
+      bucket, so the scan reads ∝ matched buckets, not ∝ corpus.
+      This is what a long-running streaming gate must use: per-batch
+      work collapses to batch hashing + an indexed probe.
 
     Verification is the same exact-Jaccard array-intersect as
     :func:`minhash_dedup`, restricted to candidate docs on each side.
     Returns (id_new, id_old, jaccard ≥ τ).
     """
+    if corpus_df is None and (corpus_banding is None or corpus_shingles is None):
+        raise ValueError(
+            "pass corpus_df, or both corpus_banding and corpus_shingles"
+        )
+    from pyspark import StorageLevel
+
     s_new = _stacked_buckets(
         new_df, num_hashes=num_hashes, bands=bands, n=n,
         id_col=id_col, text_col=text_col,
     )
-    s_old = _stacked_buckets(
-        corpus_df, num_hashes=num_hashes, bands=bands, n=n,
-        id_col=id_col, text_col=text_col,
-    ).select(
-        F.col("id").alias("id_old"),
-        F.col("band_idx").alias("band_idx_o"),
-        F.col("bucket").alias("bucket_o"),
-    )
-    from pyspark import StorageLevel
+    if corpus_banding is not None:
+        s_old = corpus_banding.select(
+            F.col("id").alias("id_old"),
+            F.col("band_idx").alias("band_idx_o"),
+            F.col("bucket").alias("bucket_o"),
+        )
+        # the batch banding feeds two consumers (bucket collection +
+        # the candidate join) — persist so signatures compute once
+        s_new = s_new.persist(StorageLevel.MEMORY_AND_DISK)
+        probe = [
+            r["bucket"]
+            for r in s_new.select("bucket")
+            .distinct()
+            .limit(bucket_pushdown_limit + 1)
+            .collect()
+        ]
+        if len(probe) <= bucket_pushdown_limit:
+            # pushed to the parquet scan; superset of the join keys
+            # (band_idx still enforced by the join itself)
+            s_old = s_old.filter(F.col("bucket_o").isin(probe))
+    else:
+        s_old = _stacked_buckets(
+            corpus_df, num_hashes=num_hashes, bands=bands, n=n,
+            id_col=id_col, text_col=text_col,
+        ).select(
+            F.col("id").alias("id_old"),
+            F.col("band_idx").alias("band_idx_o"),
+            F.col("bucket").alias("bucket_o"),
+        )
 
+    # index mode: the batch side is small by definition (one
+    # micro-batch / daily increment) — an explicit broadcast makes the
+    # candidate probe a build-batch + stream-the-index-scan hash join
+    # with NO shuffle of the (corpus-sized) banding relation, and keeps
+    # the plan right even where AQE can't re-plan (foreachBatch bodies
+    # contain a streaming source, which disables AQE)
+    s_new_j = F.broadcast(s_new) if corpus_banding is not None else s_new
     cands = (
-        s_new.join(
+        s_new_j.join(
             s_old,
             (s_new.band_idx == s_old.band_idx_o)
             & (s_new.bucket == s_old.bucket_o),
@@ -491,6 +688,8 @@ def minhash_dedup_incremental(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cands.count()  # materialize once; three consumers below
+    if corpus_banding is not None:
+        s_new.unpersist()
     new_ids = cands.select(F.col("id_new").alias("id")).distinct()
     old_ids = cands.select(F.col("id_old").alias("id")).distinct()
     sh_new = (
@@ -501,15 +700,37 @@ def minhash_dedup_incremental(
             F.coalesce(F.col("__sh"), F.array()).alias("__sh_n"),
         )
     )
-    sh_old = (
-        shingled(corpus_df, n=n, id_col=id_col, text_col=text_col)
-        .join(F.broadcast(old_ids), "id", "left_semi")
-        .select(
-            F.col("id").alias("id_old"),
-            F.coalesce(F.col("__sh"), F.array()).alias("__sh_o"),
-        )
+    if corpus_shingles is not None:
+        # candidate-old-id set is tiny (bounded by the batch's LSH
+        # collisions) — push it into the shingles scan as an IN filter:
+        # with the index sorted by id, row-group stats skip every
+        # non-candidate doc, so the verification read is ∝ candidates
+        old_id_vals = [
+            r["id"]
+            for r in old_ids.limit(bucket_pushdown_limit + 1).collect()
+        ]
+        if len(old_id_vals) <= bucket_pushdown_limit:
+            sh_old_src = corpus_shingles.filter(
+                F.col("id").isin(old_id_vals)
+            )
+        else:
+            sh_old_src = corpus_shingles.join(
+                F.broadcast(old_ids), "id", "left_semi"
+            )
+    else:
+        sh_old_src = shingled(
+            corpus_df, n=n, id_col=id_col, text_col=text_col
+        ).join(F.broadcast(old_ids), "id", "left_semi")
+    sh_old = sh_old_src.select(
+        F.col("id").alias("id_old"),
+        F.coalesce(F.col("__sh"), F.array()).alias("__sh_o"),
     )
     n_inter = F.size(F.array_intersect(F.col("__sh_n"), F.col("__sh_o")))
+    if corpus_banding is not None:
+        # both verification sides are candidate-filtered (tiny) — hint
+        # them so the joins stay broadcast without AQE (see above)
+        cands = F.broadcast(cands)
+        sh_old = F.broadcast(sh_old)
     return (
         cands.join(sh_new, "id_new")
         .join(sh_old, "id_old")

@@ -21,6 +21,7 @@ __all__ = [
     "read_schema_columns",
     "codegen_span_count",
     "partition_filters",
+    "file_scan_locations",
     "ensure_parallelism",
 ]
 
@@ -86,6 +87,14 @@ def codegen_span_count(df: DataFrame) -> int:
     plan = df._jdf.queryExecution().executedPlan().toString()
     ids = re.findall(r"\*\((\d+)\)", plan)
     return len(set(ids))
+
+
+def file_scan_locations(df: DataFrame) -> list[str]:
+    """Location of every file scan in the plan — which tables a query
+    actually reads (e.g. the index-not-corpus contract of the
+    incremental dedup path)."""
+    plan = formatted_plan(df)
+    return re.findall(r"Location: \S+ \[([^\]]*)", plan)
 
 
 def partition_filters(df: DataFrame) -> list[str]:

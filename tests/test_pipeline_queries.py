@@ -158,3 +158,48 @@ def test_substring_dup_no_pair_expansion_plan(spark):
     assert "CartesianProduct" not in s
     # every join in the plan is an equi-join on wh or doc_id
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_dedup_index_batch_plan_reads_index_not_corpus(spark, tmp_path):
+    """The steady-state streaming-gate contract: with a precomputed LSH
+    index, the per-batch incremental dedup (a) returns exactly the
+    inline-corpus result, (b) scans ONLY the index parquet — zero
+    FileScans of the corpus table — and (c) pushes the probed buckets
+    into the banding scan as an IN filter."""
+    from psweep_spark import plans
+    from psweep_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    corpus_dir = str(tmp_path / "corpus")
+    docs.filter(F.col("doc_id") % 10 != 0).write.parquet(corpus_dir)
+    corpus = spark.read.parquet(corpus_dir)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).limit(20)
+
+    idx = str(tmp_path / "lshidx")
+    write_dedup_index(corpus, idx, num_hashes=12, bands=4)
+    banding, shingles, params = read_dedup_index(spark, idx)
+    assert params == {"num_hashes": 12, "bands": 4, "n": 3}
+
+    out_idx = minhash_dedup_incremental(
+        batch, corpus_banding=banding, corpus_shingles=shingles,
+        threshold=0.5, **params,
+    )
+    got = {(r["id_new"], r["id_old"], round(r["jaccard"], 6))
+           for r in out_idx.collect()}
+
+    # (b) + (c): the executed plan reads the index, never the corpus dir
+    locs = plans.file_scan_locations(out_idx)
+    assert locs, "expected file scans in the plan"
+    assert not any(corpus_dir in loc for loc in locs), locs
+    assert any("lshidx/banding" in loc for loc in locs), locs
+    pushed = [p for p in plans.pushed_filters(out_idx) if "bucket_o" in p or "In(bucket" in p]
+    assert pushed, plans.pushed_filters(out_idx)
+
+    out_inline = minhash_dedup_incremental(batch, corpus, threshold=0.5)
+    want = {(r["id_new"], r["id_old"], round(r["jaccard"], 6))
+            for r in out_inline.collect()}
+    assert got == want and got, (len(got), len(want))
