@@ -123,6 +123,7 @@ HEADLINE = [
     "stream_near_dedup_docs",
     "docs_source_quota",
     "embed_semdedup",
+    "semdedup_kmeans",
     "docs_mixture_epochs",
     "pipeline_prepare_corpus",
     "docs_decontaminate",

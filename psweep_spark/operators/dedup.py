@@ -37,6 +37,7 @@ __all__ = [
     "read_dedup_index",
     "simhash",
     "embedding_near_dup_pairs",
+    "cluster_cosine_pairs",
 ]
 
 _WS = r"\s+"
@@ -869,3 +870,66 @@ def embedding_near_dup_pairs(
         return pd.DataFrame({"id_a": xa, "id_b": xb, "cosine": c})
 
     return both.groupBy("pa", "pb").applyInPandas(_cross, out_schema)
+
+
+def cluster_cosine_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    cluster_col: str = "cluster_id",
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """Within-cluster cosine near-dup pairs — the SemDeDup pair stage
+    as ONE BLAS matmul per cluster.
+
+    Input: (cluster, id, vector) with vectors already assigned to
+    clusters; output (cluster_id, id_a < id_b, cosine ≥ τ) with cosine
+    rounded to 6 dp (stable under BLAS-vs-sequential summation order).
+
+    Scale shape: one shuffle on the cluster id, then each cluster's
+    full pair matrix is a single ``A @ A.T`` inside ``applyInPandas``
+    (Arrow columnar transfer, vectorized BLAS) — ~100× the throughput
+    of a per-pair interpreted fold, and the per-task working set is one
+    cluster's matrix.  With SemDeDup's k≈√N sizing the expected
+    cluster is √N rows ⇒ N total pair-work stays ~linear; an oversized
+    cluster is the hot-LSH-bucket case — cap or re-cluster upstream
+    (same guardrail as ``minhash_dedup``'s ``max_bucket_size``).
+    """
+    sel = assigned.select(
+        F.col(cluster_col).alias("__cl"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+    )
+
+    def _pairs(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"cluster_id": [], "id_a": [], "id_b": [], "cosine": []}
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("__id")  # triu ⇒ id_a < id_b, order-free
+        ids = pdf["__id"].to_numpy()
+        M = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0.0] = 1.0  # zero vectors: cosine 0, never ≥ τ > 0
+        cos = np.round((M @ M.T) / np.outer(nrm, nrm), 6)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = cos[ia, ib] >= threshold
+        ia, ib = ia[mask], ib[mask]
+        if not len(ia):
+            return empty
+        return pd.DataFrame(
+            {
+                "cluster_id": int(key[0]),
+                "id_a": ids[ia],
+                "id_b": ids[ib],
+                "cosine": cos[ia, ib],
+            }
+        )
+
+    return sel.groupBy("__cl").applyInPandas(
+        _pairs, "cluster_id int, id_a bigint, id_b bigint, cosine double"
+    )

@@ -227,14 +227,21 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: assignment argmin runs on ×1000 integer-quantized
     vectors (bigint math, cross-engine identical, tie → lowest
-    centroid id); the reported cosine is rounded to 6 dp.
+    centroid id); the reported cosine is rounded to 6 dp (stable under
+    BLAS-vs-sequential summation order).
 
-    Scale shape: centroids are literal-inlined (k·d values) so
-    assignment is a zero-shuffle projection; the pair join shuffles on
-    cluster_id only.  Balanced clusters bound the per-task pair
-    expansion; an oversized cluster is handled like any hot LSH bucket
-    (cap or recursive re-cluster — same guardrail as minhash_dedup's
-    max_bucket_size)."""
+    Scale shape: assignment is `assign_nearest_centroid` — a
+    zero-shuffle literal-codebook projection at this k, switching to a
+    broadcast-join automatically above k≈256 (SemDeDup's k≈√N rule
+    eventually demands it); the pair stage is `cluster_cosine_pairs` —
+    ONE shuffle on cluster_id, then one BLAS ``A @ A.T`` per cluster
+    inside applyInPandas (~100× a per-pair interpreted fold).
+    Balanced clusters bound the per-task pair expansion; an oversized
+    cluster is handled like any hot LSH bucket (cap or recursive
+    re-cluster — same guardrail as minhash_dedup's max_bucket_size)."""
+    from psweep_spark.operators.dedup import cluster_cosine_pairs
+    from psweep_spark.operators.similarity import assign_nearest_centroid
+
     emb = _ld(spark, sf_dir, "embeddings")
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     q = F.transform(
@@ -245,58 +252,120 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = (
         v.filter(F.col("vec_id") < _SEM_K).orderBy("vec_id").collect()
     )
-    cb = F.array(*[
-        F.struct(
-            F.lit(int(r["vec_id"])).alias("cid"),
-            F.array(*[F.lit(int(x)) for x in r["q"]]).alias("cq"),
-        )
-        for r in cent_rows
-    ])
-    dists = F.transform(
-        cb,
-        lambda c: F.aggregate(
-            F.zip_with(F.col("q"), c["cq"], lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda s, x: s + x,
-        ),
+    cents = [(int(r["vec_id"]), [int(x) for x in r["q"]]) for r in cent_rows]
+    assigned = assign_nearest_centroid(
+        v.select("vec_id", "e", "q"), cents, q_col="q", out_col="cluster_id"
     )
-    pos = F.array_position(dists, F.array_min(dists)).cast("int")
+    return cluster_cosine_pairs(
+        assigned, _SEM_TAU, cluster_col="cluster_id",
+        id_col="vec_id", vec_col="e",
+    ).select("cluster_id", "id_a", "id_b", "cosine")
 
-    def _dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, r: p * r),
-            F.lit(0.0),
-            lambda s, z: s + z,
-        )
 
-    # norms once per VECTOR, not per pair: the pair join then folds one
-    # 64-dim dot per pair instead of three (sqrt(dot(a,a)) of the same
-    # doubles → bit-identical to the oracle's per-pair form)
-    assigned = v.select(
-        "vec_id",
-        "e",
-        F.element_at(cb, pos)["cid"].alias("cluster_id"),
-        F.sqrt(_dot(F.col("e"), F.col("e"))).alias("nrm"),
-    )
-    a = assigned.select(
-        F.col("cluster_id"), F.col("vec_id").alias("id_a"),
-        F.col("e").alias("e_a"), F.col("nrm").alias("nrm_a"),
-    )
-    b = assigned.select(
-        F.col("cluster_id").alias("cl_b"), F.col("vec_id").alias("id_b"),
-        F.col("e").alias("e_b"), F.col("nrm").alias("nrm_b"),
-    )
-    cos = F.round(
-        _dot(F.col("e_a"), F.col("e_b"))
-        / (F.col("nrm_a") * F.col("nrm_b")),
-        6,
+# --------------------------------------------------------------------------
+# SemDeDup ∘ k-means: the production composition (real Lloyd centroids)
+# --------------------------------------------------------------------------
+
+_SDK_K, _SDK_ITERS, _SDK_DIM = 4, 3, 64
+
+
+def _semdedup_kmeans_oracle() -> str:
+    from psweep_spark.queries_scale import _kmeans_cte_parts
+
+    parts = _kmeans_cte_parts(_SDK_K, _SDK_ITERS, _SDK_DIM)
+    cos = (
+        "round(list_dot_product(a.e, b.e) /"
+        " (sqrt(list_dot_product(a.e, a.e))"
+        " * sqrt(list_dot_product(b.e, b.e))), 6)"
     )
     return (
-        a.join(b, (a.cluster_id == b.cl_b) & (a.id_a < b.id_b))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= _SEM_TAU)
-        .select("cluster_id", "id_a", "id_b", "cosine")
+        "WITH " + ",".join(parts)
+        + f"""
+    , ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             FROM embeddings),
+    df AS (
+      SELECT v.vec_id, c.cid,
+             list_sum(list_transform(range(1, {_SDK_DIM + 1}),
+                  i -> (v.q[i] - c.num[i]) * (v.q[i] - c.num[i]))) AS dist
+      FROM qv v CROSS JOIN c{_SDK_ITERS} c
+    ),
+    af AS (
+      SELECT d.vec_id, d.cid, ve.e
+      FROM df d JOIN ve ON ve.vec_id = d.vec_id
+      QUALIFY row_number() OVER (PARTITION BY d.vec_id
+                                 ORDER BY dist, cid) = 1
     )
+    SELECT a.cid AS cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+           {cos} AS cosine
+    FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {cos} >= {_SEM_TAU}
+    """
+    )
+
+
+@_q("semdedup_kmeans", _semdedup_kmeans_oracle())
+def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over REAL k-means centroids — the production
+    composition (`embed_kmeans_lloyd`'s Lloyd loop feeding
+    `embed_semdedup`'s pair stage), not the first-k-vectors stand-in.
+
+    Pipeline: ×1000 integer-quantized embeddings → {ITERS} Lloyd
+    rounds (k={K}, floored integer centroids — exact cross-engine, the
+    kmeans query's arithmetic) → `assign_nearest_centroid` under the
+    final centroids → `cluster_cosine_pairs` BLAS pair stage within
+    clusters, cosine ≥ τ rounded to 6 dp.
+
+    Scale shape: each Lloyd round is one map-side assignment + one
+    partially-aggregated shuffle with only k·d ints collected; the
+    pair stage shuffles once on cluster_id and runs one matmul per
+    cluster.  Nothing driver-side ever holds more than the codebook."""
+    import math
+
+    from psweep_spark.operators.dedup import cluster_cosine_pairs
+    from psweep_spark.operators.similarity import assign_nearest_centroid
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qx = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    v = emb.select("vec_id", e.alias("e"), qx.alias("q"))
+
+    init = v.select("vec_id", "q").orderBy("vec_id").limit(_SDK_K).collect()
+    cents = [(i, [int(x) for x in r["q"]]) for i, r in enumerate(init)]
+    for _ in range(_SDK_ITERS):
+        assigned = assign_nearest_centroid(
+            v.select("vec_id", "q"), cents, q_col="q", out_col="cid"
+        )
+        rows = (
+            assigned.groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("q", d + 1)).alias(f"s{d}")
+                    for d in range(_SDK_DIM)
+                ],
+            )
+            .collect()
+        )
+        cents = sorted(
+            (
+                int(r["cid"]),
+                [
+                    math.floor(int(r[f"s{d}"]) / int(r["n"]))
+                    for d in range(_SDK_DIM)
+                ],
+            )
+            for r in rows
+        )
+    final = assign_nearest_centroid(
+        v.select("vec_id", "e", "q"), cents, q_col="q", out_col="cluster_id"
+    )
+    return cluster_cosine_pairs(
+        final, _SEM_TAU, cluster_col="cluster_id",
+        id_col="vec_id", vec_col="e",
+    ).select("cluster_id", "id_a", "id_b", "cosine")
 
 
 # --------------------------------------------------------------------------

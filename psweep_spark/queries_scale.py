@@ -2051,17 +2051,9 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 4, iters: int = 3, dim: int = 64) -> str:
-    """Unrolled-CTE Lloyd iterations.  All arithmetic that decides an
-    assignment is exact: embeddings quantize to integers (×1000) and
-    every round's centroid is FLOORED back to the integer grid
-    (floor(Σq / n), one double division of integers that both engines
-    perform identically — exact while |Σq| < 2^53, i.e. up to ~10^12
-    members/cluster), so the distance Σ(q − c)² is a bigint bounded by
-    dim·(2·max|q|)² ≈ 10^9 — no overflow at ANY cluster size (ADVICE
-    r01: the previous rational (Σq, n) centroid made the scaled
-    distance grow with n² and silently wrap past ~10^5 members).
-    Ties break on cluster id."""
+def _kmeans_cte_parts(k: int = 4, iters: int = 3, dim: int = 64) -> list[str]:
+    """The unrolled Lloyd CTE chain (qv, c0, d1..c{iters}) shared by the
+    k-means oracle and the semdedup∘kmeans composition oracle."""
     parts = [
         f"""
     qv AS (
@@ -2105,6 +2097,21 @@ def _kmeans_oracle(k: int = 4, iters: int = 3, dim: int = 64) -> str:
       FROM s{t} s JOIN n{t} n ON s.cid = n.cid
       GROUP BY s.cid
     )""")
+    return parts
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled-CTE Lloyd iterations.  All arithmetic that decides an
+    assignment is exact: embeddings quantize to integers (×1000) and
+    every round's centroid is FLOORED back to the integer grid
+    (floor(Σq / n), one double division of integers that both engines
+    perform identically — exact while |Σq| < 2^53, i.e. up to ~10^12
+    members/cluster), so the distance Σ(q − c)² is a bigint bounded by
+    dim·(2·max|q|)² ≈ 10^9 — no overflow at ANY cluster size (ADVICE
+    r01: the previous rational (Σq, n) centroid made the scaled
+    distance grow with n² and silently wrap past ~10^5 members).
+    Ties break on cluster id."""
+    parts = _kmeans_cte_parts(k, iters, dim)
     dims_out = ",\n           ".join(
         f"CAST(sl[{d + 1}] AS DOUBLE) / CAST(1000 * den AS DOUBLE) AS c{d}"
         for d in range(4)

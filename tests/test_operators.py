@@ -513,3 +513,34 @@ def test_connected_components_long_chain_with_checkpoint(spark):
     }
     assert got == {**{i: 0 for i in range(10)},
                    **{i: 100 for i in (100, 101, 102)}}
+
+
+def test_assign_nearest_centroid_broadcast_path_at_large_k(spark):
+    """Above literal_max_k the codebook must become a broadcast-join
+    plan (BroadcastExchange present, no k·d-literal expression tree),
+    and both physical strategies must produce identical assignments."""
+    import random
+
+    from psweep_spark import plans
+    from psweep_spark.operators.similarity import assign_nearest_centroid
+
+    rng = random.Random(7)
+    dim, k, n = 16, 1024, 300
+    cents = [(c, [rng.randrange(-1000, 1000) for _ in range(dim)])
+             for c in range(k)]
+    rows = [(i, [rng.randrange(-1000, 1000) for _ in range(dim)])
+            for i in range(n)]
+    v = spark.createDataFrame(rows, "vec_id long, q array<bigint>")
+
+    big = assign_nearest_centroid(v, cents, q_col="q", out_col="cid")
+    assert plans.broadcast_join_count(big) >= 1, plans.formatted_plan(big)[:500]
+    # the plan must NOT inline the codebook: a 1024×16 literal array
+    # would appear as a giant named_struct/array expression
+    assert "named_struct" not in plans.formatted_plan(big)[:2000]
+
+    lit = assign_nearest_centroid(
+        v, cents, q_col="q", out_col="cid", literal_max_k=k
+    )
+    got_big = {r["vec_id"]: r["cid"] for r in big.collect()}
+    got_lit = {r["vec_id"]: r["cid"] for r in lit.collect()}
+    assert got_big == got_lit and len(got_big) == n

@@ -83,20 +83,19 @@ def test_mixture_epochs_counts(spark):
 
 def test_semdedup_assignment_is_projection(spark):
     """The centroid codebook is literal-inlined: cluster assignment adds
-    no join and no broadcast; the only joins in the whole plan are the
-    within-cluster pair join."""
-    from psweep_spark import plans
-
+    no join and no broadcast, and the BLAS pair stage replaces the old
+    pair join entirely — the whole plan is join-free (one projection,
+    one shuffle on cluster_id into applyInPandas)."""
     df = QUERIES["embed_semdedup"](spark, SF_DIR)
     s = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
-    # one equi-join (the pair join); assignment itself joins nothing
     assert (
         s.count("SortMergeJoin")
         + s.count("BroadcastHashJoin")
         + s.count("ShuffledHashJoin")
-    ) == 1, s
+    ) == 0, s
+    assert "FlatMapGroupsInPandas" in s, s
 
 
 def test_incremental_dedup_semantics_no_new_new(spark):
