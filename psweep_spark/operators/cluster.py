@@ -12,15 +12,22 @@ Converges in O(graph diameter) rounds; duplicate clusters are
 near-cliques (diameter ≤ ~3), so 5 rounds is generous.  Each round is
 one shuffle join + one groupBy on the edge relation — no driver-side
 graph, no GraphX dependency.  For web-scale general graphs (long
-chains), swap the loop body for the large-star/small-star contraction
-(Kiveris et al., "Connected Components in MapReduce"), which is the
-same join/groupBy primitive with O(log² n) rounds.
+chains) the default distributed path is the large-star/small-star
+contraction (Kiveris et al., "Connected Components in MapReduce and
+Beyond"), the same join/groupBy primitives with O(log² n) rounds —
+a 10⁶-node chain converges in ~10 alternations instead of 10⁶
+label-propagation rounds.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: diagnostics — alternation rounds the last ``_star_contraction`` ran
+#: (including the final no-change round that proves the fixpoint).
+#: Read by tests to pin the O(log² n) convergence contract.
+LAST_STAR_ROUNDS: int = 0
 
 
 def connected_components(
@@ -30,6 +37,7 @@ def connected_components(
     max_iter: int = 10,
     checkpoint_every: int = 8,
     driver_threshold: int = 1_000_000,
+    algorithm: str = "star",
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``;
     cluster_id = min node id reachable through the pair graph.
@@ -47,10 +55,15 @@ def connected_components(
       driver (a ``collect()`` of Row objects would be ~20× that — don't
       regress it); the union-find dict adds O(|nodes|) small ints —
       same budget class as a broadcast table.
-    * above it → the distributed min-label loop below, whose shuffles
-      are what a billion-edge graph actually needs.
+    * above it → a distributed algorithm chosen by ``algorithm``:
+      ``"star"`` (default) is the large-star/small-star contraction —
+      O(log² n) rounds on ANY graph shape, the right choice when the
+      pair graph may contain long chains (transitive near-dup drift);
+      ``"label"`` is min-label propagation — O(diameter) rounds, one
+      fewer shuffle per round, fine for the near-clique clusters
+      near-dup detection actually emits.
 
-    Distributed path: terminates early at fixpoint.  Labels are
+    Min-label path: terminates early at fixpoint.  Labels are
     monotonically non-increasing per node, so "no label changed" ⟺
     "sum(label) unchanged" — convergence is detected with one scalar
     aggregate over the already-persisted label relation, never a
@@ -97,6 +110,10 @@ def connected_components(
         return spark.createDataFrame(
             rows, f"node {node_type}, cluster_id {node_type}"
         )
+    if algorithm == "star":
+        out = _star_contraction(edge_rel, id_a, id_b, max_iter=max_iter)
+        edge_rel.unpersist()
+        return out
     # build from the already-persisted edge relation: the (potentially
     # very expensive) pairs plan — e.g. an n-gram Jaccard self-join —
     # was executed exactly once, into edge_rel
@@ -142,4 +159,123 @@ def connected_components(
     edges.unpersist()
     undirected.unpersist()
     edge_rel.unpersist()
+    return out
+
+
+def _star_contraction(
+    edge_rel: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm, reimplemented as DataFrame joins).
+
+    Each round alternates two contractions over a canonically oriented
+    edge set (hi > lo):
+
+    * **large-star**: every node ``u`` attaches its strictly-LARGER
+      neighbors to ``m(u) = min(Γ(u) ∪ {u})`` — expressed as one
+      min-groupBy per node plus one join back to the neighbor list
+      (NO ``collect_list``: a web-scale hub's neighborhood never has
+      to fit in one task's memory).
+    * **small-star**: every node attaches its ≤ neighbors (the ``lo``
+      side of its canonical edges) plus itself to the minimum — one
+      groupBy + join on the already-canonical relation.
+
+    Both phases preserve connectivity and strictly reduce the
+    potential function of the paper, giving O(log² n) rounds on any
+    graph; a chain of 10⁶ nodes converges in ~10 alternations where
+    min-label propagation needs 10⁶.  Per round: 2 min-groupBys,
+    2 joins, 2 distincts — all hash-shuffles on node ids, no global
+    sort, no driver state.  Fixpoint ⟺ the edge multiset stops
+    changing, detected with one (count, sum-of-edge-hash) aggregate —
+    edge hashes summed as decimal(38,0) so the check is collision- and
+    overflow-safe in practice.
+
+    Every round ends in an eager ``localCheckpoint`` — not an
+    optimization but a requirement: one round's plan references the
+    previous edge relation FOUR times (both union legs of the
+    neighbor view, then the min-relation join back onto it), so an
+    unbroken lineage grows ~4× per round and Catalyst analysis OOMs
+    around round 6 regardless of data size.  Checkpointing resets the
+    plan to a leaf, making round cost flat.
+
+    Returns (node, cluster_id = component minimum) for every node in
+    ``edge_rel``, including isolated nodes that only appear in
+    self-pairs."""
+    hi, lo = F.col("hi"), F.col("lo")
+    # canonical orientation + eager checkpoint: the caller's pairs plan
+    # (often an expensive similarity self-join) executes exactly once,
+    # and the iteration below never re-reads it
+    base = (
+        edge_rel.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
+            F.least(F.col(id_a), F.col(id_b)).alias("lo"),
+        )
+        .localCheckpoint()
+    )
+    nodes = (
+        base.select(hi.alias("node"))
+        .union(base.select(lo.alias("node")))
+        .distinct()
+        .persist()
+    )
+    edges = base.where(hi != lo).distinct().persist()
+    _checksum = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+    ]
+    prev = object()
+    for it in range(max_iter):
+        # ---- large-star ----------------------------------------------
+        nbrs = edges.select(hi.alias("u"), lo.alias("v")).union(
+            edges.select(lo.alias("u"), hi.alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(
+            F.min("v").alias("_mn")
+        ).select("u", F.least("_mn", F.col("u")).alias("m"))
+        # NO distinct here: small-star's min-groupBy is duplicate-
+        # idempotent and the round ends in one distinct — an
+        # intermediate dedup would only add a shuffle
+        large = (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .where(hi != lo)
+        )
+        # ---- small-star ----------------------------------------------
+        smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        joined = large.join(smins, "hi")
+        new_edges = (
+            joined.where(lo != F.col("m"))
+            .select(lo.alias("hi"), F.col("m").alias("lo"))
+            .union(joined.select("hi", F.col("m").alias("lo")))
+            .distinct()
+        )
+        new_edges = new_edges.localCheckpoint()
+        cur = new_edges.agg(*_checksum).first()
+        cur = (cur["n"], cur["h"])
+        edges.unpersist()
+        edges = new_edges
+        global LAST_STAR_ROUNDS
+        LAST_STAR_ROUNDS = it + 1
+        if cur == prev:
+            break
+        prev = cur
+    # at fixpoint every component is a star rooted at its minimum:
+    # edges are exactly (member, root).  Roots and isolated nodes carry
+    # their own id.
+    stars = edges.select(hi.alias("node"), lo.alias("cluster_id"))
+    out = (
+        nodes.join(stars, "node", "left")
+        .select(
+            "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
+        )
+    )
+    # one materialization so persisted inputs can be dropped eagerly
+    out = out.localCheckpoint()
+    nodes.unpersist()
+    edges.unpersist()
     return out

@@ -515,6 +515,52 @@ def test_connected_components_long_chain_with_checkpoint(spark):
                    **{i: 100 for i in (100, 101, 102)}}
 
 
+def test_connected_components_star_path_small_graphs(spark):
+    """The large-star/small-star contraction (forced via
+    driver_threshold=0) must produce exactly the same clusters as the
+    driver union-find on mixed chain/triangle/pair graphs."""
+    from psweep_spark.operators.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21), (30, 30)],          # self-pair → isolated node
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20), (30, 30),
+    }
+
+
+def test_connected_components_star_million_edge_chain(spark):
+    """The scale contract from Kiveris et al.: a single 10⁶-edge PATH
+    graph — the worst case for min-label propagation (10⁶ rounds) —
+    must converge in O(log² n) star-contraction alternations.  21
+    alternations observed (+1 fixpoint-detection round); the assert
+    leaves headroom at 26 while staying 4 orders of magnitude under
+    the diameter."""
+    from pyspark.sql import functions as F
+
+    from psweep_spark.operators import cluster
+
+    n = 1_000_000
+    edges = spark.range(n).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = cluster.connected_components(
+        edges, driver_threshold=0, max_iter=40
+    )
+    assert out.where(F.col("cluster_id") != 0).count() == 0
+    assert out.count() == n + 1
+    assert cluster.LAST_STAR_ROUNDS <= 26
+
+
 def test_assign_nearest_centroid_broadcast_path_at_large_k(spark):
     """Above literal_max_k the codebook must become a broadcast-join
     plan (BroadcastExchange present, no k·d-literal expression tree),
