@@ -26,6 +26,8 @@ import json
 import os
 import shutil
 import time
+import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +37,7 @@ from .hashing import df_hash_expr, filter_cols
 
 META_BASENAME = "_psweep_meta.json"
 DATA_DIRNAME = "data"
+LOCK_BASENAME = ".writer_lock"
 
 
 class Database:
@@ -57,9 +60,105 @@ class Database:
         return {}
 
     def write_meta(self, meta: dict) -> None:
+        """Atomic replace (tmp + rename): a reader never observes a
+        torn JSON file, even while a writer holds the lock."""
         os.makedirs(self.path, exist_ok=True)
-        with open(self.meta_path, "w") as fh:
+        tmp = self.meta_path + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
             json.dump(meta, fh, indent=2, sort_keys=True, default=str)
+        os.replace(tmp, self.meta_path)
+
+    # -- concurrency ---------------------------------------------------------
+
+    @contextmanager
+    def writer_lock(
+        self,
+        timeout: float = 120.0,
+        poll: float = 0.05,
+        stale_after: float = 3600.0,
+    ):
+        """Advisory exclusive writer lock (``O_CREAT|O_EXCL`` lockfile).
+
+        Guards the commit-time critical sections only — seq
+        reservation and the file moves of :meth:`append` — NEVER the
+        user-function compute, so concurrent ``run()`` calls overlap
+        their expensive work and serialize only for milliseconds of
+        bookkeeping.  The reference is single-process and immune by
+        construction (``/root/reference/src/psweep/psweep.py`` holds
+        the whole DataFrame in memory); a shared Parquet table needs
+        this explicit guard.
+
+        A lockfile older than ``stale_after`` seconds is presumed
+        abandoned (crashed holder) and stolen.  ``O_EXCL`` is atomic on
+        POSIX local filesystems and HDFS; on S3-like stores without
+        atomic create, the production answer is a transactional table
+        format (Delta/Iceberg optimistic commit) — this class is the
+        local-FS stand-in for exactly that protocol."""
+        os.makedirs(self.path, exist_ok=True)
+        lock = os.path.join(self.path, LOCK_BASENAME)
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > stale_after:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    continue  # holder released between stat and unlink
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"writer lock {lock} held for >{timeout}s; "
+                        "remove it manually if the holder crashed"
+                    )
+                time.sleep(poll)
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+
+    def reserve_seqs(
+        self, spark: SparkSession, n_pset_slots: int, peek: bool = False
+    ) -> tuple[int, int]:
+        """Atomically claim the next ``_run_seq`` and an exclusive
+        ``_pset_seq`` range ``[base+1, base+n_pset_slots]``.
+
+        Returns ``(run_seq, pset_base)``.  The watermark lives in the
+        meta file, so a reservation is visible to other writers BEFORE
+        the run's data lands — this closes the lost-update race where
+        two concurrent ``run()`` calls both read ``max_seqs`` and stamp
+        identical seqs.  Watermarks only ever move forward
+        (``max(parquet footer stats, meta watermark)``), so a run that
+        reserves and then crashes leaves a harmless gap, never a
+        collision.
+
+        ``peek=True`` (used by ``save=False`` runs, which never append)
+        computes the same values without taking the lock or advancing
+        the watermark."""
+        def _compute(meta: dict) -> tuple[int, int]:
+            mr, mp = self.max_seqs(spark)
+            run_seq = max(mr + 1, int(meta.get("next_run_seq", 0)))
+            pset_base = max(mp, int(meta.get("next_pset_seq", 0)) - 1)
+            return run_seq, pset_base
+
+        if peek:
+            return _compute(self.read_meta())
+        with self.writer_lock():
+            meta = self.read_meta()
+            run_seq, pset_base = _compute(meta)
+            meta["next_run_seq"] = run_seq + 1
+            meta["next_pset_seq"] = pset_base + int(n_pset_slots) + 1
+            meta.setdefault("engine", "psweep_spark")
+            meta.setdefault("created_utc", time.time())
+            self.write_meta(meta)
+        return run_seq, pset_base
 
     # -- read ----------------------------------------------------------------
 
@@ -110,35 +209,86 @@ class Database:
                 )
 
     def append(self, new_df: DataFrame) -> None:
-        """Append one run's rows; widen + rehash history if pset cols grew."""
+        """Append one run's rows; widen + rehash history if pset cols grew.
+
+        **Stage-then-commit** (concurrency-safe): the new rows are
+        first written to a private staging directory — the expensive
+        part (executing the run's ``mapInPandas`` plan) runs with NO
+        lock held, so concurrent runs overlap their compute.  Commit
+        then happens under :meth:`writer_lock` and is pure filesystem
+        renames: each staged ``_run_id=…`` partition directory moves
+        into the table (run ids are UUIDs, so directories never
+        collide; part filenames carry the Spark task UUID, so even a
+        shared directory merge is collision-free).  This also removes
+        the classic concurrent-append hazard of two Spark jobs sharing
+        one ``_temporary`` committer directory under the same output
+        path.  The rare pset-schema-widening rewrite keeps the lock for
+        its whole read→rehash→swap, since it replaces the table."""
         spark = new_df.sparkSession
-        old_df = self.load(spark)
-        if old_df is None:
-            self._write(new_df, mode="overwrite")
-            self.write_meta(
-                {"engine": "psweep_spark", "created_utc": time.time()}
-            )
-            return
+        staging = f"{self.data_path}.staging-{uuid.uuid4().hex[:12]}"
+        (
+            new_df.write.mode("overwrite")
+            .option("compression", "snappy")
+            .partitionBy("_run_id")
+            .parquet(staging)
+        )
+        try:
+            with self.writer_lock():
+                old_df = self.load(spark)
+                if old_df is None:
+                    meta = self.read_meta()  # may hold seq watermarks
+                    os.rename(staging, self.data_path)
+                    meta.setdefault("engine", "psweep_spark")
+                    meta.setdefault("created_utc", time.time())
+                    self.write_meta(meta)
+                    return
 
-        self._check_type_compat(old_df.schema, new_df.schema)
-        old_pset = set(filter_cols(old_df.columns))
-        new_pset = set(filter_cols(new_df.columns))
+                self._check_type_compat(old_df.schema, new_df.schema)
+                old_pset = set(filter_cols(old_df.columns))
+                new_pset = set(filter_cols(new_df.columns))
 
-        if new_pset - old_pset:
-            # pset schema widened: NULL-extend history and recompute every
-            # _pset_hash over the union pset col set (reference
-            # psweep.py:1432-1437) — requires a one-time table rewrite.
-            widened = old_df
-            new_types = {f.name: f.dataType for f in new_df.schema.fields}
-            for c in sorted(new_pset - old_pset):
-                widened = widened.withColumn(c, F.lit(None).cast(new_types[c]))
-            all_df = widened.unionByName(new_df, allowMissingColumns=True)
-            all_df = all_df.withColumn(
-                "_pset_hash", df_hash_expr(all_df.schema)
-            )
-            self._rewrite(all_df)
-        else:
-            self._write(new_df, mode="append")
+                if new_pset - old_pset:
+                    # pset schema widened: NULL-extend history and
+                    # recompute every _pset_hash over the union pset col
+                    # set (reference psweep.py:1432-1437) — one-time
+                    # table rewrite.  Re-read the STAGED files (schema
+                    # pinned — no partition-value type re-inference)
+                    # instead of re-executing the run plan.
+                    staged_df = spark.read.schema(new_df.schema).parquet(
+                        staging
+                    )
+                    widened = old_df
+                    new_types = {
+                        f.name: f.dataType for f in new_df.schema.fields
+                    }
+                    for c in sorted(new_pset - old_pset):
+                        widened = widened.withColumn(
+                            c, F.lit(None).cast(new_types[c])
+                        )
+                    all_df = widened.unionByName(
+                        staged_df, allowMissingColumns=True
+                    )
+                    all_df = all_df.withColumn(
+                        "_pset_hash", df_hash_expr(all_df.schema)
+                    )
+                    self._rewrite(all_df)
+                else:
+                    self._commit_staging(staging)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def _commit_staging(self, staging: str) -> None:
+        """Move staged partition directories into the table (renames)."""
+        for name in os.listdir(staging):
+            if not name.startswith("_run_id="):
+                continue  # _SUCCESS marker etc.
+            src = os.path.join(staging, name)
+            dst = os.path.join(self.data_path, name)
+            if not os.path.exists(dst):
+                os.rename(src, dst)
+            else:
+                for f in os.listdir(src):
+                    os.rename(os.path.join(src, f), os.path.join(dst, f))
 
     def _write(self, df: DataFrame, mode: str) -> None:
         (

@@ -450,8 +450,6 @@ def run(
         "_pset_hash", df_hash_expr(params_df.schema, pset_cols)
     )
 
-    max_run_seq, max_pset_seq = db.max_seqs(spark)
-
     if skip_dups and db.exists():
         hashes = db.distinct_hashes(spark)
         # grid is usually the small side but the DB hash set is bounded by
@@ -472,23 +470,36 @@ def run(
     if backup and db.exists():
         db.backup(f"{time.strftime('%Y-%m-%dT%H-%M-%SZ', time.gmtime())}_run_id_{run_id}")
 
+    # reserve this run's _run_seq and _pset_seq slot range up front
+    # (Database.reserve_seqs — lockfile CAS on the meta watermark), so
+    # two concurrent run() calls can never stamp colliding seqs even
+    # though both compute and append in parallel.  Slot span: the eager
+    # path consumes exactly count(rows) contiguous slots via
+    # row_number; the lazy path consumes up to max(__order)+1 sparse
+    # slots.  One small agg job over the (post-skip-dups) grid.
+    span_row = params_df.agg(
+        F.count(F.lit(1)).alias("n"), F.max("__order").alias("mx")
+    ).first()
+    n_slots = int(span_row["n"] if eager else span_row["mx"] + 1)
+    run_seq, pset_base = db.reserve_seqs(spark, n_slots, peek=not save)
+
     from pyspark.sql.window import Window
 
     if eager:
         # small human-authored grids: contiguous seq == submission order
         # (reference contract: _pset_seq == df.index)
         seq_col = (
-            F.lit(max_pset_seq)
+            F.lit(pset_base)
             + F.row_number().over(Window.orderBy("__order"))
         ).cast("long")
     else:
         # scale path: no global window; monotonic ids are unique and
         # per-partition monotone but NOT contiguous (documented deviation)
-        seq_col = (F.lit(max_pset_seq + 1) + F.col("__order")).cast("long")
+        seq_col = (F.lit(pset_base + 1) + F.col("__order")).cast("long")
 
     params_df = (
         params_df.withColumn("_run_id", F.lit(run_id))
-        .withColumn("_run_seq", F.lit(max_run_seq + 1).cast("long"))
+        .withColumn("_run_seq", F.lit(run_seq).cast("long"))
         .withColumn("_pset_seq", seq_col)
         .withColumn(
             "_pset_id", uuid5_expr(F.col("_run_id"), F.col("_pset_seq").cast("string"))
@@ -519,8 +530,8 @@ def run(
             probe.update(
                 _run_id=run_id,
                 _pset_id="00000000-0000-5000-8000-000000000000",
-                _run_seq=max_run_seq + 1,
-                _pset_seq=max_pset_seq + 1,
+                _run_seq=run_seq,
+                _pset_seq=pset_base + 1,
                 _calc_dir=os.path.abspath(calc_dir),
                 _time_utc=_dt.datetime.utcnow(),
                 _exec_host=socket.gethostname(),

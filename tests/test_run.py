@@ -75,6 +75,56 @@ def test_skip_dups(spark, calc_dir):
     assert df.select("_pset_hash").distinct().count() == 5
 
 
+def test_concurrent_runs_unique_ids_and_seqs(spark, calc_dir):
+    """Two run() calls racing into one DB (the lost-update scenario:
+    both would read max_seqs before either appends) must never collide
+    on _run_seq/_pset_seq/_pset_id — closed by lockfile seq
+    reservation + stage-then-commit append.  Mirrors the uniqueness
+    invariants of reference tests/test_all.py:179-199, which the
+    single-process reference satisfies by construction."""
+    import threading
+
+    errs = []
+
+    def worker(vals):
+        try:
+            run(spark, func_a, pgrid([plist("a", vals)]), calc_dir=calc_dir)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=([1, 2, 3],)),
+        threading.Thread(target=worker, args=([10, 20, 30],)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    db = Database(os.path.join(calc_dir, "database")).load(spark)
+    assert db.count() == 6
+    assert db.select("_run_id").distinct().count() == 2
+    assert db.select("_pset_id").distinct().count() == 6
+    assert db.select("_pset_seq").distinct().count() == 6
+    assert db.select("_run_seq").distinct().count() == 2
+    per = db.groupBy("_run_seq").count().collect()
+    assert sorted(r["count"] for r in per) == [3, 3]
+
+
+def test_reserve_seqs_watermark_survives_crashed_run(spark, calc_dir):
+    """A reservation that never lands (crashed run) must leave a GAP,
+    never a collision: the meta watermark outranks parquet footer
+    stats when handing out the next seq range."""
+    run(spark, func_a, pgrid([plist("a", [1, 2])]), calc_dir=calc_dir)
+    db = Database(os.path.join(calc_dir, "database"))
+    rs, pb = db.reserve_seqs(spark, 5)  # reserved, then "crash"
+    assert (rs, pb) == (1, 1)
+    df = run(spark, func_a, pgrid([plist("a", [7])]), calc_dir=calc_dir)
+    row = df.where(F.col("a") == 7).first()
+    assert row["_run_seq"] == 2
+    assert row["_pset_seq"] == 7  # skips the 5 orphaned slots
+
+
 def test_uuid5_expr_matches_python(spark):
     run_id = str(uuid.uuid4())
     df = spark.range(5).select(
