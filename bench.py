@@ -254,20 +254,30 @@ def main() -> int:
             "queries_total": len(timings),
         }
     )
-    print(summary)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "shuffle_write_mb": shuffle_mb,
-                "sf": sf_val,
-            }
-        )
+    detail = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "shuffle_write_mb": shuffle_mb,
+            "sf": sf_val,
+        }
     )
     print(summary)
+    print(detail)
+    print(summary)
+    # sidecar: the driver's inline capture truncates ~2 KB, hiding most
+    # per-query times from round-over-round diffs — the full detail
+    # line always lands on disk next to this script
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_queries.json"), "w"
+        ) as fh:
+            fh.write(detail + "\n")
+    except OSError as e:
+        print(f"# bench sidecar write failed: {e}", file=sys.stderr)
     sys.stdout.flush()
     return 0 if len(ok) == len(timings) else 1
 

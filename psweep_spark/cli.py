@@ -4,10 +4,10 @@
 
 Usage::
 
-    python -m psweep_spark.cli db2json  <database_dir> [-o OUT_DIR]
+    python -m psweep_spark.cli db2json  <database_dir> [-o ORIENT] [--out PATH]
     python -m psweep_spark.cli db2table <database_dir> [-a] [column ...]
     python -m psweep_spark.cli check-calc-dir <calc_dir>
-    python -m psweep_spark.cli sync <src> <dst> [--dry-run]
+    python -m psweep_spark.cli sync <src> <dst> [--dry-run] [--exclude GLOB ...]
 
 ``sync`` replaces the reference's rsync push/pull pair
 (`/root/reference/bin/psweep-push:1-24`, `bin/psweep-pull:52-77`): under
@@ -42,10 +42,17 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="psweep-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    pj = sub.add_parser("db2json", help="database → JSON lines")
+    pj = sub.add_parser("db2json", help="database → JSON")
     pj.add_argument("database")
-    pj.add_argument("-o", "--out", default=None,
-                    help="output dir (distributed write); default: stdout")
+    pj.add_argument(
+        "-o", "--orient", default="records",
+        choices=["records", "split", "index", "columns", "values"],
+        help="pandas to_json orient (reference psweep-db2json -o); "
+        "records = JSON lines (scale path), others = one document",
+    )
+    pj.add_argument("--out", default=None,
+                    help="output dir/file (records: distributed write); "
+                    "default: stdout")
 
     pt = sub.add_parser("db2table", help="database → text table")
     pt.add_argument("database")
@@ -67,6 +74,13 @@ def main(argv: list[str] | None = None) -> int:
     psync.add_argument("dst")
     psync.add_argument("-n", "--dry-run", action="store_true",
                        help="list what would be copied")
+    psync.add_argument(
+        "--exclude", action="append", default=[], metavar="GLOB",
+        help="skip files whose tree-relative path matches GLOB "
+        "(repeatable; rsync-exclude analog of reference "
+        "psweep-pull rule files, bin/psweep-pull:52-77). "
+        "'tmpsave/*' also matches inside nested dirs.",
+    )
 
     args = p.parse_args(argv)
 
@@ -74,11 +88,12 @@ def main(argv: list[str] | None = None) -> int:
         from .query import df_to_json
 
         _, df = _load(args.database)
-        if args.out:
-            df_to_json(df, args.out)
-        else:
-            for line in df_to_json(df) or []:
+        out = df_to_json(df, path=args.out, orient=args.orient)
+        if isinstance(out, list):
+            for line in out:
                 print(line)
+        elif out is not None:
+            print(out)
         return 0
 
     if args.cmd == "db2table":
@@ -99,7 +114,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "sync":
-        n, total = sync_paths(args.src, args.dst, dry_run=args.dry_run)
+        n, total = sync_paths(
+            args.src, args.dst, dry_run=args.dry_run, exclude=args.exclude
+        )
         verb = "would copy" if args.dry_run else "copied"
         print(f"{verb} {n} files ({total} bytes) {args.src} -> {args.dst}")
         return 0
@@ -107,13 +124,24 @@ def main(argv: list[str] | None = None) -> int:
     return 1  # pragma: no cover
 
 
-def sync_paths(src: str, dst: str, dry_run: bool = False) -> tuple[int, int]:
+def sync_paths(
+    src: str,
+    dst: str,
+    dry_run: bool = False,
+    exclude: list[str] | None = None,
+) -> tuple[int, int]:
     """Mirror ``src`` (file or tree) to ``dst`` via the Hadoop
     FileSystem API.  rsync-like and IDEMPOTENT: each source file copies
     to ``dst/<relative path>`` with overwrite, so re-running converges
     instead of nesting ``dst/<basename(src)>`` the way a whole-tree
-    ``FileUtil.copy`` into an existing directory would.  Returns
-    (file_count, byte_count) of the source tree."""
+    ``FileUtil.copy`` into an existing directory would.
+
+    ``exclude``: fnmatch globs tested against the tree-relative path
+    AND its path suffixes, so ``tmpsave/*`` skips a tmpsave dir at any
+    depth — the ergonomics of the reference's rsync exclude rules
+    (``/root/reference/bin/psweep-pull:52-77``) without an rsync
+    dependency.  Returns (file_count, byte_count) of the copied set."""
+    import fnmatch
     from .session import get_spark
 
     spark = get_spark("psweep-spark-cli")
@@ -128,6 +156,14 @@ def sync_paths(src: str, dst: str, dry_run: bool = False) -> tuple[int, int]:
         raise FileNotFoundError(src)
 
     src_uri = src_fs.makeQualified(src_path).toString().rstrip("/")
+
+    def _excluded(rel: str) -> bool:
+        parts = rel.split("/")
+        suffixes = ["/".join(parts[i:]) for i in range(len(parts))]
+        return any(
+            fnmatch.fnmatch(s, pat) for pat in (exclude or []) for s in suffixes
+        )
+
     n = total = 0
     it = src_fs.listFiles(src_path, True)  # recursive
     while it.hasNext():
@@ -135,6 +171,8 @@ def sync_paths(src: str, dst: str, dry_run: bool = False) -> tuple[int, int]:
         f = st.getPath()
         fs_str = f.toString()
         rel = fs_str[len(src_uri):].lstrip("/") if fs_str != src_uri else f.getName()
+        if _excluded(rel):
+            continue
         n += 1
         total += st.getLen()
         if dry_run:

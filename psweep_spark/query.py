@@ -160,15 +160,40 @@ def _looks_like_uuid(s: str) -> bool:
 # -- sinks (reference bin/psweep-db2json, bin/psweep-db2table) ---------------
 
 
-def df_to_json(df: DataFrame, path: str | None = None, order: bool = True):
-    """DB → JSON lines (reference psweep-db2json).  With ``path`` writes
-    distributed (one file per partition — the 100 TB path); without,
-    returns a list of JSON strings driver-side."""
+def df_to_json(
+    df: DataFrame,
+    path: str | None = None,
+    order: bool = True,
+    orient: str = "records",
+):
+    """DB → JSON (reference psweep-db2json, ``bin/psweep-db2json:13-16,
+    48-51``: every pandas ``to_json`` orient).
+
+    ``orient="records"`` is the scale path: JSON **lines** (one doc per
+    row — jq-friendly, and with ``path`` a distributed per-partition
+    write, never a driver collect).  The other orients
+    (split/index/columns/values) are whole-frame layouts that are only
+    meaningful as one document, so they take the driver-side pandas
+    export path — right for the small query/export DBs they serve, by
+    design not for 100 TB.  Returns a list of lines (records, no
+    path), a single JSON string (other orients, no path), or None
+    (written to ``path``)."""
     if order and "_pset_seq" in df.columns:
         df = df.orderBy("_pset_seq")
+    if orient == "records":
+        if path is None:
+            return df.toJSON().collect()
+        df.write.mode("overwrite").json(path)
+        return None
+    if orient not in ("split", "index", "columns", "values"):
+        raise ValueError(
+            f"orient must be records|split|index|columns|values, got {orient!r}"
+        )
+    doc = df.toPandas().to_json(orient=orient, date_format="iso")
     if path is None:
-        return df.toJSON().collect()
-    df.write.mode("overwrite").json(path)
+        return doc
+    with open(path, "w") as fh:
+        fh.write(doc)
     return None
 
 

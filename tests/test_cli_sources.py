@@ -49,6 +49,23 @@ def test_cli_db2json(spark, tmp_path):
     assert all(r["r_"] == r["a"] * 2.0 for r in rows)
 
 
+def test_cli_db2json_orients(spark, tmp_path):
+    """Reference psweep-db2json -o parity (bin/psweep-db2json:13-16):
+    non-records orients emit ONE pandas-layout JSON document."""
+    calc = _mk_db(spark, tmp_path)
+    cp = _cli("db2json", "-o", "columns", f"{calc}/database")
+    assert cp.returncode == 0, cp.stderr[-2000:]
+    doc = json.loads(cp.stdout)
+    assert set(doc["a"].values()) == {1, 2, 3}
+    assert set(doc["r_"].values()) == {2.0, 4.0, 6.0}
+    cp2 = _cli("db2json", "-o", "split", f"{calc}/database")
+    assert cp2.returncode == 0, cp2.stderr[-2000:]
+    doc2 = json.loads(cp2.stdout)
+    assert set(doc2) == {"columns", "index", "data"}
+    a_idx = doc2["columns"].index("a")
+    assert {row[a_idx] for row in doc2["data"]} == {1, 2, 3}
+
+
 def test_cli_db2table_and_check(spark, tmp_path):
     calc = _mk_db(spark, tmp_path)
     cp = _cli("db2table", f"{calc}/database")
@@ -82,6 +99,19 @@ def test_sync_roundtrip(spark, tmp_path):
     assert back is not None
     assert back.count() == 3
     assert {r["a"] for r in back.collect()} == {1, 2, 3}
+    # --exclude globs (reference psweep-pull rule files): the meta file
+    # and everything under database/ can be filtered out, at any depth
+    dst2 = str(tmp_path / "mirror2")
+    n4, _ = sync_paths(calc, dst2, exclude=["database/*", "*.json"])
+    assert n4 == 0 or not os.path.isdir(os.path.join(dst2, "database"))
+    n5, _ = sync_paths(calc, dst2, exclude=["*.parquet", "_SUCCESS"])
+    copied = [
+        # Hadoop's local FS mirrors each file with a hidden .crc twin
+        f for root, _, fs in os.walk(dst2) for f in fs
+        if not f.startswith(".")
+    ]
+    assert n5 == len(copied)
+    assert not any(f.endswith(".parquet") or f == "_SUCCESS" for f in copied)
 
 
 def test_blob_landing_parameterized_dir(spark, tmp_path):
