@@ -600,6 +600,7 @@ def minhash_dedup_incremental(
     corpus_banding: DataFrame | None = None,
     corpus_shingles: DataFrame | None = None,
     bucket_pushdown_limit: int = 100_000,
+    collect_candidates: bool = True,
 ) -> DataFrame:
     """Incremental near-dup check: a NEW batch against the EXISTING
     corpus — the production update flow (daily crawl vs the lake).
@@ -625,7 +626,14 @@ def minhash_dedup_incremental(
       (band_idx, bucket), row-group min/max stats skip every non-probed
       bucket, so the scan reads ∝ matched buckets, not ∝ corpus.
       This is what a long-running streaming gate must use: per-batch
-      work collapses to batch hashing + an indexed probe.
+      work collapses to batch hashing + an indexed probe.  With
+      ``collect_candidates`` (default), the tiny candidate pair set is
+      additionally collected once and the verification stage is built
+      from literals — 2 driver jobs per batch instead of 4, which is
+      the difference that shows up when every micro-batch pays
+      scheduling overhead; set it False to keep the fully-plan-side
+      shape (adversarial batches whose candidates exceed
+      ``bucket_pushdown_limit`` fall back to it automatically).
 
     Verification is the same exact-Jaccard array-intersect as
     :func:`minhash_dedup`, restricted to candidate docs on each side.
@@ -686,42 +694,67 @@ def minhash_dedup_incremental(
         )
         .select(F.col("id").alias("id_new"), "id_old")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cands.count()  # materialize once; three consumers below
-    if corpus_banding is not None:
+    spark = new_df.sparkSession
+    cand_rows = None
+    if corpus_banding is not None and collect_candidates:
+        # Index mode is the per-micro-batch hot path of a streaming
+        # gate, where every driver action is a scheduled job.  The
+        # candidate pair set is tiny by construction (∝ the batch's LSH
+        # collisions), so collect it ONCE and derive everything — the
+        # verify-join relation and both IN pushdown lists — from the
+        # collected rows: 2 jobs per batch (bucket probe + this)
+        # instead of 4 (probe, count, old-id collect, plus recompute).
+        cand_rows = cands.limit(bucket_pushdown_limit + 1).collect()
+        if len(cand_rows) > bucket_pushdown_limit:
+            cand_rows = None  # adversarial batch: fall back to plans
+    if cand_rows is not None:
         s_new.unpersist()
-    new_ids = cands.select(F.col("id_new").alias("id")).distinct()
-    old_ids = cands.select(F.col("id_old").alias("id")).distinct()
-    sh_new = (
-        shingled(new_df, n=n, id_col=id_col, text_col=text_col)
-        .join(F.broadcast(new_ids), "id", "left_semi")
-        .select(
-            F.col("id").alias("id_new"),
-            F.coalesce(F.col("__sh"), F.array()).alias("__sh_n"),
-        )
-    )
-    if corpus_shingles is not None:
-        # candidate-old-id set is tiny (bounded by the batch's LSH
-        # collisions) — push it into the shingles scan as an IN filter:
-        # with the index sorted by id, row-group stats skip every
-        # non-candidate doc, so the verification read is ∝ candidates
-        old_id_vals = [
-            r["id"]
-            for r in old_ids.limit(bucket_pushdown_limit + 1).collect()
-        ]
-        if len(old_id_vals) <= bucket_pushdown_limit:
-            sh_old_src = corpus_shingles.filter(
-                F.col("id").isin(old_id_vals)
+        if not cand_rows:
+            return spark.createDataFrame(
+                [], "id_new long, id_old long, jaccard double"
             )
-        else:
+        cands = spark.createDataFrame(
+            [(r["id_new"], r["id_old"]) for r in cand_rows],
+            cands.schema,
+        )
+        new_id_vals = sorted({r["id_new"] for r in cand_rows})
+        old_id_vals = sorted({r["id_old"] for r in cand_rows})
+        sh_new = (
+            shingled(new_df, n=n, id_col=id_col, text_col=text_col)
+            .filter(F.col("id").isin(new_id_vals))
+            .select(
+                F.col("id").alias("id_new"),
+                F.coalesce(F.col("__sh"), F.array()).alias("__sh_n"),
+            )
+        )
+        # candidate-old-id IN filter: with the index sorted by id,
+        # row-group stats skip every non-candidate doc, so the
+        # verification read is ∝ candidates
+        sh_old_src = corpus_shingles.filter(F.col("id").isin(old_id_vals))
+    else:
+        cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+        cands.count()  # materialize once; three consumers below
+        if corpus_banding is not None:
+            s_new.unpersist()
+        new_ids = cands.select(F.col("id_new").alias("id")).distinct()
+        old_ids = cands.select(F.col("id_old").alias("id")).distinct()
+        sh_new = (
+            shingled(new_df, n=n, id_col=id_col, text_col=text_col)
+            .join(F.broadcast(new_ids), "id", "left_semi")
+            .select(
+                F.col("id").alias("id_new"),
+                F.coalesce(F.col("__sh"), F.array()).alias("__sh_n"),
+            )
+        )
+        if corpus_shingles is not None:
             sh_old_src = corpus_shingles.join(
                 F.broadcast(old_ids), "id", "left_semi"
             )
-    else:
-        sh_old_src = shingled(
-            corpus_df, n=n, id_col=id_col, text_col=text_col
-        ).join(F.broadcast(old_ids), "id", "left_semi")
+        else:
+            sh_old_src = shingled(
+                corpus_df, n=n, id_col=id_col, text_col=text_col
+            ).join(F.broadcast(old_ids), "id", "left_semi")
     sh_old = sh_old_src.select(
         F.col("id").alias("id_old"),
         F.coalesce(F.col("__sh"), F.array()).alias("__sh_o"),

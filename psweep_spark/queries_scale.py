@@ -536,6 +536,26 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("dedup_clusters_star", _lsh_clusters_oracle())
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED cluster path under the oracle gate: same LSH
+    pairs as ``dedup_clusters_lsh``, but ``driver_threshold=0`` forces
+    the large-star/small-star contraction (operators/cluster.py) that
+    a billion-edge pair graph actually executes — the driver union-find
+    shortcut never engages.  Proves the O(log² n) contraction computes
+    the identical transitive closure, not just the driver path."""
+    from psweep_spark.operators.cluster import connected_components
+    from psweep_spark.operators.dedup import minhash_dedup
+
+    pairs = minhash_dedup(
+        _ld(spark, sf_dir, "documents"), num_hashes=12, bands=4,
+        threshold=0.5, max_bucket_size=None,
+    )
+    return connected_components(pairs, driver_threshold=0).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
 @_q(
     "pipeline_prepare_corpus",
     r"""

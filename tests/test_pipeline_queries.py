@@ -183,9 +183,11 @@ def test_dedup_index_batch_plan_reads_index_not_corpus(spark, tmp_path):
     banding, shingles, params = read_dedup_index(spark, idx)
     assert params == {"num_hashes": 12, "bands": 4, "n": 3}
 
+    # plan-side shape (collect_candidates=False — the adversarial-batch
+    # fallback): the returned plan itself joins the banding index
     out_idx = minhash_dedup_incremental(
         batch, corpus_banding=banding, corpus_shingles=shingles,
-        threshold=0.5, **params,
+        threshold=0.5, collect_candidates=False, **params,
     )
     got = {(r["id_new"], r["id_old"], round(r["jaccard"], 6))
            for r in out_idx.collect()}
@@ -198,7 +200,24 @@ def test_dedup_index_batch_plan_reads_index_not_corpus(spark, tmp_path):
     pushed = [p for p in plans.pushed_filters(out_idx) if "bucket_o" in p or "In(bucket" in p]
     assert pushed, plans.pushed_filters(out_idx)
 
+    # streaming-gate hot path (collect_candidates=True default): the
+    # banding probe runs eagerly, so the RETURNED plan touches only the
+    # shingles index with the candidate ids pushed down — and still
+    # never the corpus dir
+    out_fast = minhash_dedup_incremental(
+        batch, corpus_banding=banding, corpus_shingles=shingles,
+        threshold=0.5, **params,
+    )
+    got_fast = {(r["id_new"], r["id_old"], round(r["jaccard"], 6))
+                for r in out_fast.collect()}
+    locs_fast = plans.file_scan_locations(out_fast)
+    assert not any(corpus_dir in loc for loc in locs_fast), locs_fast
+    assert any("lshidx/shingles" in loc for loc in locs_fast), locs_fast
+    pushed_id = [p for p in plans.pushed_filters(out_fast) if "In(id" in p]
+    assert pushed_id, plans.pushed_filters(out_fast)
+
     out_inline = minhash_dedup_incremental(batch, corpus, threshold=0.5)
     want = {(r["id_new"], r["id_old"], round(r["jaccard"], 6))
             for r in out_inline.collect()}
     assert got == want and got, (len(got), len(want))
+    assert got_fast == want
