@@ -125,6 +125,7 @@ HEADLINE = [
     "embed_semdedup",
     "semdedup_kmeans",
     "docs_mixture_epochs",
+    "docs_pii_scrub",
     "pipeline_prepare_corpus",
     "docs_decontaminate",
     "events_user_retention",

@@ -163,3 +163,44 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fp_min3gram", F.array_min(F.transform(shingles, F.md5)))
         .drop("__norm", "__toks")
     )
+
+
+# -- PII scrubbing (public-pipeline standard: C4/Dolma-style redaction) ------
+
+#: name → (regex, replacement token).  Conservative, engine-portable
+#: patterns (no lookaround, no \b — identical semantics in Java regex
+#: and DuckDB's RE2): the goal is the OPERATOR shape (map-side scan
+#: projection); production swaps in its compliance-approved ruleset.
+DEFAULT_PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    "ipv4": (
+        r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"
+    ),
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Redact PII-shaped spans and count them — the pre-training
+    scrubbing pass every public corpus pipeline runs (emails/phones/IPs
+    masked to typed placeholder tokens).
+
+    Adds ``text_clean`` (all patterns applied, in dict order) and one
+    ``n_<name>`` count per pattern (matches BEFORE redaction — the
+    audit metric a data card reports).  Pure per-row ``regexp_replace``
+    / ``regexp_count`` projections: zero shuffle, runs inside the scan
+    stage at any scale, and the whole pass is one codegen'd stage.
+    """
+    pats = patterns or DEFAULT_PII_PATTERNS
+    t = F.col(text_col)
+    out = df
+    for name, (rx, _) in pats.items():
+        out = out.withColumn(f"n_{name}", F.regexp_count(t, F.lit(rx)))
+    clean = t
+    for name, (rx, repl) in pats.items():
+        clean = F.regexp_replace(clean, rx, repl)
+    return out.withColumn("text_clean", clean)

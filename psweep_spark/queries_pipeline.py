@@ -647,3 +647,95 @@ def docs_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "source", F.col("__e").cast("long").alias("epoch")
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing audit (C4/Dolma-style redaction pass)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "docs_pii_scrub",
+    r"""
+    WITH injected AS (
+      SELECT doc_id, lang,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com'
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' tel 555-010-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN ' host 10.0.'
+                               || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             len(regexp_extract_all(text,
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+             len(regexp_extract_all(text,
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+               '<IP>', 'g') AS text_clean
+      FROM injected
+    )
+    SELECT lang,
+           COUNT(*) AS docs,
+           CAST(SUM(n_email) AS BIGINT) AS emails,
+           CAST(SUM(n_phone) AS BIGINT) AS phones,
+           CAST(SUM(n_ipv4) AS BIGINT) AS ips,
+           CAST(SUM(len(text_clean)) AS BIGINT) AS clean_chars
+    FROM scrubbed GROUP BY lang
+    """,
+)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit (operators/text.py:scrub_pii): the synthetic
+    corpus carries no PII, so the query first INJECTS deterministic
+    email/phone/IP spans derived from doc_id (both engines build
+    byte-identical text), then scrubs and reports the per-language data
+    card: docs, redaction counts per category, and the cleaned char
+    total — which only matches the oracle if every span was replaced
+    identically.  The scrub itself is a zero-shuffle scan projection;
+    the audit rollup is one tiny groupBy(lang)."""
+    from psweep_spark.operators.text import scrub_pii
+
+    docs = _ld(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" tel 555-010-"),
+                         F.lpad((did % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" host 10.0."),
+                         (did % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return (
+        scrub_pii(injected, "text")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_email").cast("long").alias("emails"),
+            F.sum("n_phone").cast("long").alias("phones"),
+            F.sum("n_ipv4").cast("long").alias("ips"),
+            F.sum(F.length("text_clean")).cast("long").alias("clean_chars"),
+        )
+    )

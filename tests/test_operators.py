@@ -538,6 +538,46 @@ def test_connected_components_star_path_small_graphs(spark):
     }
 
 
+def test_connected_components_star_string_ids(spark):
+    """Star contraction must work on non-numeric node ids (doc ids are
+    often strings/uuids): greatest/least, xxhash64 and the min-label
+    semantics all operate on the natural string ordering."""
+    from psweep_spark.operators.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
+    }
+
+
+def test_scrub_pii_counts_and_redaction(spark):
+    """scrub_pii: per-pattern counts reflect pre-redaction matches and
+    text_clean masks every span with its typed placeholder."""
+    from psweep_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.io or op@sub.dom.org call 555-123-4567 end"),
+            (2, "ip 10.0.0.1 and 192.168.001.255 clean text"),
+            (3, "nothing sensitive here"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in scrub_pii(df).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ipv4"]) == (2, 1, 0)
+    assert rows[1]["text_clean"] == "mail <EMAIL> or <EMAIL> call <PHONE> end"
+    assert (rows[2]["n_email"], rows[2]["n_ipv4"]) == (0, 2)
+    assert rows[2]["text_clean"] == "ip <IP> and <IP> clean text"
+    assert rows[3]["text_clean"] == "nothing sensitive here"
+
+
 def test_connected_components_star_million_edge_chain(spark):
     """The scale contract from Kiveris et al.: a single 10⁶-edge PATH
     graph — the worst case for min-label propagation (10⁶ rounds) —
