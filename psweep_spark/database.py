@@ -336,6 +336,31 @@ class Database:
 
     # -- maintenance ---------------------------------------------------------
 
+    def vacuum(self, max_age_s: float = 24 * 3600.0) -> list[str]:
+        """Remove leftover transaction debris older than ``max_age_s``:
+        ``data.staging-*`` dirs from appends that crashed between the
+        staged write and commit, and a ``data.old`` left by an
+        interrupted rewrite swap.  Never touches live data — staged
+        dirs are private to their (dead) writer, and ``data.old`` only
+        survives when the rename to ``data`` already succeeded.
+        Returns the removed paths."""
+        removed: list[str] = []
+        parent = os.path.dirname(self.data_path)
+        base = os.path.basename(self.data_path)
+        if not os.path.isdir(parent):
+            return removed
+        now = time.time()
+        for name in os.listdir(parent):
+            if name.startswith(base + ".staging-") or name == base + ".old":
+                p = os.path.join(parent, name)
+                try:
+                    if now - os.path.getmtime(p) >= max_age_s:
+                        shutil.rmtree(p, ignore_errors=True)
+                        removed.append(p)
+                except OSError:
+                    continue
+        return removed
+
     def compact(self, spark: SparkSession, target_file_mb: int = 128) -> int:
         """Small-file compaction: rewrite the table so each ``_run_id``
         partition holds ~``target_file_mb``-sized files.

@@ -125,6 +125,22 @@ def test_reserve_seqs_watermark_survives_crashed_run(spark, calc_dir):
     assert row["_pset_seq"] == 7  # skips the 5 orphaned slots
 
 
+def test_vacuum_removes_stale_staging_only(spark, calc_dir):
+    """vacuum() clears crashed-append staging debris past the age
+    threshold and never touches the live table or fresh staging."""
+    run(spark, func_a, pgrid([plist("a", [1, 2])]), calc_dir=calc_dir)
+    db = Database(os.path.join(calc_dir, "database"))
+    stale = db.data_path + ".staging-deadbeef"
+    fresh = db.data_path + ".staging-00c0ffee"
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    os.utime(stale, (1, 1))  # ancient mtime
+    removed = db.vacuum(max_age_s=3600)
+    assert removed == [stale]
+    assert not os.path.isdir(stale) and os.path.isdir(fresh)
+    assert db.load(spark).count() == 2
+
+
 def test_uuid5_expr_matches_python(spark):
     run_id = str(uuid.uuid4())
     df = spark.range(5).select(
