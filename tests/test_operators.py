@@ -578,6 +578,31 @@ def test_scrub_pii_counts_and_redaction(spark):
     assert rows[3]["text_clean"] == "nothing sensitive here"
 
 
+def test_connected_components_star_equals_union_find_random(spark):
+    """Equivalence property on seeded random graphs: the distributed
+    star contraction must produce exactly the driver union-find's
+    clustering — mixed component shapes (isolated nodes, chains,
+    merged blobs) in one composite graph per seed."""
+    import random
+
+    from psweep_spark.operators.cluster import connected_components
+
+    for seed in (7, 21):
+        rng = random.Random(seed)
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components(pairs).collect()  # driver path
+        }
+        got = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components(pairs, driver_threshold=0).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
 def test_connected_components_star_million_edge_chain(spark):
     """The scale contract from Kiveris et al.: a single 10⁶-edge PATH
     graph — the worst case for min-label propagation (10⁶ rounds) —
