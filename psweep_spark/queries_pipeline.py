@@ -338,26 +338,25 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = assign_nearest_centroid(
             v.select("vec_id", "q"), cents, q_col="q", out_col="cid"
         )
+        # posexplode + (cid, pos) groupBy: same exact integer sums as 64
+        # per-column aggregates without re-compiling a wide generated
+        # class every round (see embed_kmeans_lloyd's round_rows note)
         rows = (
-            assigned.groupBy("cid")
-            .agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(F.element_at("q", d + 1)).alias(f"s{d}")
-                    for d in range(_SDK_DIM)
-                ],
-            )
+            assigned.select("cid", F.posexplode("q"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        by_cid: dict[int, list] = {}
+        ns: dict[int, int] = {}
+        for r in rows:
+            by_cid.setdefault(int(r["cid"]), [0] * _SDK_DIM)[
+                int(r["pos"])
+            ] = int(r["s"])
+            ns[int(r["cid"])] = int(r["n"])
         cents = sorted(
-            (
-                int(r["cid"]),
-                [
-                    math.floor(int(r[f"s{d}"]) / int(r["n"]))
-                    for d in range(_SDK_DIM)
-                ],
-            )
-            for r in rows
+            (cid, [math.floor(s / ns[cid]) for s in sums])
+            for cid, sums in by_cid.items()
         )
     final = assign_nearest_centroid(
         v.select("vec_id", "e", "q"), cents, q_col="q", out_col="cluster_id"

@@ -2197,33 +2197,52 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         cid_lit = F.array(*[F.lit(c) for c, _ in cents])
         return F.element_at(cid_lit, pos + 1)
 
-    def agg_round():
-        return (
-            v.select("q", assign_col().alias("cid"))
-            .groupBy("cid")
-            .agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(F.element_at("q", d + 1)).alias(f"s{d}")
-                    for d in range(DIM)
-                ],
-            )
+    # Per-round sums via posexplode + (cid, pos) groupBy instead of 64
+    # per-column sum aggregates: the wide agg spends ~1 s/round COMPILING
+    # its generated class (re-generated every round — the assignment
+    # literals change), while the exploded shape is a trivial plan whose
+    # partial agg collapses to k·dim groups map-side — same exact
+    # integer sums, ~4× cheaper per round here and the same one-shuffle
+    # cost at any scale.
+    def round_rows():
+        # persist = a materialization barrier between assignment and
+        # explode: CollapseProject would otherwise merge the HOF
+        # distance fold INTO the generate and re-evaluate it once per
+        # exploded element (64× — measured 3× slower overall)
+        assigned = v.select("q", assign_col().alias("cid")).persist()
+        rows = (
+            assigned.select("cid", F.posexplode("q"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
         )
+        assigned.unpersist()
+        return rows
 
     for _ in range(ITERS - 1):
-        rows = agg_round().collect()
-        cents = sorted(
-            (
-                int(r["cid"]),
-                [
-                    math.floor(int(r[f"s{d}"]) / int(r["n"]))
-                    for d in range(DIM)
-                ],
+        by_cid: dict[int, list] = {}
+        ns: dict[int, int] = {}
+        for r in round_rows():
+            by_cid.setdefault(int(r["cid"]), [0] * DIM)[int(r["pos"])] = int(
+                r["s"]
             )
-            for r in rows
+            ns[int(r["cid"])] = int(r["n"])
+        cents = sorted(
+            (cid, [math.floor(s / ns[cid]) for s in sums])
+            for cid, sums in by_cid.items()
         )
 
-    final = agg_round()
+    final = (
+        v.select("q", assign_col().alias("cid"))
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.element_at("q", d + 1)).alias(f"s{d}")
+                for d in range(4)
+            ],
+        )
+    )
     return final.select(
         F.col("cid").alias("cluster_id"),
         F.col("n").cast("long").alias("n_members"),
