@@ -64,15 +64,52 @@ from .operators.dedup import (
 from .operators.rangejoin import range_join_bucketed
 from .operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from .operators.skew import salted_join
-from .runner import infer_schema, prepare_params_df, run, uuid5_expr
+from .runner import (
+    git_clean,
+    git_enter,
+    git_exit,
+    infer_schema,
+    prepare_params_df,
+    run,
+    uuid5_expr,
+)
 from .session import get_spark
-from .sources import read_bucketed, read_table, write_bucketed, write_table
+from .sources import (
+    file_read,
+    file_write,
+    json_read,
+    json_write,
+    pickle_read,
+    pickle_write,
+    read_bucketed,
+    read_table,
+    write_bucketed,
+    write_table,
+)
 from .templates import (
     FileTemplate,
     Machine,
     gather_calc_templates,
     gather_machines,
     prep_batch,
+)
+from .grid import is_seq
+from .hashing import PsweepHashError
+from .util import (
+    capture_logs_wrapper,
+    df_ensure_dtypes,
+    df_read,
+    df_update_pset_cols,
+    df_update_pset_hash,
+    df_write,
+    fullpath,
+    func_wrapper,
+    get_many_uuids,
+    get_uuid,
+    in_git_repo,
+    itr,
+    makedirs,
+    system,
 )
 
 __version__ = "0.1.0"

@@ -55,6 +55,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+
+class PsweepHashError(TypeError):
+    """A value/type with no canonical hash encoding (reference
+    psweep.py:188-191).  Subclasses TypeError, so existing handlers
+    keep working."""
+
 # ---------------------------------------------------------------------------
 # Column-kind convention (reference _get_col_filter, psweep.py:192-205)
 # ---------------------------------------------------------------------------
@@ -204,7 +210,7 @@ def _canon_native(v) -> str:
             + ",".join(f"{k}={canon_value(v[k])}" for k in sorted(v))
             + "}"
         )
-    raise TypeError(
+    raise PsweepHashError(
         f"type {type(v).__name__} has no native canonical form"
     )
 
@@ -281,7 +287,7 @@ def _canon_col(c: Column, dt: T.DataType) -> Column:
     elif isinstance(dt, T.NullType):
         return F.lit("n")
     else:
-        raise TypeError(f"unsupported type for canonical hash: {dt}")
+        raise PsweepHashError(f"unsupported type for canonical hash: {dt}")
     return F.when(c.isNull(), F.lit("n")).otherwise(body)
 
 
@@ -397,7 +403,7 @@ def _canon_sql(expr: str, duck_type: str) -> str:
     elif t == "date":
         body = f"concat('D:', CAST({expr} AS VARCHAR))"
     else:
-        raise TypeError(f"unsupported duckdb type for canonical hash: {duck_type}")
+        raise PsweepHashError(f"unsupported duckdb type for canonical hash: {duck_type}")
     return f"(CASE WHEN {expr} IS NULL THEN 'n' ELSE {body} END)"
 
 

@@ -99,3 +99,59 @@ def test_catalog_contract():
     assert set(orc) == set(qs), set(qs) ^ set(orc)
     assert all(n.replace("_", "").isalnum() for n in qs)
     assert "q1_pricing_summary" in qs
+
+
+def test_reference_surface_compat(spark, tmp_path):
+    """Every public name of the reference's psweep module resolves at
+    this package's top level (drop-in script compatibility), and the
+    util-layer functions behave per their reference contracts."""
+    import psweep_spark as ps
+
+    ref_names = [
+        "FileTemplate", "Machine", "PsweepHashError",
+        "capture_logs_wrapper", "check_calc_dir", "df_ensure_dtypes",
+        "df_extract_dicts", "df_extract_params", "df_extract_pset",
+        "df_extract_row", "df_filter_conds", "df_print", "df_read",
+        "df_to_json", "df_update_pset_cols", "df_update_pset_hash",
+        "df_write", "file_read", "file_write", "filter_cols",
+        "filter_params_dup_hash", "filter_params_unique", "flatten",
+        "flatten_dict", "fullpath", "func_wrapper",
+        "gather_calc_templates", "gather_machines", "get_many_uuids",
+        "get_uuid", "git_clean", "git_enter", "git_exit", "in_git_repo",
+        "intspace", "is_seq", "itr", "itr2params", "json_read",
+        "json_write", "logspace", "makedirs", "merge_dicts", "pgrid",
+        "pickle_read", "pickle_write", "plist", "prep_batch",
+        "pset_hash", "run", "stargrid", "system",
+    ]
+    missing = [n for n in ref_names if not hasattr(ps, n)]
+    assert not missing, missing
+
+    # df_write/df_read round-trip (reference arg order: fn, df)
+    df = spark.range(3).withColumnRenamed("id", "a")
+    p = str(tmp_path / "t")
+    ps.df_write(p, df)
+    assert ps.df_read(p, spark=spark).count() == 3
+
+    # df_update_pset_cols widens + rehashes
+    from pyspark.sql import functions as F
+
+    out = ps.df_update_pset_cols(df, ["a", "b"])
+    assert "b" in out.columns
+    r = out.where(F.col("a") == 1).first()
+    assert r["b"] is None
+    assert r["_pset_hash"] == ps.pset_hash({"a": 1, "b": None})
+
+    # func_wrapper stamps and runs; capture_logs_wrapper captures
+    pset = {"_calc_dir": str(tmp_path), "_run_id": "r", "_pset_id": "p", "x": 2}
+    got = ps.func_wrapper(dict(pset), lambda q: {"y_": q["x"] * 2})
+    assert got["y_"] == 4 and got["_pset_runtime"] >= 0 and got["_exec_host"]
+
+    def noisy(q):
+        print("hello from func")
+        return {"y_": 1}
+
+    got2 = ps.capture_logs_wrapper(dict(pset), noisy, "db")
+    assert "hello from func" in got2["_logs"]
+
+    # PsweepHashError is catchable as TypeError (reference parity)
+    assert issubclass(ps.PsweepHashError, TypeError)
