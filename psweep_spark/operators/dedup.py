@@ -38,6 +38,9 @@ __all__ = [
     "simhash",
     "embedding_near_dup_pairs",
     "cluster_cosine_pairs",
+    "bloom_bitmap_words",
+    "bloom_probe",
+    "bloom_dedup_gate",
 ]
 
 _WS = r"\s+"
@@ -965,4 +968,137 @@ def cluster_cosine_pairs(
 
     return sel.groupBy("__cl").applyInPandas(
         _pairs, "cluster_id int, id_a bigint, id_b bigint, cosine double"
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter ingestion gate (constant-memory exact-dup membership)
+# --------------------------------------------------------------------------
+
+
+def _bloom_positions(key: Column, m_bits: int, k: int) -> Column:
+    """k Bloom bit positions for ``key`` via Kirsch–Mitzenmacher double
+    hashing: pos_i = (h1 + i·h2) mod m with h1/h2 two xxhash64 views of
+    the key.  Both h's are reduced mod m BEFORE the multiply so i·h2
+    never overflows a long under ANSI arithmetic (k·m ≤ 2^40 ≪ 2^63)."""
+    h1 = F.pmod(F.xxhash64(key), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit(1)), F.lit(m_bits))
+    return F.array(*[
+        F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)
+    ])
+
+
+def bloom_bitmap_words(
+    df: DataFrame, key_col: str, m_bits: int = 1 << 22, k: int = 5
+) -> DataFrame:
+    """Build a Bloom filter over ``df[key_col]`` as a RELATION of
+    64-bit words: (word_idx, word) with word = OR of all bits set in
+    that 64-bit slice.  Pure Catalyst — explode k positions per key,
+    one bit_or hash-aggregate — so the build is a single map-side-
+    combined shuffle bounded by m/64 rows, never a driver collect of
+    corpus keys (the classic sc.treeAggregate-a-bitmap build caps at
+    driver memory; a relation does not).
+
+    Sizing: FP rate ≈ (1 − e^(−k·n/m))^k; m = 2^22, k = 5 gives <1%
+    at n ≈ 400k keys.  At 10^9+ keys grow m — the words relation is
+    m/64 rows (m=2^33 → 134M rows ≈ 1 GiB), at which point the probe
+    join below flips from broadcast to a word_idx-keyed shuffle join
+    on its own (AQE decides); both shapes are correct.
+    """
+    pos = df.select(
+        F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("pos")
+    )
+    return (
+        pos.select(
+            F.shiftright("pos", 6).alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    words: DataFrame,
+    m_bits: int = 1 << 22,
+    k: int = 5,
+) -> DataFrame:
+    """Probe every row's key against a Bloom words relation.  Returns
+    (id_col, bloom_maybe): bloom_maybe=false ⇒ the key is DEFINITELY
+    absent from the built set; true ⇒ present or false positive.
+
+    Shape: k probes per row broadcast-joined to the words relation
+    (word_idx equi-join), then a count==k agg keyed by id — shuffle ∝
+    probe side only (k rows/key), the filter side never reshuffles."""
+    probes = df.select(
+        F.col(id_col),
+        F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("pos"),
+    ).select(
+        id_col,
+        F.shiftright("pos", 6).alias("word_idx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+        ).alias("bit"),
+    )
+    j = probes.join(F.broadcast(words), "word_idx", "left")
+    hit = F.when(
+        F.col("word").isNotNull()
+        & (F.col("word").bitwiseAND(F.col("bit")) != 0),
+        1,
+    ).otherwise(0)
+    return j.groupBy(id_col).agg((F.sum(hit) == F.lit(k)).alias("bloom_maybe"))
+
+
+def bloom_dedup_gate(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 22,
+    k: int = 5,
+) -> DataFrame:
+    """Exact-dup ingestion gate with a Bloom prefilter: admit the rows
+    of ``new_df`` whose (normalized) text does NOT already exist in
+    ``corpus_df`` — the result is EXACTLY the anti-join answer, but the
+    expensive corpus-side join runs only over the Bloom "maybe" slice.
+
+    Dataflow: corpus md5 keys → Bloom words relation (one pass, m/64
+    rows); each new row probes the filter.  bloom_maybe=false rows are
+    admitted with NO corpus join at all (a Bloom filter has no false
+    negatives); bloom_maybe=true rows — true dups plus an ~FP-rate
+    sliver of new rows — go through the exact left_anti join, which
+    clears false positives.  Output: (id_col, content_md5), admitted
+    rows only.
+
+    Why this beats a plain anti-join at 100 TB: a daily batch is
+    mostly-new, so the anti-join would shuffle ~the whole batch against
+    the corpus hash index every day; the gate reduces that to the dup
+    sliver while the definite-new fast path is join-free.  (Spark's
+    own runtime bloom pushdown targets selective joins, not
+    membership-gating — this operator makes the policy explicit and
+    batch-size-invariant.)
+    """
+    keyed_new = new_df.select(
+        F.col(id_col), F.md5(_norm(F.col(text_col))).alias("content_md5")
+    )
+    corpus_keys = corpus_df.select(
+        F.md5(_norm(F.col(text_col))).alias("content_md5")
+    ).distinct()
+    words = bloom_bitmap_words(corpus_keys, "content_md5", m_bits, k)
+    probed = bloom_probe(
+        keyed_new, "content_md5", id_col, words, m_bits, k
+    )
+    flagged = keyed_new.join(probed, id_col)
+    definite_new = flagged.filter(~F.col("bloom_maybe"))
+    verified_new = (
+        flagged.filter(F.col("bloom_maybe"))
+        .join(corpus_keys, "content_md5", "left_anti")
+    )
+    return definite_new.select(id_col, "content_md5").unionByName(
+        verified_new.select(id_col, "content_md5")
     )

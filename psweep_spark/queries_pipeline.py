@@ -738,3 +738,48 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text_clean")).cast("long").alias("clean_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered exact-dup ingestion gate
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_bloom_gate",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS content_md5
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    c AS (
+      SELECT DISTINCT
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      FROM documents WHERE doc_id % 10 <> 0
+    )
+    SELECT n.doc_id, n.content_md5
+    FROM n LEFT JOIN c ON n.content_md5 = c.h
+    WHERE c.h IS NULL
+    """,
+)
+def dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-memory exact-dup ingestion gate: docs with doc_id % 10
+    == 0 play the arriving batch, the rest the corpus.  The corpus'
+    md5 keys are folded into a Bloom filter built as a RELATION of
+    64-bit words (one bit_or aggregate, never a driver bitmap); each
+    arriving row probes it with k broadcast lookups — bloom-miss rows
+    are admitted join-free (no false negatives exist), bloom-hit rows
+    go through the exact anti-join that clears false positives.  The
+    result is therefore byte-identical to the plain anti-join the
+    oracle runs — the Bloom stage only changes WHERE the work happens:
+    at 100 TB the corpus-side join runs over the dup sliver instead of
+    the whole mostly-new batch (operators/dedup.py: bloom_dedup_gate).
+    """
+    from psweep_spark.operators.dedup import bloom_dedup_gate
+
+    docs = _ld(spark, sf_dir, "documents")
+    new_df = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus_df = docs.filter(F.col("doc_id") % 10 != 0)
+    return bloom_dedup_gate(new_df, corpus_df, m_bits=1 << 20, k=5)

@@ -221,3 +221,54 @@ def test_dedup_index_batch_plan_reads_index_not_corpus(spark, tmp_path):
             for r in out_inline.collect()}
     assert got == want and got, (len(got), len(want))
     assert got_fast == want
+
+
+def test_bloom_gate_exact_under_heavy_false_positives(spark):
+    """A deliberately undersized filter (m=256 bits for ~450 corpus
+    keys ⇒ nearly every probe collides) must still admit EXACTLY the
+    anti-join answer: false positives are cleared by the verification
+    join, false negatives cannot exist."""
+    from psweep_spark.operators.dedup import bloom_dedup_gate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    new_df = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus_df = docs.filter(F.col("doc_id") % 10 != 0)
+    tiny = bloom_dedup_gate(new_df, corpus_df, m_bits=256, k=3)
+    wide = bloom_dedup_gate(new_df, corpus_df, m_bits=1 << 20, k=5)
+    t = sorted((r["doc_id"], r["content_md5"]) for r in tiny.collect())
+    w = sorted((r["doc_id"], r["content_md5"]) for r in wide.collect())
+    assert t == w and len(t) > 0
+
+
+def test_bloom_probe_has_no_false_negatives(spark):
+    """Every key that was folded into the filter must probe maybe=True
+    — the property the join-free fast path depends on."""
+    from psweep_spark.operators.dedup import bloom_bitmap_words, bloom_probe
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", F.md5("text").alias("h"))
+    )
+    words = bloom_bitmap_words(docs, "h", m_bits=1 << 14, k=4)
+    probed = bloom_probe(docs, "h", "doc_id", words, m_bits=1 << 14, k=4)
+    n_total = docs.count()
+    n_maybe = probed.filter("bloom_maybe").count()
+    assert n_maybe == n_total
+
+
+def test_bloom_gate_fast_path_bypasses_corpus_join(spark):
+    """Plan shape: the words relation is broadcast to the probes (at
+    this m), and the union has exactly ONE corpus-keys anti-join leg —
+    the definite-new branch reaches the output without any join
+    against corpus text hashes."""
+    from psweep_spark.operators.dedup import bloom_dedup_gate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    gate = bloom_dedup_gate(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        m_bits=1 << 20,
+        k=5,
+    )
+    plan = gate._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftAnti") == 1
