@@ -783,3 +783,104 @@ def dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_df = docs.filter(F.col("doc_id") % 10 == 0)
     corpus_df = docs.filter(F.col("doc_id") % 10 != 0)
     return bloom_dedup_gate(new_df, corpus_df, m_bits=1 << 20, k=5)
+
+
+# --------------------------------------------------------------------------
+# training-sample creation: fixed-size token chunks with stride overlap
+# --------------------------------------------------------------------------
+
+_CHUNK = 32   # tokens per training sample
+_STRIDE = 24  # window stride (CHUNK - STRIDE = 8 tokens of overlap)
+
+
+@_q(
+    "docs_chunk_tokens",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, t, unnest(range(0, len(t), {_STRIDE})) AS s
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(s // {_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(least({_CHUNK}, len(t) - s) AS BIGINT) AS n_tokens,
+           md5(array_to_string(t[s+1:s+{_CHUNK}], ' ')) AS chunk_md5
+    FROM st
+    """,
+)
+def docs_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every document into fixed-size token windows with stride
+    overlap — the map from cleaned corpus to training samples (the
+    packing step's upstream).  Window w starts at token w·stride and
+    takes up to CHUNK tokens; trailing windows are short, never
+    dropped, so every token lands in ≥1 sample and consecutive samples
+    share CHUNK−stride tokens of context.
+
+    Scale shape: pure per-row map — split once, sequence()+posexplode
+    the starts, slice per window; zero shuffle, zero UDF, output size
+    ∝ tokens·(CHUNK/stride).  Chunks are reported as md5 (the driver
+    canonicalizer hashes values anyway; shipping full chunk text would
+    only widen the shuffle-free scan)."""
+    docs = _ld(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") > 0)
+    starts = F.sequence(
+        F.lit(0), F.size("t") - 1, F.lit(_STRIDE)
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.col("t"),
+            F.posexplode(starts).alias("chunk_idx", "s"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long"),
+            F.least(F.lit(_CHUNK), F.size("t") - F.col("s"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.md5(
+                F.array_join(F.slice("t", F.col("s") + 1, F.lit(_CHUNK)), " ")
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+@_q(
+    "dedup_cluster_size_hist",
+    r"""
+    WITH h AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS th,
+             COUNT(*) AS sz
+      FROM documents GROUP BY 1
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_redundant
+    FROM h GROUP BY sz
+    """,
+)
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication accounting: the histogram of exact-dup cluster
+    sizes — how many texts occur once, twice, k times, and how many
+    rows are redundant (the data-card number 'X% of the corpus is
+    exact-duplicate').  Two cascading hash-aggregates: the first is
+    map-side combined and shuffles ∝ distinct texts (md5 keys, never
+    bodies), the second ∝ distinct cluster sizes (≤ log-scale handful).
+    """
+    docs = _ld(spark, sf_dir, "documents")
+    from psweep_spark.operators.dedup import exact_dedup
+
+    clusters = exact_dedup(docs)
+    return (
+        clusters.groupBy(F.col("dup_count").cast("long").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("dup_count").cast("long").alias("n_docs"),
+            F.sum(F.col("dup_count") - 1).cast("long").alias("n_redundant"),
+        )
+    )
