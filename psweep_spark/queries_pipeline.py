@@ -884,3 +884,236 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("dup_count") - 1).cast("long").alias("n_redundant"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ ANN: coarse cell pruning + ADC shortlist + exact re-rank
+# --------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 2
+_IVFPQ_SHORTLIST = 20
+_IVFPQ_K = 5
+
+
+def _ivfpq_oracle() -> str:
+    d2 = (
+        "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}) AS BIGINT)"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    vd AS (SELECT vec_id, CAST(q AS DOUBLE[]) AS qd FROM v),
+    sp AS (SELECT unnest(range(0, 4)) AS s),
+    cent AS (SELECT vec_id AS cid, qd AS cd FROM vd WHERE vec_id < 8),
+    dcell AS (
+      SELECT vd.vec_id, cid, {d2.format(a='qd', b='cd')} AS d
+      FROM vd, cent
+    ),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dcell) WHERE rn = 1
+    ),
+    cb AS (
+      SELECT vec_id AS code, s, qd[s*16+1 : s*16+16] AS cw
+      FROM vd, sp WHERE vec_id < 16
+    ),
+    sub AS (SELECT vec_id, s, qd[s*16+1 : s*16+16] AS sv FROM vd, sp),
+    dpq AS (
+      SELECT sub.vec_id, sub.s, cb.code, {d2.format(a='sv', b='cw')} AS d
+      FROM sub JOIN cb ON sub.s = cb.s
+    ),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+        FROM dpq) WHERE rn = 1
+    ),
+    qry AS (SELECT vec_id AS query_id, qd AS qv FROM vd WHERE vec_id < 10),
+    qcell AS (
+      SELECT query_id, cid, {d2.format(a='qv', b='cd')} AS d
+      FROM qry, cent
+    ),
+    probes AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT query_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn
+        FROM qcell) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    qsub AS (SELECT query_id, s, qv[s*16+1 : s*16+16] AS sv FROM qry, sp),
+    lut AS (
+      SELECT query_id, qsub.s, cb.code, {d2.format(a='sv', b='cw')} AS dq
+      FROM qsub JOIN cb ON qsub.s = cb.s
+    ),
+    cands AS (
+      SELECT p.query_id, c.vec_id
+      FROM probes p JOIN cells c ON p.cell = c.cell
+      WHERE c.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT ca.query_id, ca.vec_id, SUM(dq) AS adc_d2
+      FROM cands ca
+      JOIN codes co ON co.vec_id = ca.vec_id
+      JOIN lut ON lut.query_id = ca.query_id
+              AND lut.s = co.s AND lut.code = co.code
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2, vec_id) AS rn
+        FROM adc) WHERE rn <= {_IVFPQ_SHORTLIST}
+    ),
+    rer AS (
+      SELECT sh.query_id, sh.vec_id, {d2.format(a='q.qv', b='d.qd')} AS d2
+      FROM short sh JOIN qry q ON q.query_id = sh.query_id
+                    JOIN vd d ON d.vec_id = sh.vec_id
+    )
+    SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, d2 FROM (
+      SELECT query_id, vec_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d2, vec_id) AS rank
+      FROM rer) WHERE rank <= {_IVFPQ_K}
+    """
+
+
+@_q("sim_ivfpq_ann", _ivfpq_oracle())
+def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the billion-scale ANN serving architecture end-to-end:
+    coarse cells prune the corpus to nprobe partitions, 4-byte PQ codes
+    stand in for 64-dim vectors during scoring (ADC: per-query lookup
+    tables over the shared codebook), and only the tiny ADC shortlist
+    touches full vectors for the exact re-rank.
+
+    Relational dataflow (all Catalyst, zero UDFs, exact ×1000-integer
+    arithmetic so DuckDB reproduces every argmin bit-for-bit):
+
+    * corpus → cell  via ``assign_nearest_centroid`` (zero-shuffle
+      literal projection; broadcast-join path above k≈256),
+    * corpus → codes via the same operator per 16-dim subspace,
+    * queries probe their 2 nearest cells; candidates = broadcast
+      probe-join on cell — the corpus never shuffles, and at 100 TB the
+      cell-partitioned ``write_ivf_index`` layout turns this join into
+      directory pruning,
+    * ADC = posexplode(codes) ⋈ broadcast LUT (Q·4·16 rows), one
+      integer sum per (query, candidate) — the full-vector column is
+      never read for candidates (PQ's memory win),
+    * exact re-rank touches 20 rows/query.
+
+    Tie-breaks: (distance, id) everywhere; distances are exact BIGINTs
+    (quantized coords ⇒ every dot product < 2^53, order-free)."""
+    from psweep_spark.operators.similarity import (
+        _sq_l2_expr,
+        assign_nearest_centroid,
+    )
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    qcast = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    v = emb.select("vec_id", qcast.alias("q"))
+
+    cent_rows = v.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    cents = [(int(r["vec_id"]), list(r["q"])) for r in cent_rows]
+    cb_rows = v.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+
+    # corpus index: cell + one PQ code per subspace (4 chained
+    # zero-shuffle literal projections)
+    db = assign_nearest_centroid(v, cents, q_col="q", out_col="cell")
+    for s in range(4):
+        db = db.withColumn(f"__sub{s}", F.slice("q", s * 16 + 1, 16))
+        sub_cb = [
+            (int(r["vec_id"]), list(r["q"][s * 16 : s * 16 + 16]))
+            for r in cb_rows
+        ]
+        db = assign_nearest_centroid(
+            db, sub_cb, q_col=f"__sub{s}", out_col=f"__code{s}"
+        )
+    db = db.select(
+        "vec_id",
+        "cell",
+        F.array(*[F.col(f"__code{s}") for s in range(4)]).alias("codes"),
+    )
+
+    qry = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    spark_cent = spark.createDataFrame(cents, "cid int, cq array<bigint>")
+    probes = (
+        qry.crossJoin(F.broadcast(spark_cent))
+        .withColumn("d", _sq_l2_expr(F.col("qv"), F.col("cq")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d", "cid")
+            ),
+        )
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    cb_flat = [
+        (int(r["vec_id"]), s, list(r["q"][s * 16 : s * 16 + 16]))
+        for r in cb_rows
+        for s in range(4)
+    ]
+    cb_df = spark.createDataFrame(cb_flat, "code int, s int, cw array<bigint>")
+    lut = (
+        qry.crossJoin(F.broadcast(cb_df))
+        .select(
+            "query_id",
+            "s",
+            "code",
+            _sq_l2_expr(
+                F.slice("qv", F.col("s") * 16 + 1, F.lit(16)), F.col("cw")
+            ).alias("dq"),
+        )
+    )
+
+    cands = db.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc = (
+        cands.select(
+            "query_id", "vec_id", F.posexplode("codes").alias("s", "code")
+        )
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dq").alias("adc_d2"))
+    )
+    short = (
+        adc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= _IVFPQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    rer = (
+        short.join(v, "vec_id")
+        .join(F.broadcast(qry), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _sq_l2_expr(F.col("qv"), F.col("q")).alias("d2"),
+        )
+    )
+    return (
+        rer.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d2", "vec_id")
+            ),
+        )
+        .filter(F.col("rank") <= _IVFPQ_K)
+        .select("query_id", "vec_id", F.col("rank").cast("long"), "d2")
+    )

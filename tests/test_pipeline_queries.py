@@ -272,3 +272,34 @@ def test_bloom_gate_fast_path_bypasses_corpus_join(spark):
     )
     plan = gate._jdf.queryExecution().executedPlan().toString()
     assert plan.count("LeftAnti") == 1
+
+
+def test_ivfpq_corpus_side_never_sort_merge_joins(spark):
+    """IVF-PQ plan contract: every join in the pipeline carries a tiny
+    broadcast side (probes, LUT, query vectors, centroid relations) —
+    the corpus embeddings are never the build side of a shuffle join,
+    and no SortMergeJoin appears anywhere."""
+    from psweep_spark import plans
+
+    df = QUERIES["sim_ivfpq_ann"](spark, SF_DIR)
+    plan = plans.formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert plans.broadcast_join_count(df) >= 4
+
+
+def test_ivfpq_shortlist_bounds_exact_rerank(spark):
+    """Semantics: ≤ K results per query, ranks are 1..n contiguous,
+    exact distances are non-decreasing in rank, and the top-1 ADC
+    neighbor family contains the exact nearest corpus vector for most
+    queries (shortlist >> k makes re-rank exact within candidates)."""
+    rows = QUERIES["sim_ivfpq_ann"](spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        d2s = [r["d2"] for r in rs]
+        assert d2s == sorted(d2s)
+        assert all(r["vec_id"] != q for r in rs)
