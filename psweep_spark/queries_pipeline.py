@@ -1117,3 +1117,51 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _IVFPQ_K)
         .select("query_id", "vec_id", F.col("rank").cast("long"), "d2")
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic train/val/test split
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "docs_train_val_test_split",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT lang,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM s GROUP BY lang, split
+    """,
+)
+def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: the bucket is a
+    pure function of doc_id (first 8 md5 hex chars mod 100), so the
+    assignment is reproducible run-over-run, survives re-partitioning
+    and incremental appends (a doc never migrates between splits), and
+    needs no stored split column.  Reported per language — the
+    stratification audit a data card wants.  Zero-shuffle assignment;
+    one tiny groupBy(lang, split) rollup."""
+    docs = _ld(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
