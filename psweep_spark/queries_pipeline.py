@@ -1165,3 +1165,128 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-table training (tokenizer learning over the corpus)
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    parts = [r"""
+    toks AS (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+    wrd AS (SELECT unnest(t) AS w FROM toks),
+    w0 AS (
+      SELECT w, COUNT(*) AS cnt,
+             array_to_string(
+               list_transform(range(1, len(w) + 1), i -> w[i]), ' ') AS s
+      FROM wrd GROUP BY w
+    )"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+    px{r} AS (
+      SELECT cnt, lst, unnest(range(1, len(lst))) AS i
+      FROM (SELECT cnt, string_split(s, ' ') AS lst FROM w{p}) q
+      WHERE len(lst) >= 2
+    ),
+    p{r} AS (
+      SELECT lst[i] AS s1, lst[i+1] AS s2, SUM(cnt) AS c
+      FROM px{r} GROUP BY 1, 2
+    ),
+    m{r} AS (SELECT s1, s2, c FROM p{r} ORDER BY c DESC, s1, s2 LIMIT 1),
+    w{r} AS (
+      SELECT w, cnt,
+        list_reduce(string_split(s, ' '),
+          (acc, x) -> CASE
+            WHEN x = m.s2 AND (acc = m.s1 OR ends_with(acc, ' ' || m.s1))
+            THEN left(acc, len(acc) - len(m.s1)) || m.s1 || m.s2
+            ELSE acc || ' ' || x END) AS s
+      FROM w{p}, m{r} m
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, s1 AS left_sym, s2 AS right_sym, "
+        f"s1 || s2 AS merged, CAST(c AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH" + ",".join(parts) + "\n    " + union
+
+
+@_q("corpus_bpe_merges", _bpe_oracle())
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a byte-pair-encoding merge table on the corpus — tokenizer
+    learning as a distributed pipeline.  Classic BPE (Sennrich et al.):
+    start from characters, repeatedly merge the most frequent adjacent
+    symbol pair (count summed over word frequencies; ties → lexicographic
+    smallest pair), here for 6 rounds.  Output: the learned merge table
+    (round, left, right, merged, count).
+
+    Scale shape — the textbook two-level decomposition:
+
+    * ONE corpus-wide pass builds the word-frequency relation (hash
+      aggregate, shuffle ∝ distinct words); it is persisted, so the
+      iteration never touches the corpus again,
+    * each round's pair count is an aggregate over the VOCABULARY
+      (≪ corpus — Zipf caps distinct words in the low millions no
+      matter the corpus size), collecting exactly ONE row (the winning
+      pair) to the driver — same per-round driver traffic as Lloyd
+      k-means,
+    * the merge is applied to the vocabulary's symbol strings JVM-side
+      (regexp_replace with a trailing-boundary lookahead: left-greedy
+      non-overlapping, provably equal to the oracle's list_reduce fold).
+
+    Citation anchor (reference has no tokenizer surface): beyond-
+    reference op per BASELINE north star."""
+    docs = _ld(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("s", F.concat_ws(" ", F.split("w", "")))
+        .persist()
+    )
+    words.count()  # materialize once; iteration reuses the tiny vocab
+    try:
+        cur = words
+        merges = []
+        for r in range(1, _BPE_ROUNDS + 1):
+            lst = F.split("s", " ")
+            pairs = F.transform(
+                F.sequence(F.lit(0), F.size(lst) - 2),
+                lambda i: F.struct(
+                    F.element_at(lst, i + 1).alias("s1"),
+                    F.element_at(lst, i + 2).alias("s2"),
+                ),
+            )
+            top = (
+                cur.filter(F.size(lst) >= 2)
+                .select(F.explode(pairs).alias("p"), "cnt")
+                .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.desc("c"), "s1", "s2")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b, c = top[0]["s1"], top[0]["s2"], int(top[0]["c"])
+            merges.append((r, a, b, a + b, c))
+            pat = f" \\Q{a}\\E \\Q{b}\\E(?= |$)"
+            repl = " " + a + b
+            cur = cur.withColumn(
+                "s",
+                F.expr(
+                    "substring(regexp_replace(' ' || s, {p}, {r}), 2)".format(
+                        p=repr(pat), r=repr(repl)
+                    )
+                ),
+            )
+        return spark.createDataFrame(
+            merges,
+            "round int, left_sym string, right_sym string, "
+            "merged string, pair_count bigint",
+        ).withColumn("round", F.col("round").cast("long"))
+    finally:
+        words.unpersist()

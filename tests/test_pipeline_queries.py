@@ -303,3 +303,21 @@ def test_ivfpq_shortlist_bounds_exact_rerank(spark):
         d2s = [r["d2"] for r in rs]
         assert d2s == sorted(d2s)
         assert all(r["vec_id"] != q for r in rs)
+
+
+def test_bpe_merge_table_structure(spark):
+    """BPE training contract: one merge per round, contiguous rounds
+    from 1, merged symbol is the concatenation, counts positive, and
+    no pair is learned twice (each merge changes the vocab)."""
+    rows = sorted(
+        QUERIES["corpus_bpe_merges"](spark, SF_DIR).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) >= 4
+    seen = set()
+    for r in rows:
+        assert r["merged"] == r["left_sym"] + r["right_sym"]
+        assert r["pair_count"] > 0
+        assert (r["left_sym"], r["right_sym"]) not in seen
+        seen.add((r["left_sym"], r["right_sym"]))
