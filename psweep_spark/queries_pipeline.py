@@ -1290,3 +1290,118 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("round", F.col("round").cast("long"))
     finally:
         words.unpersist()
+
+
+# --------------------------------------------------------------------------
+# end-to-end: cleaned corpus → deduped → train split → training samples
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "pipeline_training_samples",
+    rf"""
+    WITH gate AS (
+      SELECT doc_id, lang, n_chars, text FROM documents
+      WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+        AND trim(text) <> ''
+        AND n_chars >= 30
+        AND len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0
+            / len(text) >= 0.6
+    ),
+    h AS (
+      SELECT *, md5(substring(
+        regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40)) AS th
+      FROM gate
+    ),
+    best AS (
+      SELECT th, arg_min(doc_id, -n_chars * 10000000 + doc_id) AS keeper
+      FROM h GROUP BY th
+    ),
+    kept AS (
+      SELECT h.* FROM h
+      JOIN best ON h.th = best.th AND h.doc_id = best.keeper
+    ),
+    train AS (
+      SELECT * FROM kept
+      WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 100 < 80
+    ),
+    toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+      FROM train
+    ),
+    st AS (
+      SELECT doc_id, lang, t, unnest(range(0, len(t), {_STRIDE})) AS s
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id, lang,
+           CAST(s // {_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(least({_CHUNK}, len(t) - s) AS BIGINT) AS n_tokens,
+           md5(array_to_string(t[s+1:s+{_CHUNK}], ' ')) AS chunk_md5
+    FROM st
+    """,
+)
+def pipeline_training_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus→training-samples pipeline END-TO-END as one lazy
+    plan: quality gate (map-side filter, fused into the scan) →
+    keep-best exact dedup (one hash shuffle, min_by winner) →
+    deterministic train split (zero-shuffle md5 bucket) → token-window
+    chunking (zero-shuffle sequence+posexplode).  The per-stage oracles
+    (docs_quality_gate / dedup_keep_best / docs_train_val_test_split /
+    docs_chunk_tokens) pin each piece; this query pins the composition
+    — the ONLY shuffle in the whole plan is the dedup hash aggregate,
+    so the pipeline's cost at 100 TB is one corpus scan plus one
+    shuffle of md5-keyed winners."""
+    docs = _ld(spark, sf_dir, "documents")
+    t = F.col("text")
+    trimmed = F.trim(t)
+    n_tok = F.when(trimmed == "", 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    alpha = F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(t, "[^A-Za-z ]", "")) * F.lit(1.0)
+        / F.length(t)
+    )
+    gate = docs.filter(
+        (n_tok >= 5) & (trimmed != "") & (F.col("n_chars") >= 30)
+        & (alpha >= 0.6)
+    )
+    th = F.md5(F.substring(
+        F.regexp_replace(F.lower(F.trim(t)), r"\s+", " "), 1, 40
+    ))
+    h = gate.select("doc_id", "lang", "n_chars", "text", th.alias("th"))
+    pref = -F.col("n_chars") * F.lit(10000000) + F.col("doc_id")
+    best = h.groupBy("th").agg(
+        F.min_by("doc_id", pref).alias("keeper")
+    ).select(F.col("th").alias("bth"), "keeper")
+    kept = h.join(
+        F.broadcast(best),
+        (F.col("th") == F.col("bth")) & (F.col("doc_id") == F.col("keeper")),
+    ).select("doc_id", "lang", "text")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long") % 100
+    )
+    train = kept.filter(bucket < 80)
+    toks = F.split(F.trim("text"), r"\s+")
+    d = train.select("doc_id", "lang", toks.alias("t")).filter(
+        F.size("t") > 0
+    )
+    starts = F.sequence(F.lit(0), F.size("t") - 1, F.lit(_STRIDE))
+    return (
+        d.select(
+            "doc_id", "lang", F.col("t"),
+            F.posexplode(starts).alias("chunk_idx", "s"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("chunk_idx").cast("long"),
+            F.least(F.lit(_CHUNK), F.size("t") - F.col("s"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.md5(
+                F.array_join(F.slice("t", F.col("s") + 1, F.lit(_CHUNK)), " ")
+            ).alias("chunk_md5"),
+        )
+    )

@@ -1360,7 +1360,10 @@ def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
     toks = docs.select(F.split(F.trim("text"), r"\s+").alias("t"))
     tok = toks.select(F.explode("t").alias("token"))
-    uni = tok.groupBy("token").agg(F.count("*").alias("c"))
+    # persist the (vocabulary-cardinality) unigram relation: the corpus
+    # total and the PMI join both read it, so the raw token stream is
+    # exploded and shuffled ONCE, not re-scanned per consumer
+    uni = tok.groupBy("token").agg(F.count("*").alias("c")).persist()
     n = uni.agg(F.sum("c")).first()[0]
     bigrams = toks.filter(F.size("t") >= 2).select(
         F.explode(
