@@ -1109,15 +1109,21 @@ def events_resample_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ld_events(spark, sf_dir).select(
         "event_type", F.date_trunc("minute", F.col("ts")).alias("m")
     )
-    bounds = ev.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+    # ONE event-log scan: the aggregated counts relation (bounded by
+    # |types|·|minutes|, tiny) is persisted and every other input —
+    # time bounds, the type dim, the join probe — derives from it
+    # instead of re-scanning the raw events
+    counts = (
+        ev.groupBy("event_type", "m").agg(F.count("*").alias("n")).persist()
+    )
+    bounds = counts.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
     minutes = bounds.select(
         F.explode(
             F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))
         ).alias("m")
     )
-    types = ev.select("event_type").distinct()
+    types = counts.select("event_type").distinct()
     grid = types.crossJoin(minutes)
-    counts = ev.groupBy("event_type", "m").agg(F.count("*").alias("n"))
     return (
         grid.alias("g")
         .join(
