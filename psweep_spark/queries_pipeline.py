@@ -1405,3 +1405,89 @@ def pipeline_training_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_md5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weights (data selection via importance resampling)
+# --------------------------------------------------------------------------
+
+_DSIR_B = 64  # hashed feature buckets
+
+
+@_q(
+    "docs_dsir_weights",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tok AS (SELECT doc_id, lang, unnest(t) AS token FROM toks),
+    tb AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substring(md5(token), 1, 8) AS BIGINT)
+               % {_DSIR_B} AS b
+      FROM tok
+    ),
+    bc AS (
+      SELECT b, COUNT(*) AS rc,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+      FROM tb GROUP BY b
+    ),
+    n AS (SELECT SUM(rc) AS nr, SUM(tc) AS nt FROM bc)
+    SELECT tb.doc_id,
+           COUNT(*) AS n_tokens,
+           round(AVG(ln(((bc.tc + 1.0) / (n.nt + {_DSIR_B}))
+                        / ((bc.rc + 1.0) / (n.nr + {_DSIR_B})))), 6)
+             AS dsir_logratio
+    FROM tb JOIN bc ON tb.b = bc.b CROSS JOIN n
+    GROUP BY tb.doc_id
+    """,
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling): score every document by the mean log-likelihood ratio
+    of its hashed token features under the TARGET distribution (here:
+    the 'en' slice plays the quality-matched target) vs the RAW corpus
+    distribution — the score that lets a 100 TB crawl be resampled to
+    look like a curated corpus.
+
+    Scale shape: ONE corpus pass builds the per-bucket count relation
+    — {_DSIR_B} rows, both target and raw counts in the same aggregate
+    (conditional count, no second scan); totals derive from those 64
+    rows.  Scoring is a second pass: bucket is a pure md5 projection,
+    the count relation broadcast-joins, and the only shuffle keys on
+    doc_id for the per-doc mean.  Add-one smoothing as in
+    docs_lm_perplexity; doubles enter only at the final averaged
+    log-ratio (counts are exact integers in both engines)."""
+    docs = _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    tok = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+    )
+    b = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+        % _DSIR_B
+    )
+    tb = tok.select("doc_id", "lang", b.alias("b"))
+    bc = (
+        tb.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
+        )
+        .persist()
+    )
+    tot = bc.agg(F.sum("rc").alias("nr"), F.sum("tc").alias("nt")).first()
+    nr, nt = float(tot["nr"]), float(tot["nt"])
+    ratio = F.log(
+        ((F.col("tc") + F.lit(1.0)) / F.lit(nt + _DSIR_B))
+        / ((F.col("rc") + F.lit(1.0)) / F.lit(nr + _DSIR_B))
+    )
+    return (
+        tb.join(F.broadcast(bc), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(ratio), 6).alias("dsir_logratio"),
+        )
+    )
