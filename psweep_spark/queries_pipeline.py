@@ -1491,3 +1491,242 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(ratio), 6).alias("dsir_logratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# contrastive-training pairs: deterministic in-shard negatives
+# --------------------------------------------------------------------------
+
+_NEG_K = 3
+
+
+@_q(
+    "docs_inbatch_negatives",
+    f"""
+    WITH ordered AS (
+      SELECT doc_id, source,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    led AS (
+      SELECT doc_id AS anchor_id, source,
+             {", ".join(
+                 f"LEAD(doc_id, {j}) OVER w AS neg_{j}"
+                 for j in range(1, _NEG_K + 1)
+             )}
+      FROM ordered
+      WINDOW w AS (PARTITION BY source ORDER BY h, doc_id)
+    )
+    SELECT anchor_id, source, CAST(j AS BIGINT) AS neg_rank, neg_id
+    FROM (
+      {" UNION ALL ".join(
+          f"SELECT anchor_id, source, {j} AS j, neg_{j} AS neg_id FROM led"
+          for j in range(1, _NEG_K + 1)
+      )}
+    ) u
+    WHERE neg_id IS NOT NULL
+    """,
+)
+def docs_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair generation: every document gets
+    3 deterministic in-shard negatives — the next 3 docs of the
+    same source in md5-ring order (hash order ⇒ unbiased w.r.t.
+    insertion order, reproducible run-over-run; same-shard negatives
+    are the standard in-batch-negatives approximation).
+
+    Scale shape: one window per source shard (the same per-key sort
+    any per-domain op pays), then a map-side unpivot — no self-join,
+    no corpus×corpus anything; output is exactly K rows per doc."""
+    docs = _ld(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    led = docs.select(
+        F.col("doc_id").alias("anchor_id"),
+        "source",
+        *[
+            F.lead("doc_id", j).over(w).alias(f"neg_{j}")
+            for j in range(1, _NEG_K + 1)
+        ],
+    )
+    stacked = led.select(
+        "anchor_id",
+        "source",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).cast("long").alias("neg_rank"),
+                    F.col(f"neg_{j}").alias("neg_id"),
+                )
+                for j in range(1, _NEG_K + 1)
+            ])
+        ).alias("n"),
+    )
+    return stacked.select(
+        "anchor_id", "source", F.col("n.neg_rank"), F.col("n.neg_id")
+    ).filter(F.col("neg_id").isNotNull())
+
+
+# --------------------------------------------------------------------------
+# corpus statistical profile: Zipf slope
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "corpus_zipf_slope",
+    r"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    uni AS (SELECT unnest(t) AS token FROM toks),
+    vc AS (SELECT token, COUNT(*) AS c FROM uni GROUP BY token),
+    rk AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS r FROM vc
+    ),
+    q AS (
+      SELECT CAST(round(ln(r) * 1000) AS BIGINT) AS x,
+             CAST(round(ln(c) * 1000) AS BIGINT) AS y
+      FROM rk
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1000.0, 6) AS zipf_intercept
+    FROM s
+    """,
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistical profile: least-squares slope of ln(freq) vs
+    ln(rank) over the vocabulary — the Zipf exponent a data card
+    reports (natural corpora ≈ −1; synthetic or templated text shows
+    up instantly as a flat/steep slope).
+
+    Scale shape: vocabulary-cardinality everything — one corpus pass
+    for counts, a rank window over the (small) vocab, then a single
+    5-sum aggregate.  ln values are ×1000-integer-quantized BEFORE the
+    moment sums, so both engines sum exact integers (order-free) and
+    the closed-form slope is one deterministic double expression at
+    the end.  Intercept rescaled back to ln units."""
+    docs = _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    uni = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = uni.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "token"))
+        .alias("r"),
+    )
+    q = rk.select(
+        F.round(F.log("r") * 1000).cast("long").alias("x"),
+        F.round(F.log("c") * 1000).cast("long").alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        / 1000.0
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding distribution drift between ingestion batches
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "embed_batch_drift",
+    """
+    WITH v AS (
+      SELECT vec_id, vec_id % 2 AS batch,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    d AS (
+      SELECT batch, unnest(q) AS x,
+             unnest(range(0, len(q))) AS pos
+      FROM v
+    ),
+    m AS (
+      SELECT pos, batch, SUM(x) AS sx, COUNT(*) AS n
+      FROM d GROUP BY pos, batch
+    ),
+    p AS (
+      SELECT pos,
+             MAX(CASE WHEN batch = 0 THEN CAST(sx AS DOUBLE) / n END) AS ma,
+             MAX(CASE WHEN batch = 1 THEN CAST(sx AS DOUBLE) / n END) AS mb
+      FROM m GROUP BY pos
+    )
+    SELECT CAST(pos AS BIGINT) AS dim,
+           round(ma / 1000.0, 6) AS mean_a,
+           round(mb / 1000.0, 6) AS mean_b,
+           round(abs(ma - mb) / 1000.0, 6) AS abs_drift
+    FROM p
+    """,
+)
+def embed_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per-dimension mean of two
+    ingestion batches (vec_id parity plays yesterday/today) and their
+    absolute difference — the cheap first-line alarm that an upstream
+    encoder change or data shift moved the embedding space before it
+    poisons ANN indexes or dedup thresholds.
+
+    Scale shape: posexplode to (dim, batch) partial sums — shuffle
+    bounded by 2·d rows regardless of corpus size; coords are
+    ×1000-integer-quantized so the sums are exact in both engines and
+    the means divide deterministically at the end."""
+    emb = _ld(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    d = emb.select(
+        (F.col("vec_id") % 2).alias("batch"),
+        F.posexplode(q).alias("pos", "x"),
+    )
+    m = d.groupBy("pos", "batch").agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    mean = F.col("sx").cast("double") / F.col("n")
+    p = m.groupBy("pos").agg(
+        F.max(F.when(F.col("batch") == 0, mean)).alias("ma"),
+        F.max(F.when(F.col("batch") == 1, mean)).alias("mb"),
+    )
+    return p.select(
+        F.col("pos").cast("long").alias("dim"),
+        F.round(F.col("ma") / 1000.0, 6).alias("mean_a"),
+        F.round(F.col("mb") / 1000.0, 6).alias("mean_b"),
+        F.round(F.abs(F.col("ma") - F.col("mb")) / 1000.0, 6).alias(
+            "abs_drift"
+        ),
+    )
