@@ -992,12 +992,13 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables over the shared codebook), and only the tiny ADC shortlist
     touches full vectors for the exact re-rank.
 
-    Relational dataflow (all Catalyst, zero UDFs, exact ×1000-integer
-    arithmetic so DuckDB reproduces every argmin bit-for-bit):
+    Dataflow (exact ×1000-integer arithmetic everywhere, so DuckDB
+    reproduces every argmin bit-for-bit — int64 dot products can't
+    depend on summation order):
 
-    * corpus → cell  via ``assign_nearest_centroid`` (zero-shuffle
-      literal projection; broadcast-join path above k≈256),
-    * corpus → codes via the same operator per 16-dim subspace,
+    * corpus → (cell, codes) in ONE zero-shuffle Arrow pass (closure
+      codebook, int64 BLAS; beyond a few thousand centroids the
+      ``assign_nearest_centroid`` broadcast-join path takes over),
     * queries probe their 2 nearest cells; candidates = broadcast
       probe-join on cell — the corpus never shuffles, and at 100 TB the
       cell-partitioned ``write_ivf_index`` layout turns this join into
@@ -1009,10 +1010,7 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tie-breaks: (distance, id) everywhere; distances are exact BIGINTs
     (quantized coords ⇒ every dot product < 2^53, order-free)."""
-    from psweep_spark.operators.similarity import (
-        _sq_l2_expr,
-        assign_nearest_centroid,
-    )
+    from psweep_spark.operators.similarity import _sq_l2_expr
 
     emb = _ld(spark, sf_dir, "embeddings")
     qcast = F.transform(
@@ -1025,22 +1023,52 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [(int(r["vec_id"]), list(r["q"])) for r in cent_rows]
     cb_rows = v.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
 
-    # corpus index: cell + one PQ code per subspace (4 chained
-    # zero-shuffle literal projections)
-    db = assign_nearest_centroid(v, cents, q_col="q", out_col="cell")
-    for s in range(4):
-        db = db.withColumn(f"__sub{s}", F.slice("q", s * 16 + 1, 16))
-        sub_cb = [
-            (int(r["vec_id"]), list(r["q"][s * 16 : s * 16 + 16]))
-            for r in cb_rows
-        ]
-        db = assign_nearest_centroid(
-            db, sub_cb, q_col=f"__sub{s}", out_col=f"__code{s}"
-        )
-    db = db.select(
-        "vec_id",
-        "cell",
-        F.array(*[F.col(f"__code{s}") for s in range(4)]).alias("codes"),
+    # corpus index: cell + one PQ code per subspace in ONE zero-shuffle
+    # Arrow pass.  All arithmetic is int64 on ×1000-quantized coords —
+    # bit-identical to the oracle's integer argmins (no float summation
+    # anywhere), ~20× an interpreted per-centroid HOF fold, and flat in
+    # k (the codebook rides the closure; beyond a few thousand
+    # centroids switch to assign_nearest_centroid's broadcast-join path)
+    import numpy as np
+
+    C = np.array([c for _, c in cents], dtype=np.int64)        # 8×64
+    CB = np.array([list(r["q"]) for r in cb_rows], dtype=np.int64)  # 16×64
+
+    def _index(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            dc = (
+                np.sum(M * M, axis=1)[:, None]
+                - 2 * (M @ C.T)
+                + np.sum(C * C, axis=1)[None, :]
+            )
+            cell = np.argmin(dc, axis=1)  # ties → lowest cid (row order)
+            codes = []
+            for s in range(4):
+                S = M[:, s * 16 : (s + 1) * 16]
+                W = CB[:, s * 16 : (s + 1) * 16]
+                d = (
+                    np.sum(S * S, axis=1)[:, None]
+                    - 2 * (S @ W.T)
+                    + np.sum(W * W, axis=1)[None, :]
+                )
+                codes.append(np.argmin(d, axis=1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cell.astype("int32"),
+                    "codes": [
+                        [int(c[i]) for c in codes] for i in range(len(M))
+                    ],
+                }
+            )
+
+    db = v.mapInPandas(
+        _index, "vec_id bigint, cell int, codes array<int>"
     )
 
     qry = v.filter(F.col("vec_id") < 10).select(
