@@ -131,6 +131,17 @@ HEADLINE = [
     "events_user_retention",
     "events_growth_accounting",
     "embed_kmeans_lloyd",
+    "dedup_bloom_gate",
+    "dedup_cluster_size_hist",
+    "docs_chunk_tokens",
+    "docs_train_val_test_split",
+    "pipeline_training_samples",
+    "docs_dsir_weights",
+    "docs_inbatch_negatives",
+    "corpus_zipf_slope",
+    "corpus_bpe_merges",
+    "embed_batch_drift",
+    "sim_ivfpq_ann",
 ]
 
 
