@@ -321,3 +321,34 @@ def test_bpe_merge_table_structure(spark):
         assert r["pair_count"] > 0
         assert (r["left_sym"], r["right_sym"]) not in seen
         seen.add((r["left_sym"], r["right_sym"]))
+
+
+def test_chunk_tokens_is_pure_projection(spark):
+    """Chunking is training-sample creation on the scan: zero
+    exchanges, zero joins."""
+    from psweep_spark import plans
+
+    df = QUERIES["docs_chunk_tokens"](spark, SF_DIR)
+    assert plans.count_exchanges(df) == 0
+
+
+def test_training_sample_pipeline_single_shuffle(spark):
+    """The composed gate→dedup→split→chunk plan pays exactly ONE
+    shuffle (the dedup hash aggregate); the keeper join is broadcast
+    and gate/split/chunk ride the scan."""
+    from psweep_spark import plans
+
+    df = QUERIES["pipeline_training_samples"](spark, SF_DIR)
+    assert plans.count_exchanges(df) == 1
+    assert plans.broadcast_join_count(df) == 1
+
+
+def test_dsir_scoring_broadcasts_bucket_relation(spark):
+    """DSIR scoring joins the 64-row count relation as a broadcast and
+    shuffles only for the per-doc aggregate."""
+    from psweep_spark import plans
+
+    df = QUERIES["docs_dsir_weights"](spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 1
+    plan = plans.formatted_plan(df)
+    assert "SortMergeJoin" not in plan
