@@ -245,7 +245,12 @@ def main() -> int:
         # NOW instead of taxing whichever later query hits an allocation
         # wall (measured: the shingle-heavy dedups swing 4 s ↔ 39 s
         # without this; every query measures from a clean state, which
-        # is also the per-job isolation a real cluster gives)
+        # is also the per-job isolation a real cluster gives).  Also
+        # drop any relation a query persisted (resample counts, PMI
+        # unigrams, DSIR buckets): query builders return lazy plans so
+        # they can't unpersist themselves, and without this drain the
+        # caches accumulate across the 100+-query run
+        spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()  # noqa: SLF001
 
     ok = {k: v for k, v in timings.items() if v >= 0}

@@ -1032,9 +1032,14 @@ def bloom_probe(
     (id_col, bloom_maybe): bloom_maybe=false ⇒ the key is DEFINITELY
     absent from the built set; true ⇒ present or false positive.
 
-    Shape: k probes per row broadcast-joined to the words relation
-    (word_idx equi-join), then a count==k agg keyed by id — shuffle ∝
-    probe side only (k rows/key), the filter side never reshuffles."""
+    Shape: k probes per row joined to the words relation (word_idx
+    equi-join), then a count==k agg keyed by id — shuffle ∝ probe side
+    only (k rows/key), the filter side never reshuffles.  The words
+    side is broadcast-hinted only while m/64 rows stays comfortably
+    under the broadcast budget (~16 MiB of longs); past that the hint
+    is omitted so autoBroadcastJoinThreshold/AQE pick the join shape,
+    matching the m=2^33 growth path in bloom_bitmap_words' docstring
+    instead of forcing a ~134M-row broadcast."""
     probes = df.select(
         F.col(id_col),
         F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("pos"),
@@ -1045,7 +1050,9 @@ def bloom_probe(
             "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
         ).alias("bit"),
     )
-    j = probes.join(F.broadcast(words), "word_idx", "left")
+    # m/64 words × 16 B/row ≤ 16 MiB ⇒ m ≤ 2^26
+    build = F.broadcast(words) if m_bits <= (1 << 26) else words
+    j = probes.join(build, "word_idx", "left")
     hit = F.when(
         F.col("word").isNotNull()
         & (F.col("word").bitwiseAND(F.col("bit")) != 0),

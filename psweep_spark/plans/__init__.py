@@ -50,11 +50,60 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+_TREE_CHARS = " :|+-*"
+
+
+def _drop_initial_plan_sections(plan: str) -> str:
+    """Remove ``== Initial Plan ==`` blocks from an (executed) adaptive
+    plan string.  After execution the final plan re-prints the pre-AQE
+    initial plan of every AdaptiveSparkPlan node (outer and each cached
+    subquery); those blocks duplicate every exchange under a DIFFERENT
+    plan_id, so they must go before plan_id-deduped counting.  A block
+    runs from its marker line until the first line whose tree indent is
+    shallower than the marker's."""
+    out: list[str] = []
+    skip_indent: int | None = None
+    for line in plan.splitlines():
+        indent = len(line) - len(line.lstrip(_TREE_CHARS))
+        if skip_indent is not None:
+            if indent >= skip_indent and line.strip(_TREE_CHARS):
+                continue
+            skip_indent = None
+        if "== Initial Plan ==" in line:
+            skip_indent = line.find("==")
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan (AQE may later
-    coalesce them, but each one is a materialization boundary)."""
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning",
-                          df._jdf.queryExecution().executedPlan().toString()))
+    """Number of DISTINCT shuffle exchanges in the physical plan (AQE may
+    later coalesce them, but each one is a materialization boundary).
+
+    Distinct matters: a persisted relation referenced N times prints its
+    cached subtree N times in the plan string, re-printing the SAME
+    exchange (same ``plan_id``) at every reference even though it runs
+    once to populate the cache.  Counting textual occurrences would
+    inflate the contract for exactly the plans that are cheapest at
+    runtime, so exchanges are deduped on plan_id (exchanges without a
+    printed plan_id — not emitted by Spark 4, kept as a fallback — each
+    count once).
+    """
+    plan = _drop_initial_plan_sections(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+    matches = re.findall(
+        r"\bExchange (?:hash|range)partitioning[^\n]*", plan
+    )
+    ids: set[str] = set()
+    no_id = 0
+    for m in matches:
+        pid = re.search(r"\[plan_id=(\d+)\]", m)
+        if pid:
+            ids.add(pid.group(1))
+        else:
+            no_id += 1
+    return len(ids) + no_id
 
 
 def broadcast_join_count(df: DataFrame) -> int:

@@ -1399,13 +1399,15 @@ def pipeline_training_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
     h = gate.select("doc_id", "lang", "n_chars", "text", th.alias("th"))
     pref = -F.col("n_chars") * F.lit(10000000) + F.col("doc_id")
-    best = h.groupBy("th").agg(
-        F.min_by("doc_id", pref).alias("keeper")
-    ).select(F.col("th").alias("bth"), "keeper")
-    kept = h.join(
-        F.broadcast(best),
-        (F.col("th") == F.col("bth")) & (F.col("doc_id") == F.col("keeper")),
-    ).select("doc_id", "lang", "text")
+    # keep-best WITHOUT a join-back: min_by over the full row struct
+    # picks the winner inside the one dedup aggregate, so there is no
+    # corpus-cardinality `best` relation to join (a broadcast of it
+    # would OOM at scale, and a shuffle join would be a second
+    # corpus-wide shuffle).  The agg shuffle carries the text payload —
+    # the standard keep-best shape
+    kept = h.groupBy("th").agg(
+        F.min_by(F.struct("doc_id", "lang", "text"), pref).alias("b")
+    ).select("b.doc_id", "b.lang", "b.text")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
                16, 10).cast("long") % 100
@@ -1497,6 +1499,9 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _DSIR_B
     )
     tb = tok.select("doc_id", "lang", b.alias("b"))
+    # 64-row bucket relation, read twice (totals + join) — persisted;
+    # the cache intentionally outlives the builder (lazy return), and
+    # is session-drained via clearCache() between queries (bench.py)
     bc = (
         tb.groupBy("b")
         .agg(

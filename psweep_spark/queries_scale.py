@@ -848,15 +848,18 @@ def q_supplier_balance_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "embed_pq_codes",
     """
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    WITH v AS (SELECT vec_id,
+                      list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> round(x * 1000)) AS e
+               FROM embeddings),
     sp AS (SELECT unnest(range(0, 4)) AS s),
     cb AS (SELECT v.vec_id AS code, s, e[s*16+1 : s*16+16] AS cv
            FROM v, sp WHERE v.vec_id < 16),
     sub AS (SELECT vec_id, s, e[s*16+1 : s*16+16] AS sv FROM v, sp),
     d AS (
       SELECT sub.vec_id, sub.s, cb.code,
-             round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
-                   + list_dot_product(cv, cv), 6) AS d2
+             list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+                   + list_dot_product(cv, cv) AS d2
       FROM sub JOIN cb ON sub.s = cb.s
     ),
     best AS (
@@ -887,12 +890,17 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     its expression tree grows with k — the matmul path is flat in k up
     to the closure-size limit, then the broadcast-join assignment of
     ``assign_nearest_centroid`` takes over (same switch as SemDeDup).
-    round(·,6) before argmin; ties → lowest code (np.argmin keeps the
-    first, matching the oracle's ORDER BY d2, code)."""
+    Inputs are quantized to ×1000 integers (the sim_ivfpq_ann trick)
+    so every distance is an exact integer — BLAS summation order can
+    never flip an argmin vs the oracle's in-index-order fold, and no
+    rounding epsilon is needed.  Ties → lowest code (np.argmin keeps
+    the first, matching the oracle's ORDER BY d2, code)."""
     import numpy as np
 
     emb = _ld(spark, sf_dir, "embeddings")
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000)
+    )
     codebook_rows = (
         emb.filter(F.col("vec_id") < 16)
         .orderBy("vec_id")
@@ -922,7 +930,8 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - 2.0 * (S @ cb_sub[s].T)
                     + cb_dd[s][None, :]
                 )
-                codes.append(np.argmin(np.round(d2, 6), axis=1))
+                # exact: quantized-integer inputs ⇒ d2 is an integer
+                codes.append(np.argmin(d2, axis=1))
             csv = [",".join(str(int(c[i])) for c in codes) for i in range(len(M))]
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "pq_code_csv": csv})
 
@@ -1105,7 +1114,13 @@ def events_resample_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: counts aggregate shuffles on (type, minute) — bounded
     by grid cardinality, not event count; the grid side is |types|·|minutes|
     rows (tiny vs the event log) and broadcast-joins against the
-    aggregated counts."""
+    aggregated counts.
+
+    Cache lifetime: the counts persist is INTENTIONALLY left for the
+    session — the returned plan is lazy, so the builder cannot
+    unpersist before the caller's action.  The relation is grid-bounded
+    (tiny); long-lived sessions running many queries should drain via
+    ``spark.catalog.clearCache()`` between queries (bench.py does)."""
     ev = _ld_events(spark, sf_dir).select(
         "event_type", F.date_trunc("minute", F.col("ts")).alias("m")
     )
@@ -1368,7 +1383,10 @@ def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = toks.select(F.explode("t").alias("token"))
     # persist the (vocabulary-cardinality) unigram relation: the corpus
     # total and the PMI join both read it, so the raw token stream is
-    # exploded and shuffled ONCE, not re-scanned per consumer
+    # exploded and shuffled ONCE, not re-scanned per consumer.  The
+    # cache intentionally outlives the builder (the returned plan is
+    # lazy); sessions running many queries drain via clearCache()
+    # between queries — bench.py does
     uni = tok.groupBy("token").agg(F.count("*").alias("c")).persist()
     n = uni.agg(F.sum("c")).first()[0]
     bigrams = toks.filter(F.size("t") >= 2).select(

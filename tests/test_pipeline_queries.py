@@ -334,13 +334,16 @@ def test_chunk_tokens_is_pure_projection(spark):
 
 def test_training_sample_pipeline_single_shuffle(spark):
     """The composed gate→dedup→split→chunk plan pays exactly ONE
-    shuffle (the dedup hash aggregate); the keeper join is broadcast
-    and gate/split/chunk ride the scan."""
+    shuffle (the dedup hash aggregate) and ZERO joins: the keep-best
+    winner is selected by min_by(struct(...)) inside the aggregate, so
+    there is no keeper relation to join back (a corpus-cardinality
+    broadcast would OOM at scale); gate/split/chunk ride the scan."""
     from psweep_spark import plans
 
     df = QUERIES["pipeline_training_samples"](spark, SF_DIR)
     assert plans.count_exchanges(df) == 1
-    assert plans.broadcast_join_count(df) == 1
+    assert plans.broadcast_join_count(df) == 0
+    assert "Join" not in df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_dsir_scoring_broadcasts_bucket_relation(spark):

@@ -368,11 +368,10 @@ def test_retrieval_queries_plan_shapes(spark):
         # name: (max exchanges, min broadcast joins)
         "docs_tfidf_topk": (4, 1),
         "docs_bm25_search": (4, 2),
-        # pmi's exchange count is not asserted: its persisted bigram
-        # base relation appears as an InMemoryRelation whose cached
-        # subtree is re-printed (and so re-counted) at every reference,
-        # inflating the static count far past what executes
-        "corpus_bigram_pmi": (None, 3),
+        # count_exchanges dedupes on plan_id, so persisted relations
+        # whose cached subtree is re-printed at every reference (pmi's
+        # bigram base, resample's counts) no longer inflate the count
+        "corpus_bigram_pmi": (6, 3),
         "events_resample_1min": (2, 1),
         "q_hll_sketch_union_regions": (3, 2),
         "events_value_outliers": (2, 1),
@@ -384,3 +383,19 @@ def test_retrieval_queries_plan_shapes(spark):
         if max_exch is not None:
             assert plans.count_exchanges(df) <= max_exch, name
         assert plans.broadcast_join_count(df) >= min_bcast, name
+
+
+def test_events_resample_runtime_exchange_count(spark):
+    """RUNTIME (not just static) shuffle audit for the resample query:
+    after execution the AQE final plan records which exchanges actually
+    ran — the persisted counts relation's exchange materializes ONCE
+    (cache populate) no matter how many readers it feeds, plus the
+    type-distinct agg.  Executed hash exchanges must stay at 2."""
+    spark.catalog.clearCache()
+    df = QUERIES["events_resample_1min"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plans.count_exchanges(df) <= 2
+    spark.catalog.clearCache()
