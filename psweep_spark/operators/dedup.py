@@ -347,9 +347,13 @@ def minhash_dedup(
     :func:`exact_dedup` first — fully-identical docs are its job, and
     removing them leaves the cap handling only genuine near-dups.
     ``log_dropped`` (default True, so silent loss is visible) counts
-    the dropped (bucket, id) rows — one extra pass over the cached
-    banding relation, cheap relative to any corpus degenerate enough
-    to trigger it — and warns through the module logger.
+    the dropped (bucket, id) rows for FREE: the pre-cap bucket size
+    rides the existing row_number window (same spec, no new exchange
+    or sort) and the drop total is an ``observe()`` metric collected
+    during the candidate materialization action — no persist of the
+    banding relation, no second pass (r3's accounting cost the happy
+    path ~0.7 s/query at sf0.1) — then warned through the module
+    logger.
     """
     stacked = _stacked_buckets(
         df, num_hashes=num_hashes, bands=bands, n=n,
@@ -358,8 +362,9 @@ def minhash_dedup(
     # candidate pairs via groupBy(bucket) + in-bucket pair expansion — ONE
     # evaluation of the signature pipeline (a self-join would recompute it
     # on both sides) and a shuffle bounded by doc count × bands.
-    ranked = None
-    if max_bucket_size is not None:
+    capping = max_bucket_size is not None
+    obs = None
+    if capping:
         from pyspark.sql.window import Window
 
         # cap BEFORE collect_list: the window shuffle partitions on the
@@ -367,16 +372,29 @@ def minhash_dedup(
         # reuses the exchange — capping costs a per-bucket sort, not an
         # extra shuffle, and the agg buffer never holds a hot bucket
         w = Window.partitionBy("band_idx", "bucket").orderBy("id")
+        wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         ranked = stacked.withColumn("__rn", F.row_number().over(w))
         if log_dropped:
-            # the drop-count pass below must not re-run the whole
-            # signature pipeline — cache the ranked banding relation
-            ranked = ranked.persist()
+            # pre-cap bucket size rides the SAME window spec (one
+            # Window operator, no new exchange/sort) so the kept rows
+            # remember how big their bucket really was
+            ranked = ranked.withColumn("__bn", F.count("*").over(wn))
         stacked = ranked.filter(F.col("__rn") <= max_bucket_size).drop("__rn")
+    bucket_aggs = [F.sort_array(F.collect_list("id")).alias("ids")]
+    if capping and log_dropped:
+        bucket_aggs.append(F.max("__bn").alias("__bn"))
+    grouped = stacked.groupBy("band_idx", "bucket").agg(*bucket_aggs)
+    if capping and log_dropped:
+        from pyspark.sql import Observation
+
+        # drop accounting as an observe() metric: computed inside the
+        # candidate materialization action below, costing NOTHING extra
+        obs = Observation("minhash_hot_bucket_cap")
+        grouped = grouped.observe(
+            obs, F.sum(F.col("__bn") - F.size("ids")).alias("dropped")
+        ).drop("__bn")
     grouped = (
-        stacked.groupBy("band_idx", "bucket")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        grouped.filter(F.size("ids") > 1)
         .withColumn("__m", F.size("ids"))
     )
     ids = F.col("ids")
@@ -407,11 +425,12 @@ def minhash_dedup(
     # a bimodal 6 s ↔ 24 s swing from duplicate evaluation of the
     # signature pipeline under block-manager lock contention
     cands.count()
-    if log_dropped and ranked is not None:
+    if obs is not None:
         import logging
 
-        dropped = ranked.filter(F.col("__rn") > max_bucket_size).count()
-        ranked.unpersist()
+        # the count() above already executed the observed subtree;
+        # obs.get is a driver-side dict lookup, not a Spark job
+        dropped = obs.get.get("dropped") or 0
         if dropped:
             logging.getLogger(__name__).warning(
                 "minhash_dedup: hot-bucket cap %d dropped %d (bucket, id) "
