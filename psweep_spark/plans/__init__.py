@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 __all__ = [
     "formatted_plan",
     "count_exchanges",
+    "jobs_run",
     "broadcast_join_count",
     "pushed_filters",
     "read_schema_columns",
@@ -41,6 +42,19 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def jobs_run(spark, thunk):
+    """Run ``thunk()`` and return (result, number of driver jobs it
+    scheduled).  Driver-job count is the right fixed-overhead metric
+    for streaming drains: every micro-batch pays per-job scheduling +
+    state-store commit, so a query's jobs/drain budget is a contract
+    the same way its exchange count is."""
+    sc = spark.sparkContext
+    jsc_sc = sc._jsc.sc()  # noqa: SLF001
+    before = jsc_sc.dagScheduler().nextJobId()
+    out = thunk()
+    return out, jsc_sc.dagScheduler().nextJobId() - before
 
 
 def formatted_plan(df: DataFrame) -> str:
