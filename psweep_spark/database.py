@@ -34,39 +34,114 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .hashing import df_hash_expr, filter_cols
+from .metastore import LocalFSMetaStore, MetaStore
 
 META_BASENAME = "_psweep_meta.json"
+META_VERSION_PREFIX = "_psweep_meta.v"
 DATA_DIRNAME = "data"
 LOCK_BASENAME = ".writer_lock"
 
 
 class Database:
-    """Handle on one experiment database directory."""
+    """Handle on one experiment database directory.
 
-    def __init__(self, path: str):
+    ``meta_store`` overrides the commit-metadata backend (default:
+    :class:`LocalFSMetaStore` over the db dir).  All commit metadata —
+    seq watermarks, the advisory writer lock — goes through the store's
+    conditional-put primitive, so pointing this at an object-store
+    implementation makes the commit protocol S3-safe (see
+    psweep_spark/metastore.py)."""
+
+    #: process-wide override for the default store backend, keyed by db
+    #: path (tests inject the simulated object store here; deployments
+    #: point it at their real store implementation once, instead of
+    #: threading meta_store through every call site)
+    default_store_factory = None
+
+    def __init__(self, path: str, meta_store: MetaStore | None = None):
         self.path = os.path.abspath(path)
         self.data_path = os.path.join(self.path, DATA_DIRNAME)
         self.meta_path = os.path.join(self.path, META_BASENAME)
+        if meta_store is None:
+            factory = type(self).default_store_factory
+            meta_store = (
+                factory(self.path) if factory is not None
+                else LocalFSMetaStore(self.path)
+            )
+        self.meta_store = meta_store
 
     # -- existence / meta --------------------------------------------------
 
     def exists(self) -> bool:
         return os.path.isdir(self.data_path) and bool(os.listdir(self.data_path))
 
+    def _meta_version(self) -> int:
+        """Highest committed manifest version, or -1 if none."""
+        keys = self.meta_store.list_keys(META_VERSION_PREFIX)
+        if not keys:
+            return -1
+        return max(
+            int(k[len(META_VERSION_PREFIX):].split(".")[0]) for k in keys
+        )
+
+    @staticmethod
+    def _meta_key(version: int) -> str:
+        return f"{META_VERSION_PREFIX}{version:012d}.json"
+
     def read_meta(self) -> dict:
+        """Current committed metadata: the highest versioned manifest,
+        falling back to a legacy un-versioned ``_psweep_meta.json``
+        (pre-CAS databases) when no manifest exists."""
+        v = self._meta_version()
+        if v >= 0:
+            raw = self.meta_store.get(self._meta_key(v))
+            if raw is not None:
+                return json.loads(raw)
         if os.path.isfile(self.meta_path):
             with open(self.meta_path) as fh:
                 return json.load(fh)
         return {}
 
+    def update_meta(self, mutate, max_retries: int = 256) -> dict:
+        """Commit a metadata update via versioned-manifest CAS.
+
+        ``mutate(meta) -> meta`` is applied to the CURRENT committed
+        metadata and the result is conditional-put as version N+1.
+        First writer wins; on conflict the loop re-reads and re-applies
+        ``mutate`` against the winner's state — so racing writers
+        serialize without any lock, on any store with conditional put.
+        Returns the committed dict.  ``mutate`` may run several times
+        and must be side-effect-free apart from its return value (any
+        bookkeeping it records should be overwritten on re-run)."""
+        for _ in range(max_retries):
+            v = self._meta_version()
+            meta = mutate(dict(self.read_meta()))
+            payload = json.dumps(
+                meta, indent=2, sort_keys=True, default=str
+            ).encode()
+            if self.meta_store.put_if_absent(self._meta_key(v + 1), payload):
+                self._write_legacy_meta(meta)
+                return meta
+        raise RuntimeError(
+            f"metadata CAS for {self.path} lost {max_retries} races; "
+            "pathological writer contention"
+        )
+
+    def _write_legacy_meta(self, meta: dict) -> None:
+        """Best-effort human-readable snapshot at the legacy path (the
+        versioned manifests are the source of truth)."""
+        try:
+            os.makedirs(self.path, exist_ok=True)
+            tmp = self.meta_path + f".tmp-{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump(meta, fh, indent=2, sort_keys=True, default=str)
+            os.replace(tmp, self.meta_path)
+        except OSError:
+            pass
+
     def write_meta(self, meta: dict) -> None:
-        """Atomic replace (tmp + rename): a reader never observes a
-        torn JSON file, even while a writer holds the lock."""
-        os.makedirs(self.path, exist_ok=True)
-        tmp = self.meta_path + f".tmp-{os.getpid()}"
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh, indent=2, sort_keys=True, default=str)
-        os.replace(tmp, self.meta_path)
+        """Replace the committed metadata wholesale (CAS commit)."""
+        self.update_meta(lambda _cur: meta)
 
     # -- concurrency ---------------------------------------------------------
 
@@ -88,41 +163,44 @@ class Database:
         the whole DataFrame in memory); a shared Parquet table needs
         this explicit guard.
 
-        A lockfile older than ``stale_after`` seconds is presumed
-        abandoned (crashed holder) and stolen.  ``O_EXCL`` is atomic on
-        POSIX local filesystems and HDFS; on S3-like stores without
-        atomic create, the production answer is a transactional table
-        format (Delta/Iceberg optimistic commit) — this class is the
-        local-FS stand-in for exactly that protocol."""
-        os.makedirs(self.path, exist_ok=True)
-        lock = os.path.join(self.path, LOCK_BASENAME)
+        The lock is acquired through the meta store's CONDITIONAL PUT
+        (``metastore.MetaStore.put_if_absent``) — the one primitive
+        object stores provide — so the same protocol runs on local FS
+        (``O_EXCL``), HDFS, and S3/GCS/Azure-style stores.  Note that
+        the CRITICAL invariants (seq uniqueness) do NOT depend on this
+        lock anymore: :meth:`reserve_seqs` commits through lock-free
+        manifest CAS (:meth:`update_meta`); the lock only serializes
+        local data-directory moves.
+
+        A lock record older than ``stale_after`` seconds (per the
+        timestamp in its payload, not filesystem mtime) is presumed
+        abandoned and stolen.  The steal is advisory — two waiters can
+        race the delete+put — which is acceptable exactly because
+        correctness never rests on this lock."""
         deadline = time.monotonic() + timeout
         while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time()}".encode())
-                os.close(fd)
+            payload = f"{os.getpid()} {time.time()}".encode()
+            if self.meta_store.put_if_absent(LOCK_BASENAME, payload):
                 break
-            except FileExistsError:
+            raw = self.meta_store.get(LOCK_BASENAME)
+            if raw is not None:
                 try:
-                    if time.time() - os.path.getmtime(lock) > stale_after:
-                        os.unlink(lock)
-                        continue
-                except OSError:
-                    continue  # holder released between stat and unlink
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"writer lock {lock} held for >{timeout}s; "
-                        "remove it manually if the holder crashed"
-                    )
-                time.sleep(poll)
+                    held_since = float(raw.split()[1])
+                except (IndexError, ValueError):
+                    held_since = 0.0
+                if time.time() - held_since > stale_after:
+                    self.meta_store.delete(LOCK_BASENAME)
+                    continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"writer lock on {self.path} held for >{timeout}s; "
+                    "remove it manually if the holder crashed"
+                )
+            time.sleep(poll)
         try:
             yield
         finally:
-            try:
-                os.unlink(lock)
-            except OSError:
-                pass
+            self.meta_store.delete(LOCK_BASENAME)
 
     def reserve_seqs(
         self, spark: SparkSession, n_pset_slots: int, peek: bool = False
@@ -131,17 +209,23 @@ class Database:
         ``_pset_seq`` range ``[base+1, base+n_pset_slots]``.
 
         Returns ``(run_seq, pset_base)``.  The watermark lives in the
-        meta file, so a reservation is visible to other writers BEFORE
-        the run's data lands — this closes the lost-update race where
-        two concurrent ``run()`` calls both read ``max_seqs`` and stamp
-        identical seqs.  Watermarks only ever move forward
-        (``max(parquet footer stats, meta watermark)``), so a run that
-        reserves and then crashes leaves a harmless gap, never a
-        collision.
+        committed metadata, so a reservation is visible to other
+        writers BEFORE the run's data lands — this closes the
+        lost-update race where two concurrent ``run()`` calls both read
+        ``max_seqs`` and stamp identical seqs.  Watermarks only ever
+        move forward (``max(parquet footer stats, meta watermark)``),
+        so a run that reserves and then crashes leaves a harmless gap,
+        never a collision.
+
+        Reservation commits through LOCK-FREE manifest CAS
+        (:meth:`update_meta`): of N racing writers one wins the
+        conditional put of version N+1, the rest recompute against the
+        winner's watermark and retry — correct on any store with
+        conditional put, including S3-style object stores with no
+        atomic rename or O_EXCL.
 
         ``peek=True`` (used by ``save=False`` runs, which never append)
-        computes the same values without taking the lock or advancing
-        the watermark."""
+        computes the same values without committing anything."""
         def _compute(meta: dict) -> tuple[int, int]:
             mr, mp = self.max_seqs(spark)
             run_seq = max(mr + 1, int(meta.get("next_run_seq", 0)))
@@ -150,15 +234,20 @@ class Database:
 
         if peek:
             return _compute(self.read_meta())
-        with self.writer_lock():
-            meta = self.read_meta()
+
+        reserved: dict[str, tuple[int, int]] = {}
+
+        def mutate(meta: dict) -> dict:
             run_seq, pset_base = _compute(meta)
+            reserved["v"] = (run_seq, pset_base)
             meta["next_run_seq"] = run_seq + 1
             meta["next_pset_seq"] = pset_base + int(n_pset_slots) + 1
             meta.setdefault("engine", "psweep_spark")
             meta.setdefault("created_utc", time.time())
-            self.write_meta(meta)
-        return run_seq, pset_base
+            return meta
+
+        self.update_meta(mutate)
+        return reserved["v"]
 
     # -- read ----------------------------------------------------------------
 
@@ -236,11 +325,14 @@ class Database:
             with self.writer_lock():
                 old_df = self.load(spark)
                 if old_df is None:
-                    meta = self.read_meta()  # may hold seq watermarks
                     os.rename(staging, self.data_path)
-                    meta.setdefault("engine", "psweep_spark")
-                    meta.setdefault("created_utc", time.time())
-                    self.write_meta(meta)
+
+                    def _stamp(meta: dict) -> dict:
+                        meta.setdefault("engine", "psweep_spark")
+                        meta.setdefault("created_utc", time.time())
+                        return meta
+
+                    self.update_meta(_stamp)
                     return
 
                 self._check_type_compat(old_df.schema, new_df.schema)

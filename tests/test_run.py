@@ -111,6 +111,55 @@ def test_concurrent_runs_unique_ids_and_seqs(spark, calc_dir):
     assert sorted(r["count"] for r in per) == [3, 3]
 
 
+def test_concurrent_runs_on_simulated_object_store(spark, calc_dir, monkeypatch):
+    """The same race as above, but with ALL commit metadata (seq
+    watermarks, writer lock) going through a simulated object store
+    that provides ONLY conditional put — no atomic rename, no O_EXCL
+    lockfiles, no mtimes (VERDICT r3 item 4).  The versioned-manifest
+    CAS must keep every uniqueness invariant on that API surface."""
+    import threading
+
+    from psweep_spark.database import Database as DB
+    from psweep_spark.metastore import InMemoryConditionalStore
+
+    db_path = os.path.join(calc_dir, "database")
+    InMemoryConditionalStore.reset_namespace(db_path)
+    monkeypatch.setattr(
+        DB, "default_store_factory",
+        staticmethod(InMemoryConditionalStore.for_namespace),
+    )
+
+    errs = []
+
+    def worker(vals):
+        try:
+            run(spark, func_a, pgrid([plist("a", vals)]), calc_dir=calc_dir)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=([1, 2, 3],)),
+        threading.Thread(target=worker, args=([10, 20, 30],)),
+        threading.Thread(target=worker, args=([100, 200, 300],)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    db = Database(db_path).load(spark)
+    assert db.count() == 9
+    assert db.select("_run_id").distinct().count() == 3
+    assert db.select("_pset_id").distinct().count() == 9
+    assert db.select("_pset_seq").distinct().count() == 9
+    assert db.select("_run_seq").distinct().count() == 3
+    # the shim really was the commit path: manifests were committed
+    # through conditional put, not through any POSIX file
+    store = InMemoryConditionalStore.for_namespace(db_path)
+    assert store.list_keys("_psweep_meta.v"), "no CAS manifests committed"
+    InMemoryConditionalStore.reset_namespace(db_path)
+
+
 def test_reserve_seqs_watermark_survives_crashed_run(spark, calc_dir):
     """A reservation that never lands (crashed run) must leave a GAP,
     never a collision: the meta watermark outranks parquet footer
