@@ -1,0 +1,184 @@
+"""joblib-bit-compatible pset hashing — the migration interop path.
+
+The reference engine stamps ``_pset_hash`` with ``joblib.hash(dct,
+hash_name="sha1")`` (``/root/reference/src/psweep/psweep.py:33,208-270``),
+so a user migrating an existing ``database.pk`` has SHA1-of-pickle
+hashes, not this engine's canonical sha256 (hashing.py).  Without a
+compat path, ``skip_dups`` against a migrated DB would recompute every
+pset.  joblib itself is not installed here, so this module re-implements
+the joblib hashing ALGORITHM from its public specification/source
+(joblib/hashing.py, BSD-3-Clause, https://github.com/joblib/joblib):
+
+* the object is serialized with the PURE-PYTHON pickler
+  (``pickle._Pickler``) at protocol 3 (pinned: stable across CPython
+  minor versions, no framing),
+* ``str``/``bytes`` are NEVER memoized, so equal strings hash equal
+  regardless of object identity (``['aa', 'aa']`` ≡ ``['aa', 'aaZ'[:2]]``),
+* dict items are pickled in sorted order (fallback: sorted by key
+  hash when keys are unorderable), sets as a sorted-sequence wrapper —
+  key order never changes the hash,
+* C-typed ndarrays feed their raw buffer into the digest before the
+  (class, ('HASHED', dtype, shape, strides)) tuple is pickled,
+* the digest is ``hashlib.new(hash_name)`` over [array buffers +] the
+  pickle stream.
+
+The result is type-sensitive exactly like joblib: ``1`` vs ``1.0`` vs
+``np.int64(1)`` produce three different hashes (the type-sensitivity
+the reference documents in examples/repeat_failed.py:58-61).
+
+This path is DRIVER-SIDE ONLY and migration-only: it exists so
+:meth:`psweep_spark.database.Database.rehash_from_reference` can map
+reference hashes → canonical hashes one time.  The engine's hot path
+(Catalyst hash expr, 3-way Python/Spark/DuckDB parity) stays canonical
+sha256.
+"""
+
+from __future__ import annotations
+
+import decimal
+import hashlib
+import io
+import pickle
+import struct
+import types
+
+Pickler = pickle._Pickler  # pure-python pickler: dispatch-table based
+
+
+class _ConsistentSet:
+    """Set stand-in whose pickled form is order-independent."""
+
+    def __init__(self, set_sequence):
+        try:
+            self._sequence = sorted(set_sequence)
+        except (TypeError, decimal.InvalidOperation):
+            self._sequence = sorted(hash(e) for e in set_sequence)
+
+
+class _MyHash:
+    """Wrapper for unpicklable method objects."""
+
+    def __init__(self, *args):
+        self.args = args
+
+
+class Hasher(Pickler):
+    """Pickle-stream hasher (joblib.hashing.Hasher algorithm)."""
+
+    def __init__(self, hash_name: str = "md5"):
+        self.stream = io.BytesIO()
+        # protocol 3: only changes with the major python version
+        Pickler.__init__(self, self.stream, protocol=3)
+        self._hash = hashlib.new(hash_name)
+
+    def hash(self, obj, return_digest: bool = True):
+        try:
+            self.dump(obj)
+        except pickle.PicklingError as e:
+            e.args += (f"PicklingError while hashing {obj!r}: {e!r}",)
+            raise
+        dumps = self.stream.getvalue()
+        self._hash.update(dumps)
+        if return_digest:
+            return self._hash.hexdigest()
+        return None
+
+    def save(self, obj):
+        if isinstance(obj, (types.MethodType, type({}.pop))):
+            # decompose bound methods into identifiable components
+            if hasattr(obj, "__func__"):
+                func_name = obj.__func__.__name__
+            else:
+                func_name = obj.__name__
+            inst = obj.__self__
+            if type(inst) is type(pickle):
+                obj = _MyHash(func_name, inst.__name__)
+            elif inst is None:
+                obj = _MyHash(func_name, inst)
+            else:
+                cls = obj.__self__.__class__
+                obj = _MyHash(func_name, inst, cls)
+        Pickler.save(self, obj)
+
+    def memoize(self, obj):
+        # value-sensitive, not reference-sensitive: equal strings must
+        # produce identical streams, so strings are never memoized
+        if isinstance(obj, (bytes, str)):
+            return
+        Pickler.memoize(self, obj)
+
+    # module-level callables hash by qualified name
+    dispatch = Pickler.dispatch.copy()
+    dispatch[type(len)] = Pickler.save_global
+    dispatch[type(object)] = Pickler.save_global
+    dispatch[type(Pickler)] = Pickler.save_global
+    dispatch[type(pickle.dump)] = Pickler.save_global
+
+    def _batch_setitems(self, items, obj=None):
+        # dict hashing must not depend on key insertion order
+        try:
+            items = iter(sorted(items))
+        except TypeError:
+            items = iter(sorted((hash(k), v) for k, v in items))
+        try:
+            Pickler._batch_setitems(self, items, obj)
+        except TypeError:  # CPython < 3.14 signature
+            Pickler._batch_setitems(self, items)
+
+    def save_set(self, set_items):
+        Pickler.save(self, _ConsistentSet(set_items))
+
+    dispatch[type(set())] = save_set
+
+
+class NumpyHasher(Hasher):
+    """Hasher with raw-buffer handling for C-typed ndarrays."""
+
+    def __init__(self, hash_name: str = "md5", coerce_mmap: bool = False):
+        self.coerce_mmap = coerce_mmap
+        Hasher.__init__(self, hash_name=hash_name)
+        import numpy as np
+
+        self.np = np
+
+    def save(self, obj):
+        np = self.np
+        if isinstance(obj, np.ndarray) and not obj.dtype.hasobject:
+            if obj.shape == ():
+                obj_c = obj.flatten()
+            elif obj.flags.c_contiguous:
+                obj_c = obj
+            elif obj.flags.f_contiguous:
+                obj_c = obj.T
+            else:
+                obj_c = obj.flatten()
+            self._hash.update(memoryview(obj_c.view(np.uint8)))
+            if self.coerce_mmap and isinstance(obj, np.memmap):
+                klass = np.ndarray
+            else:
+                klass = obj.__class__
+            obj = (klass, ("HASHED", obj.dtype, obj.shape, obj.strides))
+        Hasher.save(self, obj)
+
+
+def joblib_hash(obj, hash_name: str = "md5", coerce_mmap: bool = False):
+    """Hash ``obj`` with the joblib algorithm (see module docstring).
+
+    numpy is always available in this engine, so the ndarray-aware
+    hasher is used unconditionally — identical output to the plain
+    hasher for non-array inputs (the array branch never fires)."""
+    hasher = NumpyHasher(hash_name=hash_name, coerce_mmap=coerce_mmap)
+    return hasher.hash(obj)
+
+
+def reference_pset_hash(dct: dict, method: str = "sha1") -> str:
+    """The reference's ``pset_hash`` (psweep.py:208-270): joblib hash
+    over the pset after dropping ``_``-prefix (bookkeeping) and
+    ``_``-postfix (result) keys."""
+    if not isinstance(dct, dict):
+        raise TypeError(f"{dct!r} is not a dict")
+    filtered = {
+        k: v for k, v in dct.items()
+        if not k.startswith("_") and not k.endswith("_")
+    }
+    return joblib_hash(filtered, hash_name=method)

@@ -453,6 +453,73 @@ class Database:
                     continue
         return removed
 
+    def rehash_from_reference(
+        self,
+        spark: SparkSession,
+        pk_path: str,
+        verify_joblib_hashes: bool = True,
+    ) -> DataFrame:
+        """One-shot import of a reference psweep ``database.pk``
+        (pickled pandas DataFrame, psweep.py:36,1334-1336) into this
+        Spark database, recomputing every ``_pset_hash`` canonically.
+
+        The reference stamps joblib-SHA1 hashes; this engine stamps
+        canonical sha256 — without rehashing, ``skip_dups`` against a
+        migrated DB would recompute the entire history.  Each imported
+        row's stored hash is first cross-checked against the
+        bit-compatible reimplementation (``pset_hash(...,
+        method="joblib-sha1")``), proving the pset columns survived the
+        round-trip intact, then replaced with the canonical hash.
+
+        Driver-side by design: a reference DB is a single-node pickle,
+        bounded by the reference's own in-memory model — never 100 TB.
+        Returns the imported rows as stamped."""
+        import math
+
+        import pandas as pd
+
+        from .hashing import col_kind, pset_hash
+
+        pdf = pd.read_pickle(pk_path)
+        pset_cols = [c for c in pdf.columns if col_kind(c) == "pset"]
+
+        def _clean(v):
+            # the reference's dtype=object wash leaves numpy scalars
+            # and pd.NA behind; normalize to plain python for both the
+            # compat hash (type-sensitive!) and Spark inference.  The
+            # reference's own examples (repeat_failed.py:58-61) insist
+            # users store native types, so native is the round-trip.
+            if v is None or v is pd.NA:
+                return None
+            if isinstance(v, float) and math.isnan(v):
+                return v
+            if hasattr(v, "item") and type(v).__module__ == "numpy":
+                return v.item()
+            return v
+
+        rows = []
+        mismatches = 0
+        for rec in pdf.to_dict(orient="records"):
+            rec = {k: _clean(v) for k, v in rec.items()}
+            pset = {c: rec[c] for c in pset_cols}
+            if verify_joblib_hashes and rec.get("_pset_hash") is not None:
+                compat = pset_hash(pset, method="joblib-sha1")
+                if compat != rec["_pset_hash"]:
+                    mismatches += 1
+            rec["_pset_hash"] = pset_hash(pset)
+            rows.append(rec)
+        if mismatches:
+            raise ValueError(
+                f"{mismatches}/{len(rows)} rows of {pk_path} have a stored "
+                "_pset_hash that does not match the joblib-sha1 "
+                "recomputation — pset values were altered after hashing "
+                "(or hashed with non-native types); re-run with "
+                "verify_joblib_hashes=False to import anyway"
+            )
+        imported = spark.createDataFrame(rows)
+        self.append(imported)
+        return imported
+
     def compact(self, spark: SparkSession, target_file_mb: int = 128) -> int:
         """Small-file compaction: rewrite the table so each ``_run_id``
         partition holds ~``target_file_mb``-sized files.

@@ -226,12 +226,36 @@ def canon_pset(pset: dict, skip_special_cols: bool = True) -> str:
     return "".join(out)
 
 
-def pset_hash(pset: dict, skip_special_cols: bool = True) -> str:
-    """sha256 hex of the canonical pset encoding.
+def pset_hash(
+    pset: dict,
+    skip_special_cols: bool = True,
+    method: str = "canonical-sha256",
+) -> str:
+    """Hash of a pset.  Key-order invariant and type-sensitive, mirrors
+    reference ``pset_hash`` (psweep.py:208-270).
 
-    Key-order invariant and type-sensitive, mirrors reference
-    ``pset_hash`` (psweep.py:208-270) minus joblib bit-compat.
+    ``method``:
+
+    * ``"canonical-sha256"`` (default) — sha256 over the canonical
+      encoding (:func:`canon_pset`); the engine-native hash with 3-way
+      Python/Spark/DuckDB parity, usable as a Catalyst expression.
+    * ``"joblib-sha1"`` / ``"joblib-md5"`` — bit-compatible with the
+      reference's ``joblib.hash(dct, hash_name=...)`` (its default is
+      sha1, psweep.py:33).  DRIVER-SIDE, migration-only: lets
+      ``Database.rehash_from_reference`` recognize the hashes in an
+      existing reference ``database.pk`` so ``skip_dups`` keeps
+      working across the migration instead of recomputing everything.
     """
+    if method in ("joblib-sha1", "joblib-md5"):
+        from .compat_hash import joblib_hash
+
+        filtered = (
+            {k: v for k, v in pset.items() if col_kind(k) == "pset"}
+            if skip_special_cols else dict(pset)
+        )
+        return joblib_hash(filtered, hash_name=method.split("-", 1)[1])
+    if method != "canonical-sha256":
+        raise ValueError(f"unknown pset_hash method: {method!r}")
     s = canon_pset(pset, skip_special_cols=skip_special_cols)
     return hashlib.sha256(s.encode("utf-8")).hexdigest()
 

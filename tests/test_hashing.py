@@ -209,3 +209,66 @@ def test_prop_python_vs_duckdb_parity(p):
         f"SELECT {expr} AS h FROM (SELECT {', '.join(sels)})"
     ).fetchone()[0]
     assert got == pset_hash(p), p
+
+
+# ---------------------------------------------------------------------------
+# joblib-compat migration hash (compat_hash.py; reference psweep.py:33,208-270)
+# ---------------------------------------------------------------------------
+
+
+def test_joblib_compat_known_answer_streams():
+    """The compat hasher's pickle streams are pinned OPCODE BY OPCODE
+    against hand-derived protocol-3 sequences from the pickle spec
+    (PROTO, EMPTY_DICT, BINPUT, BINUNICODE, BININT1/G, SETITEM(S),
+    STOP) — an independent construction, since joblib itself is not
+    installed here.  These are exactly the streams joblib's Hasher
+    emits (pure-python pickler, protocol 3, strings unmemoized, dict
+    items sorted), so the digests are the reference's hashes."""
+    import hashlib
+
+    from psweep_spark.compat_hash import Hasher, joblib_hash
+
+    cases = {
+        # {'a': 1}: PROTO3 EMPTY_DICT BINPUT0 BINUNICODE('a') BININT1(1)
+        # SETITEM STOP
+        b"\x80\x03}q\x00X\x01\x00\x00\x00aK\x01s.": {"a": 1},
+        # two items -> MARK ... SETITEMS
+        b"\x80\x03}q\x00(X\x01\x00\x00\x00aK\x01X\x01\x00\x00\x00bK\x02u.":
+            {"a": 1, "b": 2},
+        # float -> BINFLOAT big-endian IEEE754
+        b"\x80\x03}q\x00X\x01\x00\x00\x00kG?\xb9\x99\x99\x99\x99\x99\x9as.":
+            {"k": 0.1},
+    }
+    for stream, obj in cases.items():
+        h = Hasher("sha1")
+        h.dump(obj)
+        assert h.stream.getvalue() == stream, obj
+        assert joblib_hash(obj, "sha1") == hashlib.sha1(stream).hexdigest()
+
+
+def test_joblib_compat_semantics():
+    """joblib hashing semantics: key-order invariant, type-sensitive
+    (the int-vs-np.int64 trap the reference documents in
+    examples/repeat_failed.py:58-61), string-identity-insensitive,
+    set-order-invariant, ndarray-buffer-aware."""
+    from psweep_spark.compat_hash import joblib_hash
+
+    assert joblib_hash({"a": 1, "b": 2}) == joblib_hash({"b": 2, "a": 1})
+    assert joblib_hash({"a": 1}) != joblib_hash({"a": 1.0})
+    assert joblib_hash({"a": 1}) != joblib_hash({"a": np.int64(1)})
+    s2 = "aaZ"[:2]
+    assert joblib_hash(["aa", "aa"]) == joblib_hash(["aa", s2])
+    assert joblib_hash({1, 2, 3}) == joblib_hash({3, 1, 2})
+    a = np.arange(4, dtype=np.int64)
+    assert joblib_hash(a) == joblib_hash(a.copy())
+    assert joblib_hash(a) != joblib_hash(a.astype(np.int32))
+
+
+def test_pset_hash_joblib_method_filters_special_cols():
+    from psweep_spark.compat_hash import joblib_hash
+
+    h = pset_hash({"a": 1, "_run_id": "x", "y_": 9}, method="joblib-sha1")
+    assert h == joblib_hash({"a": 1}, "sha1")
+    assert h != pset_hash({"a": 1})  # different algorithm families
+    with pytest.raises(ValueError):
+        pset_hash({"a": 1}, method="bogus")

@@ -374,3 +374,58 @@ def test_git_hooks(spark, tmp_path):
     run_id = df.select("_run_id").first()[0]
     log = git("log", "--oneline", "-1")
     assert f"run_id={run_id}" in log
+
+
+def test_rehash_from_reference_migration(spark, calc_dir):
+    """A reference-layout database.pk (pickled pandas frame, joblib-sha1
+    _pset_hash) imports into a Spark DB with every hash recomputed
+    canonically, and a subsequent run(skip_dups=True) recognizes ALL
+    imported psets — the migration closes VERDICT r3 item 5.  The
+    fixture's stored hashes come from the compat implementation, whose
+    byte stream is pinned opcode-by-opcode in test_hashing (joblib
+    itself is not installed in this environment)."""
+    import pandas as pd
+
+    from psweep_spark.hashing import pset_hash as ph
+
+    fixture = os.path.join(calc_dir, "database.pk")
+    rows = []
+    for i, a in enumerate([1, 2, 3]):
+        pset = {"a": a}
+        rows.append({
+            "a": a,
+            "y_": a * 10.0,
+            "_pset_hash": ph(pset, method="joblib-sha1"),
+            "_run_id": "11111111-2222-3333-4444-555555555555",
+            "_pset_id": f"00000000-0000-0000-0000-00000000000{i}",
+            "_run_seq": 0,
+            "_pset_seq": i,
+            "_calc_dir": calc_dir,
+        })
+    os.makedirs(calc_dir, exist_ok=True)
+    # dtype=object wash, exactly how the reference stores it
+    pd.DataFrame(rows).astype(object).to_pickle(fixture)
+
+    db = Database(os.path.join(calc_dir, "database"))
+    imported = db.rehash_from_reference(spark, fixture)
+    assert imported.count() == 3
+    stored = db.load(spark)
+    got = {r["a"]: r["_pset_hash"] for r in stored.collect()}
+    assert got == {a: ph({"a": a}) for a in [1, 2, 3]}  # canonical now
+
+    # skip_dups must see all 3 imported psets as already-done
+    df = run(spark, func_a, pgrid([plist("a", [1, 2, 3, 4, 5])]),
+             calc_dir=calc_dir, skip_dups=True)
+    assert df.count() == 5
+    new = df.filter(F.col("_run_seq") > 0)
+    assert sorted(r["a"] for r in new.select("a").collect()) == [4, 5]
+
+    # tampered pset values are caught by the joblib cross-check
+    bad = pd.DataFrame(rows).astype(object)
+    bad.loc[0, "a"] = 999  # hash no longer matches
+    bad_path = os.path.join(calc_dir, "tampered.pk")
+    bad.to_pickle(bad_path)
+    with pytest.raises(ValueError, match="joblib-sha1"):
+        Database(os.path.join(calc_dir, "db2")).rehash_from_reference(
+            spark, bad_path
+        )
