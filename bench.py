@@ -119,6 +119,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_clusters_lsh",
     "docs_substring_dup",
+    "docs_substring_dup_w64",
     "dedup_incremental_batch",
     "stream_near_dedup_docs",
     "docs_source_quota",

@@ -59,6 +59,7 @@ def df_filter_conds(
 def df_print(
     df: DataFrame,
     *,
+    index: bool = False,
     prefix_cols: bool = False,
     cols: Sequence[str] = (),
     skip_cols: Sequence[str] = (),
@@ -67,7 +68,14 @@ def df_print(
 ) -> None:
     """Project + pretty-print with sorted column names; drops ``_prefix``
     bookkeeping columns by default (reference df_print, psweep.py:515-619).
-    """
+
+    ``index=True`` reproduces the reference's pandas layout: the frame
+    prints via ``to_string`` with ``_pset_seq`` as the (unnamed) index —
+    the reference's DataFrame index IS its pset seq, so this is exact
+    display parity.  Spark rows have no positional index, hence the
+    seq column stands in; rows without ``_pset_seq`` fall back to a
+    0..n-1 collect order index.  Driver-side by definition (bounded by
+    ``n``), like every print."""
     names = list(df.columns)
     if cols:
         sel = [c for c in names if c in set(cols)]
@@ -78,6 +86,18 @@ def df_print(
     sel = [c for c in sel if c not in set(skip_cols)]
     if "_pset_seq" in df.columns:
         df = df.orderBy("_pset_seq")
+    if index:
+        proj = sorted(sel)
+        grab = proj + (
+            ["_pset_seq"] if "_pset_seq" in df.columns and
+            "_pset_seq" not in proj else []
+        )
+        pdf = df.select(*grab).limit(n).toPandas()
+        if "_pset_seq" in df.columns:
+            pdf.index = pdf["_pset_seq"].to_numpy()
+            pdf = pdf[proj]
+        print(pdf.to_string(index=True))
+        return
     df.select(*sorted(sel)).show(n=n, truncate=truncate)
 
 

@@ -355,3 +355,17 @@ def test_dsir_scoring_broadcasts_bucket_relation(spark):
     assert plans.broadcast_join_count(df) >= 1
     plan = plans.formatted_plan(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_substring_dup_hashed_mode_identical(spark):
+    """hash_windows=True (xxhash64 shuffle keys) must produce the exact
+    per-doc result of the raw-string mode at the same W — the key never
+    reaches the output, so the modes are interchangeable and the hashed
+    one is strictly cheaper on the wire at long W."""
+    from psweep_spark.queries_pipeline import _ld, _substring_dup_stats
+
+    docs = _ld(spark, SF_DIR, "documents")
+    raw = _substring_dup_stats(docs, w=64, hash_windows=False)
+    hashed = _substring_dup_stats(docs, w=64, hash_windows=True)
+    assert raw.exceptAll(hashed).count() == 0
+    assert hashed.exceptAll(raw).count() == 0

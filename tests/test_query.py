@@ -155,3 +155,31 @@ def test_reference_surface_compat(spark, tmp_path):
 
     # PsweepHashError is catchable as TypeError (reference parity)
     assert issubclass(ps.PsweepHashError, TypeError)
+
+
+def test_df_print_index_parity(spark, db, capsys):
+    """`df_print(index=True)` reproduces the reference's printed layout
+    (psweep.py:515-619): pandas ``to_string`` with the DataFrame index
+    shown — and since the reference's index IS the pset seq, the index
+    column must carry ``_pset_seq`` values.  The expected text is built
+    independently with pandas over the same rows."""
+    import pandas as pd
+
+    from psweep_spark import df_print
+
+    df, _ = db
+    df_print(df, index=True, cols=["a", "b", "result_"])
+    shown = capsys.readouterr().out
+
+    rows = df.orderBy("_pset_seq").select(
+        "a", "b", "result_", "_pset_seq"
+    ).collect()
+    expected_pdf = pd.DataFrame(
+        [{"a": r["a"], "b": r["b"], "result_": r["result_"]} for r in rows],
+        index=[r["_pset_seq"] for r in rows],
+    )
+    assert shown.strip() == expected_pdf.to_string(index=True).strip()
+    # default stays the spark grid, indexless
+    df_print(df, cols=["a"])
+    grid = capsys.readouterr().out
+    assert "+" in grid and "_pset_seq" not in grid
