@@ -132,6 +132,7 @@ HEADLINE = [
     "events_user_retention",
     "events_growth_accounting",
     "embed_kmeans_lloyd",
+    "pq_kmeans_codes",
     "dedup_bloom_gate",
     "dedup_cluster_size_hist",
     "docs_chunk_tokens",
