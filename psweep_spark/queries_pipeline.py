@@ -77,45 +77,75 @@ def docs_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality ≈ corpus token count — and on doc_id for the
     count-back.  No pair expansion anywhere: documents sharing a hot
     window never join against each other, so a million copies of one
-    boilerplate sentence cost a single count row.  (At W=8, raw window
-    strings beat md5 keys: the hash added an interpreted-HOF pass per
-    window and saved nothing — groupBy hash-partitions either way; at
-    long window widths ``docs_substring_dup_w64`` swaps in xxhash64
-    post-explode to cap shuffle key bytes at 8.)"""
+    boilerplate sentence cost a single count row.  Runs the
+    lead-window rolling-hash path (hash_windows=True, see
+    _substring_dup_stats): no window string is ever constructed, and
+    the oracle — which DOES group raw window strings — proves the
+    hashed plan computes the identical per-doc answer."""
     return _substring_dup_stats(
-        _ld(spark, sf_dir, "documents"), w=_W, hash_windows=False
+        _ld(spark, sf_dir, "documents"), w=_W, hash_windows=True
     )
 
 
 def _substring_dup_stats(
     docs: DataFrame, w: int, hash_windows: bool
 ) -> DataFrame:
-    """Shared engine for the substring-dup family.  ``hash_windows``
-    replaces the window STRING as shuffle/group key with its xxhash64
-    (computed post-explode, a codegen'd projection on regular rows —
-    NOT inside the window-generation HOF): at W tokens the raw key is
-    ~6·W bytes on the wire, the hash a fixed 8 — at W=64 that is a
-    ~45× reduction in both the window-frequency exchange and its sort
-    buffer.  Collisions (64-bit, corpus-token-count keys) are
-    vanishingly rare and only ever overcount one window pair; the
-    output never exposes the key, so hashed and raw modes produce
-    identical results (contract-tested)."""
+    """Shared engine for the substring-dup family.
+
+    ``hash_windows=True`` (the default path for both catalog queries)
+    never CONSTRUCTS a window at all: tokens explode with positions,
+    each token gets one xxhash64, and the window key is xxhash64 over
+    the token-hash and its W−1 ``lead()``s — a sort-window plus a
+    codegen'd projection.  The naïve formulation (a transform() HOF
+    slicing + concat_ws-ing every window) is INTERPRETED per window:
+    measured 30.7 s just to generate 2.4 M windows at sf1 vs 3.5 s
+    end-to-end for the lead formulation (11×), and the 8-byte key also
+    shrinks the window-frequency shuffle ~45× at W=64 vs raw strings.
+    Collisions (64-bit, corpus-token-count keys) are vanishingly rare
+    and only ever overcount one window; the key never reaches the
+    output, so hashed and raw modes produce identical results
+    (contract-tested, and the DuckDB oracles group by RAW strings).
+
+    ``hash_windows=False`` keeps the literal window-string build — the
+    readable reference semantics the oracle mirrors."""
     docs = docs.select("doc_id", "text")
-    t = F.split(F.trim("text"), r"\s+")
-    wins = F.when(
-        F.size(t) >= w,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - F.lit(w - 1)),
-                lambda i: F.concat_ws(" ", F.slice(t, i, w)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    win = docs.select("doc_id", F.explode_outer(wins).alias("wh")).filter(
-        F.col("wh").isNotNull()
-    )
     if hash_windows:
-        win = win.select("doc_id", F.xxhash64("wh").alias("wh"))
+        tok = docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias(
+                "pos", "token"
+            ),
+        )
+        h = tok.select("doc_id", "pos", F.xxhash64("token").alias("h0"))
+        ws = Window.partitionBy("doc_id").orderBy("pos")
+        lead_cols = [
+            F.lead("h0", j).over(ws).alias(f"h{j}") for j in range(1, w)
+        ]
+        win = (
+            h.select("doc_id", "h0", *lead_cols)
+            .filter(F.col(f"h{w - 1}").isNotNull())
+            .select(
+                "doc_id",
+                F.xxhash64(*[f"h{j}" for j in range(w)]).alias("wh"),
+            )
+            # per-doc distinct (the oracle's list_distinct); partitioned
+            # by doc_id already, so this dedup reuses the sort exchange
+            .dropDuplicates(["doc_id", "wh"])
+        )
+    else:
+        t = F.split(F.trim("text"), r"\s+")
+        wins = F.when(
+            F.size(t) >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - F.lit(w - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, w)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        win = docs.select(
+            "doc_id", F.explode_outer(wins).alias("wh")
+        ).filter(F.col("wh").isNotNull())
     # document frequency per window via COUNT OVER (PARTITION BY wh):
     # one shuffle and ONE evaluation of the (HOF-interpreted, so
     # relatively expensive) window generation — the groupBy+join-back

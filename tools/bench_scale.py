@@ -106,8 +106,14 @@ def main() -> int:
         print(f"{name}: {t_small}s -> {t_big}s  ratio {ratio}"
               + ("  ** SUPER-LINEAR" if out[name]["flag_superlinear"] else ""))
 
-    with open(os.path.join(REPO, "BENCH_SCALE.json"), "w") as fh:
-        json.dump(out, fh, indent=2, sort_keys=True)
+    path = os.path.join(REPO, "BENCH_SCALE.json")
+    merged: dict[str, dict] = {}
+    if os.path.isfile(path):
+        with open(path) as fh:
+            merged = json.load(fh)
+    merged.update(out)
+    with open(path, "w") as fh:
+        json.dump(merged, fh, indent=2, sort_keys=True)
     print("wrote BENCH_SCALE.json")
     return 0
 
