@@ -52,8 +52,17 @@ def frame_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
     from psweep_spark.session import get_spark
@@ -76,16 +85,19 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {str(e)[:200]}")
+            results[name] = {"status": "FAIL", "error": str(e)[:200]}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"weak  {name}: rows={len(sdf)} (no oracle, rows-only)")
+            results[name] = {"status": "weak", "rows": len(sdf)}
             n_weak += 1
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
+            results[name] = {"status": "FAIL", "error": str(e)[:200]}
             n_fail += 1
             continue
         problems = []
@@ -112,11 +124,26 @@ def main() -> int:
                     )
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
+            results[name] = {"status": "FAIL", "problems": problems}
             n_fail += 1
         else:
             print(f"ok    {name}: rows={len(sdf)}")
+            results[name] = {"status": "ok", "rows": len(sdf)}
             n_pass += 1
     print(f"\n{n_pass} ok, {n_weak} weak (rows-only), {n_fail} FAIL")
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_ok": n_pass,
+                    "n_weak": n_weak,
+                    "n_fail": n_fail,
+                    "queries": results,
+                },
+                fh, indent=2, sort_keys=True,
+            )
+        print(f"wrote {json_path}")
     return 1 if n_fail else 0
 
 
