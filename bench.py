@@ -251,9 +251,16 @@ def main() -> int:
         # drop any relation a query persisted (resample counts, PMI
         # unigrams, DSIR buckets): query builders return lazy plans so
         # they can't unpersist themselves, and without this drain the
-        # caches accumulate across the 100+-query run
+        # caches accumulate across the 100+-query run.  The drain must
+        # be SYNCHRONOUS: clearCache's lazy unpersist otherwise runs
+        # inside the NEXT query's timed region (measured: erratic
+        # +1-3 s spikes on the dedup family with an async drain)
         spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc  # noqa: SLF001
+        for rdd in list(jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
         spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        time.sleep(0.8)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 4)
