@@ -107,6 +107,7 @@ HEADLINE = [
     "dedup_keep_best",
     "corpus_token_stats",
     "docs_quality_gate",
+    "docs_quality_classifier",
     "docs_stratified_sample",
     "q_grouping_sets_mix",
     "q_supplier_balance_dist",

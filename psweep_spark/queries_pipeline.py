@@ -1867,3 +1867,85 @@ def embed_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_drift"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# model-based quality scoring: hashed bag-of-words linear classifier
+# (the fastText-style quality filter of CCNet/DCLM-class pipelines)
+# --------------------------------------------------------------------------
+
+_QC_BUCKETS = 4096
+
+
+@_q(
+    "docs_quality_classifier",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             list_avg(list_transform(t, tok ->
+               (((CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT)
+                  % {_QC_BUCKETS}) * 2654435761) % 2001 - 1000) / 1000.0
+             )) AS m
+      FROM toks WHERE len(t) > 0 AND t <> ['']
+    )
+    SELECT t.doc_id,
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           round(COALESCE(1.0 / (1.0 + exp(-10.0 * s.m)), 0.5), 6)
+             AS quality_prob,
+           COALESCE(1.0 / (1.0 + exp(-10.0 * s.m)), 0.5) >= 0.5 AS keep
+    FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
+    """,
+)
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring — the hashed bag-of-words LINEAR
+    classifier shape of fastText-style corpus filters (CCNet / DCLM
+    quality models): token → hash bucket → weight lookup → mean →
+    sigmoid.  The weight table here is derived arithmetically from the
+    bucket id (Knuth multiplicative mix → [−1, 1]) so both engines
+    compute it without a fixture; a trained model swaps in a broadcast
+    weight array without changing the plan.
+
+    Scale shape: ZERO shuffle for the scoring itself — tokenize, hash,
+    look up, and average are all per-row expressions riding the corpus
+    scan (a 4096-float weight table inlines as a literal; a 10M-bucket
+    production model becomes a broadcast join on bucket, still
+    shuffle-free on the corpus side).  The bucket hash is the engine's
+    md5-low-60-bit (DuckDB-parity, same as the minhash base hash).
+    Empty docs score 0.5 (sigmoid of nothing) and keep=true, matching
+    the oracle's LEFT JOIN + COALESCE."""
+    docs = _ld(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.split(F.lower(F.trim("text")), r"\s+")
+    nonempty = (F.size(t) > 0) & ~(
+        (F.size(t) == 1) & (F.element_at(t, 1) == "")
+    )
+
+    def weight_of(tok):
+        b = (
+            F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+            % _QC_BUCKETS
+        )
+        return (((b * F.lit(2654435761)) % 2001 - 1000)
+                / F.lit(1000.0))
+
+    m = (
+        F.aggregate(
+            F.transform(t, weight_of),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size(t)
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-10.0) * m))
+    scored = F.when(nonempty, prob).otherwise(F.lit(0.5))
+    return docs.select(
+        "doc_id",
+        F.when(nonempty, F.size(t)).otherwise(F.lit(0))
+         .cast("long").alias("n_tokens"),
+        F.round(scored, 6).alias("quality_prob"),
+        (scored >= 0.5).alias("keep"),
+    )
