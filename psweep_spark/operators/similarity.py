@@ -307,6 +307,46 @@ def write_ivf_index(
     ).parquet(f"{path}/{CENTROIDS_SUBDIR}")
 
 
+def ivf_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally add vectors to an existing :func:`write_ivf_index`
+    layout — index MAINTENANCE, the op a live ingestion pipeline runs
+    per batch instead of rebuilding the index.
+
+    The frozen centroid table is reused (an IVF index's cells are fixed
+    at build time — rebalancing is a rebuild, exactly like production
+    FAISS-on-object-store layouts), so the append is: assign the new
+    batch to cells against the broadcast centroids, then
+    ``mode=append`` into the cell-partitioned parquet — new part files
+    land INSIDE the affected cell directories only; existing files are
+    never touched, readers see the union, and directory pruning keeps
+    working unchanged.  Cost ∝ batch size, zero corpus IO.
+
+    Returns the number of appended rows.  Contracts (tested): every
+    appended vector lands in its nearest-centroid cell under the
+    index's metric, and batching granularity is invisible — N small
+    appends answer every query exactly like one big append.  (A
+    rebuild on the grown corpus would move the centroids themselves;
+    periodic re-clustering is a separate, scheduled rebuild, exactly
+    as in production IVF deployments.)"""
+    cent = spark.read.parquet(f"{path}/{CENTROIDS_SUBDIR}").withColumnRenamed(
+        "cv", "cv2"
+    )
+    c = new_vectors.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    cells = assign_cells(c, cent, "vec_id", "cv", 1)
+    out = cells.select("vec_id", F.col("cv").alias("v"), "cell")
+    n = out.count()
+    out.write.mode("append").partitionBy("cell").parquet(path)
+    return n
+
+
 def ivf_index_topk(
     spark,
     path: str,

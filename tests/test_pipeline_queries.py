@@ -369,3 +369,63 @@ def test_substring_dup_hashed_mode_identical(spark):
     hashed = _substring_dup_stats(docs, w=64, hash_windows=True)
     assert raw.exceptAll(hashed).count() == 0
     assert hashed.exceptAll(raw).count() == 0
+
+
+def test_ivf_index_append_invariants(spark, tmp_path):
+    """Incremental index maintenance.  Two contracts: (a) every
+    appended vector lands in its NEAREST-centroid cell (the index's
+    frozen centroids — an IVF append must never degrade cell purity),
+    and (b) batching granularity is invisible: appending the second
+    half in one batch vs two answers every query identically."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from psweep_spark.operators.similarity import (
+        CENTROIDS_SUBDIR,
+        ivf_index_append,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    b1 = half_b.filter(F.col("vec_id") % 4 == 1)
+    b2 = half_b.filter(F.col("vec_id") % 4 == 3)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    one = str(tmp_path / "one")
+    two = str(tmp_path / "two")
+    write_ivf_index(half_a, one)
+    write_ivf_index(half_a, two)
+    n = ivf_index_append(spark, one, half_b)
+    assert n == half_b.count()
+    ivf_index_append(spark, two, b1)
+    ivf_index_append(spark, two, b2)
+
+    # (a) nearest-centroid invariant over the WHOLE appended index —
+    # the index metric: max cosine rounded to 6, ties to lowest label
+    cents = {
+        int(r["c_label"]): np.array(r["cv"])
+        for r in spark.read.parquet(f"{one}/{CENTROIDS_SUBDIR}").collect()
+    }
+    labels = sorted(cents)
+    for r in spark.read.parquet(one).collect():
+        v = np.array(r["v"])
+        sim = {
+            c: round(
+                float(v @ cents[c])
+                / (np.linalg.norm(v) * np.linalg.norm(cents[c])), 6
+            )
+            for c in labels
+        }
+        assert int(r["cell"]) == max(labels, key=lambda c: (sim[c], -c)), r[
+            "vec_id"
+        ]
+
+    # (b) one-batch vs two-batch appends answer identically
+    g1 = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+          for r in ivf_index_topk(spark, one, queries, k=5, nprobe=2).collect()}
+    g2 = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+          for r in ivf_index_topk(spark, two, queries, k=5, nprobe=2).collect()}
+    assert g1 == g2 and len(g1) == 50
