@@ -459,6 +459,11 @@ def minhash_dedup(
         # coalesce keeps the array provably non-nullable so no inferred
         # isnotnull(<full shingle expr>) filter sinks below the scan
         .select("id", F.coalesce(F.col("__sh"), F.array()).alias("__sh"))
+        # candidate-doc-cardinality relation whose subtree is a corpus
+        # scan + shingling: BOTH pair-join sides read it, so persist —
+        # one shingling pass, not two (the cache is bounded by the
+        # candidate list, and the session drains it with clearCache)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = cand_sh.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = cand_sh.select(F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b"))
