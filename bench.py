@@ -130,6 +130,7 @@ HEADLINE = [
     "docs_pii_scrub",
     "pipeline_prepare_corpus",
     "docs_decontaminate",
+    "docs_decontaminate_fuzzy",
     "events_user_retention",
     "events_growth_accounting",
     "embed_kmeans_lloyd",

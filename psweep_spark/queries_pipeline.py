@@ -1949,3 +1949,107 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(scored, 6).alias("quality_prob"),
         (scored >= 0.5).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# FUZZY benchmark decontamination: MinHash near-dup against the eval set
+# (docs_decontaminate covers exact n-gram collision; this is the
+# paraphrase/near-copy leakage gate)
+# --------------------------------------------------------------------------
+
+
+def _fuzzy_decontam_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+    from psweep_spark.queries_catalog import _SHINGLES_CTE
+
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"min(({2 * i + 1} * h30 + {7919 * i}) % 2147483647) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS bucket"
+        " FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT id,
+             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT)
+               & 1073741823 AS h30
+      FROM sh
+    ),
+    sig AS (SELECT id, {mins} FROM hashed GROUP BY id),
+    bands AS ({band_rows}),
+    cands AS (
+      SELECT DISTINCT cb.id AS id_new, bb.id AS id_old
+      FROM bands cb JOIN bands bb
+        ON cb.band_idx = bb.band_idx AND cb.bucket = bb.bucket
+      WHERE cb.id % 50 <> 0 AND bb.id % 50 = 0
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_new, b.id AS id_old, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.id % 50 <> 0 AND b.id % 50 = 0
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT c.id_new,
+             CAST(n_inter AS DOUBLE)
+               / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+      FROM cands c
+        JOIN inter i ON i.id_new = c.id_new AND i.id_old = c.id_old
+        JOIN sizes sa ON sa.id = c.id_new
+        JOIN sizes sb ON sb.id = c.id_old
+      WHERE CAST(n_inter AS DOUBLE)
+            / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+    ),
+    agg AS (SELECT id_new, MAX(jaccard) AS mj FROM pairs GROUP BY id_new)
+    SELECT d.doc_id,
+           round(COALESCE(a.mj, 0.0), 6) AS max_jaccard,
+           COALESCE(a.mj, 0.0) >= 0.5 AS contaminated
+    FROM documents d LEFT JOIN agg a ON a.id_new = d.doc_id
+    WHERE d.doc_id % 50 <> 0
+    """
+
+
+@_q("docs_decontaminate_fuzzy", _fuzzy_decontam_oracle())
+def docs_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP benchmark decontamination — the paraphrase-leakage gate
+    that exact n-gram collision (docs_decontaminate) misses: every
+    training doc is LSH-checked against the held-out benchmark set
+    (doc_id % 50 == 0 stands in) with banded MinHash + exact-Jaccard
+    verification, and scored by its worst overlap.
+
+    Scale shape: the asymmetric incremental-dedup machinery
+    (operators/dedup.py: minhash_dedup_incremental) — corpus bands
+    join BENCHMARK bands only (the benchmark side is tiny and its
+    banding is broadcast-able; never corpus×corpus), verification runs
+    on surviving candidates only, and the per-doc max is one
+    doc_id-keyed aggregate joined back as a broadcast.  At 100 TB the
+    benchmark side becomes a precomputed disk index exactly like the
+    streaming gate (write_dedup_index)."""
+    from psweep_spark.operators.dedup import minhash_dedup_incremental
+
+    docs = _ld(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    pairs = minhash_dedup_incremental(
+        corpus, bench, num_hashes=12, bands=4, threshold=0.5
+    )
+    worst = pairs.groupBy("id_new").agg(F.max("jaccard").alias("mj"))
+    return (
+        corpus.select("doc_id")
+        .join(F.broadcast(worst), corpus.doc_id == worst.id_new, "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce("mj", F.lit(0.0)), 6).alias("max_jaccard"),
+            (F.coalesce("mj", F.lit(0.0)) >= 0.5).alias("contaminated"),
+        )
+    )
