@@ -119,7 +119,12 @@ class Hasher(Pickler):
         try:
             items = iter(sorted(items))
         except TypeError:
-            items = iter(sorted((hash(k), v) for k, v in items))
+            # joblib's Hasher sorts the ORIGINAL (key, value) pairs by
+            # key hash and pickles them unchanged (joblib hashing.py,
+            # _batch_setitems) — it does not substitute hash(k) for the
+            # key.  Match that exactly so mixed-type-key dicts hash the
+            # same as joblib's pure-python pickler would produce.
+            items = iter(sorted(items, key=lambda kv: hash(kv[0])))
         try:
             Pickler._batch_setitems(self, items, obj)
         except TypeError:  # CPython < 3.14 signature

@@ -174,12 +174,15 @@ class Database:
 
         A lock record older than ``stale_after`` seconds (per the
         timestamp in its payload, not filesystem mtime) is presumed
-        abandoned and stolen.  The steal is advisory — two waiters can
-        race the delete+put — which is acceptable exactly because
-        correctness never rests on this lock."""
+        abandoned and stolen.  Both the steal and the release go
+        through ``MetaStore.delete_if_match`` — a caller only removes
+        the exact lock record it observed (stale payload) or wrote
+        (its own payload), so a stealer can never delete a FRESH lock
+        another waiter just acquired, and a holder that was itself
+        stolen from cannot release the successor's lock."""
         deadline = time.monotonic() + timeout
         while True:
-            payload = f"{os.getpid()} {time.time()}".encode()
+            payload = f"{os.getpid()} {time.time()} {uuid.uuid4().hex}".encode()
             if self.meta_store.put_if_absent(LOCK_BASENAME, payload):
                 break
             raw = self.meta_store.get(LOCK_BASENAME)
@@ -189,7 +192,10 @@ class Database:
                 except (IndexError, ValueError):
                     held_since = 0.0
                 if time.time() - held_since > stale_after:
-                    self.meta_store.delete(LOCK_BASENAME)
+                    # Conditional on the observed stale payload: if a
+                    # rival stole first and a fresh lock now sits at
+                    # the key, this is a no-op and we loop to contend.
+                    self.meta_store.delete_if_match(LOCK_BASENAME, raw)
                     continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
@@ -200,7 +206,9 @@ class Database:
         try:
             yield
         finally:
-            self.meta_store.delete(LOCK_BASENAME)
+            # Release only OUR record: if we held past stale_after and
+            # were stolen from, the key now holds someone else's lock.
+            self.meta_store.delete_if_match(LOCK_BASENAME, payload)
 
     def reserve_seqs(
         self, spark: SparkSession, n_pset_slots: int, peek: bool = False

@@ -46,6 +46,22 @@ class MetaStore:
     def delete(self, key: str) -> None:
         raise NotImplementedError
 
+    def delete_if_match(self, key: str, expected: bytes) -> bool:
+        """Delete ``key`` only if its current payload equals
+        ``expected``; returns True iff this call removed it.  Object
+        stores provide this natively (S3 ``If-Match`` on DELETE, GCS
+        ``ifGenerationMatch``, Azure ETag preconditions); it is the
+        primitive that makes lock steal/release safe — an owner or
+        stealer can never remove a lock record it did not observe.
+
+        The base implementation is get-then-compare-then-delete, which
+        shrinks but does not close the race window; concrete stores
+        override with their atomic form."""
+        if self.get(key) != expected:
+            return False
+        self.delete(key)
+        return True
+
     def list_keys(self, prefix: str = "") -> list[str]:
         raise NotImplementedError
 
@@ -69,15 +85,28 @@ class LocalFSMetaStore(MetaStore):
             return None
 
     def put_if_absent(self, key: str, data: bytes) -> bool:
+        # Publish atomically: write the payload to a private tmp file,
+        # then os.link(tmp, key).  link() fails with EEXIST if the key
+        # exists (the conditional), and on success the key springs into
+        # existence already holding the full payload — a concurrent
+        # reader can never observe a torn or empty manifest, and a
+        # writer killed mid-call leaves at worst an orphan tmp file,
+        # never a permanently-empty highest manifest.
         os.makedirs(self.root, exist_ok=True)
+        tmp = self._p(f".tmp.{key}.{os.getpid()}.{threading.get_ident()}")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            fd = os.open(self._p(key), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, self._p(key))
         except FileExistsError:
             return False
-        try:
-            os.write(fd, data)
         finally:
-            os.close(fd)
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         return True
 
     def delete(self, key: str) -> None:
@@ -86,12 +115,49 @@ class LocalFSMetaStore(MetaStore):
         except OSError:
             pass
 
+    def delete_if_match(self, key: str, expected: bytes) -> bool:
+        """Atomic-enough delete-if-match on POSIX: flock the file's
+        inode (serializes concurrent delete_if_match callers), verify
+        the path still names that inode (``put_if_absent`` only ever
+        *creates* keys, so a same-inode path means the payload we read
+        is the payload the path holds), compare, then unlink.  Two
+        racing stealers cannot both succeed, and neither can remove a
+        fresh lock written after its observation."""
+        import fcntl
+
+        path = self._p(key)
+        try:
+            fd = os.open(path, os.O_RDONLY)
+        except OSError:
+            return False
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                return False
+            st_fd = os.fstat(fd)
+            try:
+                st_path = os.stat(path)
+            except OSError:
+                return False  # already deleted by the flock winner
+            if (st_fd.st_dev, st_fd.st_ino) != (st_path.st_dev, st_path.st_ino):
+                return False  # key was deleted and re-created since open
+            with open(fd, "rb", closefd=False) as fh:
+                data = fh.read()
+            if data != expected:
+                return False
+            os.unlink(path)
+            return True
+        finally:
+            os.close(fd)
+
     def list_keys(self, prefix: str = "") -> list[str]:
         if not os.path.isdir(self.root):
             return []
         return sorted(
             n for n in os.listdir(self.root)
             if n.startswith(prefix) and os.path.isfile(self._p(n))
+            and not n.startswith(".tmp.")
         )
 
 
@@ -145,6 +211,13 @@ class InMemoryConditionalStore(MetaStore):
     def delete(self, key: str) -> None:
         with self._mu:
             self._objects.pop(key, None)
+
+    def delete_if_match(self, key: str, expected: bytes) -> bool:
+        with self._mu:
+            if self._objects.get(key) != expected:
+                return False
+            del self._objects[key]
+            return True
 
     def list_keys(self, prefix: str = "") -> list[str]:
         with self._mu:

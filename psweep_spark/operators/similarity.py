@@ -14,7 +14,7 @@
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -342,9 +342,15 @@ def ivf_index_append(
     )
     cells = assign_cells(c, cent, "vec_id", "cv", 1)
     out = cells.select("vec_id", F.col("cv").alias("v"), "cell")
-    n = out.count()
-    out.write.mode("append").partitionBy("cell").parquet(path)
-    return n
+    # Count via observe() DURING the append write: the assignment plan
+    # runs exactly once, and the returned count is the number of rows
+    # the write job actually processed — a failed write raises instead
+    # of reporting a phantom positive count to a caller that resumes.
+    obs = Observation()
+    out.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(path)
+    return int(obs.get["n"])
 
 
 def ivf_index_topk(

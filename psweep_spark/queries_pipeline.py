@@ -2032,9 +2032,12 @@ def docs_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     join BENCHMARK bands only (the benchmark side is tiny and its
     banding is broadcast-able; never corpus×corpus), verification runs
     on surviving candidates only, and the per-doc max is one
-    doc_id-keyed aggregate joined back as a broadcast.  At 100 TB the
-    benchmark side becomes a precomputed disk index exactly like the
-    streaming gate (write_dedup_index)."""
+    doc_id-keyed aggregate joined back WITHOUT a forced broadcast: its
+    cardinality is bounded by corpus docs with any LSH hit, which a
+    contaminated or boilerplate-rich corpus makes corpus-sized — AQE
+    picks broadcast when it measures small, shuffle-hash otherwise.
+    At 100 TB the benchmark side becomes a precomputed disk index
+    exactly like the streaming gate (write_dedup_index)."""
     from psweep_spark.operators.dedup import minhash_dedup_incremental
 
     docs = _ld(spark, sf_dir, "documents")
@@ -2046,7 +2049,7 @@ def docs_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst = pairs.groupBy("id_new").agg(F.max("jaccard").alias("mj"))
     return (
         corpus.select("doc_id")
-        .join(F.broadcast(worst), corpus.doc_id == worst.id_new, "left")
+        .join(worst, corpus.doc_id == worst.id_new, "left")
         .select(
             "doc_id",
             F.round(F.coalesce("mj", F.lit(0.0)), 6).alias("max_jaccard"),

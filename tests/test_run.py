@@ -429,3 +429,73 @@ def test_rehash_from_reference_migration(spark, calc_dir):
         Database(os.path.join(calc_dir, "db2")).rehash_from_reference(
             spark, bad_path
         )
+
+
+def test_metastore_atomic_publish_and_delete_if_match(tmp_path):
+    """ADVICE r4: (a) put_if_absent must publish atomically — the key
+    either holds the full payload or does not exist, never torn/empty;
+    (b) lock steal/release must be conditional on the observed payload
+    (delete_if_match), so a stealer can never remove a fresh lock."""
+    from psweep_spark.metastore import (
+        InMemoryConditionalStore,
+        LocalFSMetaStore,
+    )
+
+    for store in (LocalFSMetaStore(str(tmp_path / "ms")),
+                  InMemoryConditionalStore()):
+        assert store.put_if_absent("k", b'{"v": 1}')
+        assert not store.put_if_absent("k", b'{"v": 2}')
+        assert store.get("k") == b'{"v": 1}'
+        # delete_if_match: wrong payload is a no-op, right payload wins
+        assert not store.delete_if_match("k", b'{"v": 2}')
+        assert store.get("k") == b'{"v": 1}'
+        assert store.delete_if_match("k", b'{"v": 1}')
+        assert store.get("k") is None
+        # deleting an absent key never succeeds
+        assert not store.delete_if_match("k", b'{"v": 1}')
+        # the lock-steal scenario: stealer observed OLD, holder wrote NEW
+        assert store.put_if_absent("lock", b"old 1.0 aa")
+        store.delete("lock")
+        assert store.put_if_absent("lock", b"new 9.9 bb")
+        assert not store.delete_if_match("lock", b"old 1.0 aa")
+        assert store.get("lock") == b"new 9.9 bb"
+
+    # local-FS specifics: no tmp residue, tmp names never listed
+    fs = LocalFSMetaStore(str(tmp_path / "ms2"))
+    fs.put_if_absent("a", b"x")
+    fs.put_if_absent("b", b"y")
+    assert fs.list_keys() == ["a", "b"]
+    assert not any(n.startswith(".tmp.") for n in os.listdir(fs.root))
+
+
+def test_metastore_concurrent_delete_if_match_single_winner(tmp_path):
+    """Of N racing stealers that all observed the same stale payload,
+    exactly one delete_if_match succeeds (flock + inode identity on
+    local FS)."""
+    import threading
+
+    from psweep_spark.metastore import LocalFSMetaStore
+
+    store = LocalFSMetaStore(str(tmp_path / "ms"))
+    stale = b"stale 0.0 cc"
+    results = []
+    mu = threading.Lock()
+
+    for _round in range(20):
+        assert store.put_if_absent("lock", stale)
+        wins = []
+        barrier = threading.Barrier(8)
+
+        def stealer():
+            barrier.wait()
+            ok = store.delete_if_match("lock", stale)
+            with mu:
+                wins.append(ok)
+
+        ts = [threading.Thread(target=stealer) for _ in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        results.append(sum(wins))
+    assert results == [1] * 20
