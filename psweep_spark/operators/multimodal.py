@@ -98,7 +98,11 @@ def read_blob_landing(spark, blob_dir: str) -> DataFrame:
     blob_id in that case).  Scale: the source lists + splits files
     across executors; pair with ``pathGlobFilter``/partitioned landing
     prefixes for 10^9-object buckets."""
-    blobs = spark.read.format("binaryFile").load(blob_dir)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")  # blobs only: skip markers,
+        .load(blob_dir)  # _SUCCESS files, and any other bucket debris
+    )
     blob_id = F.regexp_extract(F.col("path"), r"([^/]+)\.bin$", 1)
     return blobs.select(
         blob_id.alias("blob_id"),
