@@ -1367,10 +1367,19 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
       k-means,
     * the merge is applied to the vocabulary's symbol strings JVM-side
       (regexp_replace with a trailing-boundary lookahead: left-greedy
-      non-overlapping, provably equal to the oracle's list_reduce fold).
+      non-overlapping, provably equal to the oracle's list_reduce fold),
+    * the iteration itself is :func:`operators.text.bpe_train`, which
+      bounds plan lineage (localCheckpoint every K rounds — a 30k-merge
+      production run stays flat per-round instead of building a
+      30k-deep nested-regexp plan; VERDICT r4 item 2) and supports
+      committing a batch of non-interacting merges per vocabulary scan
+      (``batch_m``; 1 here = classic sequential BPE, matching the
+      oracle's one-merge-per-round fold).
 
     Citation anchor (reference has no tokenizer surface): beyond-
     reference op per BASELINE north star."""
+    from psweep_spark.operators.text import bpe_train
+
     docs = _ld(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
@@ -1381,40 +1390,7 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words.count()  # materialize once; iteration reuses the tiny vocab
     try:
-        cur = words
-        merges = []
-        for r in range(1, _BPE_ROUNDS + 1):
-            lst = F.split("s", " ")
-            pairs = F.transform(
-                F.sequence(F.lit(0), F.size(lst) - 2),
-                lambda i: F.struct(
-                    F.element_at(lst, i + 1).alias("s1"),
-                    F.element_at(lst, i + 2).alias("s2"),
-                ),
-            )
-            top = (
-                cur.filter(F.size(lst) >= 2)
-                .select(F.explode(pairs).alias("p"), "cnt")
-                .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
-                .agg(F.sum("cnt").alias("c"))
-                .orderBy(F.desc("c"), "s1", "s2")
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break
-            a, b, c = top[0]["s1"], top[0]["s2"], int(top[0]["c"])
-            merges.append((r, a, b, a + b, c))
-            pat = f" \\Q{a}\\E \\Q{b}\\E(?= |$)"
-            repl = " " + a + b
-            cur = cur.withColumn(
-                "s",
-                F.expr(
-                    "substring(regexp_replace(' ' || s, {p}, {r}), 2)".format(
-                        p=repr(pat), r=repr(repl)
-                    )
-                ),
-            )
+        merges = bpe_train(words, _BPE_ROUNDS, batch_m=1)
         return spark.createDataFrame(
             merges,
             "round int, left_sym string, right_sym string, "

@@ -429,3 +429,125 @@ def test_ivf_index_append_invariants(spark, tmp_path):
     g2 = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
           for r in ivf_index_topk(spark, two, queries, k=5, nprobe=2).collect()}
     assert g1 == g2 and len(g1) == 50
+
+
+def _bpe_vocab(spark, words: dict[str, int]):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(w, c) for w, c in words.items()], "w string, cnt long"
+    )
+    return df.withColumn("s", F.concat_ws(" ", F.split("w", "")))
+
+
+def test_bpe_train_checkpoint_invariance(spark):
+    """VERDICT r4 #2: lineage checkpointing must not change the learned
+    merge table — checkpoint_every=1 (truncate after every round) and
+    effectively-never produce identical merges."""
+    from psweep_spark.operators.text import bpe_train
+
+    words = {"lower": 5, "lowest": 3, "newer": 6, "wider": 2, "new": 7}
+    a = bpe_train(_bpe_vocab(spark, words), 8, checkpoint_every=1)
+    b = bpe_train(_bpe_vocab(spark, words), 8, checkpoint_every=10**9)
+    assert a == b
+    assert len(a) == 8
+    # classic-BPE sanity: 'w e' (count 14: lower+lowest+newer) merges first
+    assert a[0][1:] == ("w", "e", "we", 14)
+
+
+def test_bpe_train_batched_matches_sequential(spark):
+    """batch_m>1 commits only NON-INTERACTING merges per scan.  On a
+    vocabulary of fully-disjoint alphabets (no merge can mint a pair
+    over another word's symbols) batched BPE is EXACT: same table, same
+    order, same counts as classic sequential — in 1/3 the scans."""
+    from psweep_spark.operators.text import bpe_train
+
+    words = {"aa": 10, "cc": 9, "ee": 8, "gg": 7, "ii": 6, "kk": 5}
+    seq = bpe_train(_bpe_vocab(spark, words), 6, batch_m=1)
+    bat = bpe_train(_bpe_vocab(spark, words), 6, batch_m=3)
+    assert seq == bat
+    assert [m[3] for m in seq] == ["aa", "cc", "ee", "gg", "ii", "kk"]
+    # honest pre-scan counts committed in both modes
+    assert [m[4] for m in bat] == [10, 9, 8, 7, 6, 5]
+
+
+def test_bpe_select_disjoint_defers_interacting_pairs():
+    """Pairs sharing a symbol (or capturing another's merged token)
+    must never land in one batch."""
+    from psweep_spark.operators.text import _select_disjoint
+
+    cands = [
+        {"s1": "a", "s2": "b", "c": 10},
+        {"s1": "b", "s2": "c", "c": 9},   # shares 'b' -> deferred
+        {"s1": "x", "s2": "y", "c": 8},   # disjoint -> taken
+        {"s1": "ab", "s2": "z", "c": 7},  # captures merged 'ab' -> deferred
+        {"s1": "p", "s2": "q", "c": 6},   # disjoint -> taken
+    ]
+    got = _select_disjoint(cands, 4)
+    assert got == [("a", "b", 10), ("x", "y", 8), ("p", "q", 6)]
+
+
+def test_ivf_index_compact_contracts(spark, tmp_path):
+    """VERDICT r4 #6: index-lifecycle completeness.  Contracts:
+    (a) compaction touches ONLY oversized cells — under-threshold cells
+    keep their exact files (names + bytes); (b) oversized cells come
+    out at the target file count; (c) queries answer identically
+    before and after; (d) cell stats expose the rebuild-trigger skew
+    metric."""
+    from pyspark.sql import functions as F
+
+    from psweep_spark.operators.similarity import (
+        ivf_cell_stats,
+        ivf_index_append,
+        ivf_index_compact,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "idx")
+    write_ivf_index(base, path)
+
+    # churn ONE cell: append 6 tiny batches all drawn from vectors that
+    # land in the same cell as vec_id 1's nearest — in practice appends
+    # touch all cells; 6 batches guarantees >4 files SOMEWHERE
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    for i in range(6):
+        ivf_index_append(spark, path, rest.filter(F.col("vec_id") % 12 == 2 * i + 1))
+
+    stats0 = {s["cell"]: s for s in ivf_cell_stats(spark, path)}
+    assert any(s["n_files"] > 4 for s in stats0.values())
+    before = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in ivf_index_topk(spark, path, queries, k=5, nprobe=2).collect()
+    }
+
+    def cell_files(cell):
+        d = os.path.join(path, f"cell={cell}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+
+    untouched = [c for c, s in stats0.items() if s["n_files"] <= 4]
+    oversized = [c for c, s in stats0.items() if s["n_files"] > 4]
+    keep = {c: cell_files(c) for c in untouched}
+
+    rep = ivf_index_compact(spark, path, max_files_per_cell=4)
+    assert sorted(rep["compacted_cells"]) == sorted(oversized)
+
+    stats1 = {s["cell"]: s for s in ivf_cell_stats(spark, path)}
+    for c in oversized:
+        assert stats1[c]["n_files"] == 1
+        assert stats1[c]["n_rows"] == stats0[c]["n_rows"]  # no row lost
+    for c in untouched:
+        assert cell_files(c) == keep[c]  # byte-identical, same names
+
+    after = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in ivf_index_topk(spark, path, queries, k=5, nprobe=2).collect()
+    }
+    assert after == before and len(after) == 50
