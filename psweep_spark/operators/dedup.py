@@ -241,14 +241,19 @@ def _h30_of_shingles(sh: Column) -> Column:
 
 def _sig_of_h30(df: DataFrame, num_hashes: int) -> DataFrame:
     """(id, __h30) → (id, mh_0..mh_{k-1}) universal-hash family mins."""
+    def _family(i: int):
+        # MUST be a ONE-parameter lambda: pyspark gives a two-parameter
+        # transform lambda (element, array_index) — a `lambda h, i=i:`
+        # closure gets its family index SHADOWED by the element's
+        # position, collapsing all k families into one position-mixed
+        # hash (caught by the sf0.1 full-catalog oracle gate, round 5:
+        # identical mh_0..mh_{k-1} per doc, ~4% pair recall loss)
+        return lambda h: (F.lit(2 * i + 1) * h + F.lit(7919 * i)) % F.lit(
+            2147483647
+        )
+
     sigs = [
-        F.array_min(
-            F.transform(
-                F.col("__h30"),
-                lambda h, i=i: (F.lit(2 * i + 1) * h + F.lit(7919 * i))
-                % F.lit(2147483647),
-            )
-        ).alias(f"mh_{i}")
+        F.array_min(F.transform(F.col("__h30"), _family(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return df.select("id", *sigs)

@@ -601,7 +601,9 @@ def stream_near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         mt = _os.path.getmtime(src) if _os.path.exists(src) else 0.0
     key = hashlib.md5(
-        f"{_os.path.abspath(src)}|{mt}|v1".encode()
+        # v2: index invalidated when the signature math changes (r5
+        # one-parameter-lambda family fix regenerates the LSH banding)
+        f"{_os.path.abspath(src)}|{mt}|v2".encode()
     ).hexdigest()[:12]
     base = _os.path.join(tempfile.gettempdir(), f"psq_gate_{key}")
     feed_dir = _os.path.join(base, "feed")

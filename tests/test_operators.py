@@ -205,6 +205,44 @@ def test_minhash_signatures_shape(docs):
     assert sum(c.startswith("mh_") for c in sig.columns) == 8
 
 
+def test_minhash_signatures_known_answer(spark):
+    """Pin signatures against an independent Python recomputation.
+
+    Regression for the round-5 sf0.1 recall bug: a TWO-parameter
+    transform lambda gets (element, array_index) from pyspark, so a
+    `lambda h, i=i:` family closure had its family index shadowed by
+    the shingle position — all k families collapsed to one
+    position-mixed hash (identical mh_0..mh_{k-1} per doc, ~4% of
+    true pairs lost at sf0.1).  The Python reference computes each
+    family with explicit indices, so any arity/capture slip diverges.
+    """
+    import hashlib
+
+    texts = [
+        (1, "small join join merge scan group a big join key"),
+        (2, "the quick brown fox jumps over the lazy dog today ok"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["id"]: [int(r[f"mh_{i}"]) for i in range(12)]
+        for r in minhash_signatures(df, num_hashes=12, n=3).collect()
+    }
+    for doc_id, text in texts:
+        toks = text.split()
+        shingles = sorted({" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)})
+        h30 = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) & ((1 << 30) - 1)
+            for s in shingles
+        ]
+        exp = [
+            min(((2 * i + 1) * h + 7919 * i) % 2147483647 for h in h30)
+            for i in range(12)
+        ]
+        assert got[doc_id] == exp, doc_id
+    # the degenerate failure mode: all families equal — must not happen
+    assert len(set(got[1])) > 1 and len(set(got[2])) > 1
+
+
 def test_simhash_identical_for_dups(spark, docs):
     d = docs.limit(8)
     dup = d.withColumn("doc_id", F.col("doc_id") + 100000)
