@@ -1717,9 +1717,9 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH flagged AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
-             CASE WHEN date_diff('second',
+             CASE WHEN date_diff('microsecond',
                        lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                       CAST(ts AS TIMESTAMP)) >= 600
+                       CAST(ts AS TIMESTAMP)) > 600000000
                   OR lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
@@ -1739,7 +1739,18 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming sessionization (`session_window`, 10-min gap):
     Spark merges overlapping per-event windows in the state store; the
     drained result must equal the batch lag+cumsum session derivation
-    (window end = last event + gap, per session_window semantics)."""
+    (window end = last event + gap, per session_window semantics).
+
+    Boundary semantics (pinned by the r5 sf0.1+sf0.01 oracle gates,
+    which each hit exactly one straddling gap): an event at exactly
+    ``prev_ts + gap`` EXTENDS the session — Spark treats per-event
+    windows ``[ts, ts+gap]`` as closed at the end for merging — and
+    the comparison is at FULL timestamp precision (a 600.18 s gap
+    splits).  The oracle therefore tests
+    ``date_diff('microsecond') > 600e6``; second-truncated ``>=``/``>``
+    forms each disagree with session_window on one of the two SFs.
+    (`events_sessionization` keeps the second-truncated form: its
+    Spark twin uses `unix_timestamp`, truncating identically.)"""
     from .streaming import events_stream, run_available_now, session_counts
 
     ev = events_stream(spark, os.path.join(sf_dir, "events.parquet"))

@@ -1589,7 +1589,7 @@ _DSIR_B = 64  # hashed feature buckets
     SELECT tb.doc_id,
            COUNT(*) AS n_tokens,
            round(AVG(ln(((bc.tc + 1.0) / (n.nt + {_DSIR_B}))
-                        / ((bc.rc + 1.0) / (n.nr + {_DSIR_B})))), 6)
+                        / ((bc.rc + 1.0) / (n.nr + {_DSIR_B})))), 6) + 0.0
              AS dsir_logratio
     FROM tb JOIN bc ON tb.b = bc.b CROSS JOIN n
     GROUP BY tb.doc_id
@@ -1643,7 +1643,10 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(ratio), 6).alias("dsir_logratio"),
+            # + 0.0 canonicalizes IEEE negative zero: a doc whose mean
+            # log-ratio rounds to -0.0 must hash identically in both
+            # engines (sf0.1 surfaced a -0.0/0.0 value-hash mismatch)
+            (F.round(F.avg(ratio), 6) + F.lit(0.0)).alias("dsir_logratio"),
         )
     )
 

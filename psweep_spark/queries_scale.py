@@ -1541,12 +1541,17 @@ def q_hll_sketch_union_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     per level).  Guardrailed: the sketch estimate must land within 2%
     of the exact count, which this query also computes (exact per
     nation sums to exact per region because nation partitions
-    customers)."""
+    customers).  lgConfigK=14 (16 KB registers/sketch): RSE =
+    1.04/√2¹⁴ ≈ 0.81%, so 2% is ~2.5σ — the default lgK=12 (1.6% RSE)
+    deterministically breached 2% at sf0.1's per-region cardinalities
+    (~3k), caught by the r5 sf0.1 oracle gate.  Sketch size is the
+    rollup's shuffle unit either way: 16 KB × |nations| regardless of
+    corpus rows."""
     cu = _ld(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     na = _ld(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     re = _ld(spark, sf_dir, "region").select("r_regionkey", "r_name")
     per_nation = cu.groupBy("c_nationkey").agg(
-        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sk"),
         F.count_distinct("c_custkey").alias("exact_n"),
     )
     return (

@@ -253,3 +253,23 @@ def test_plain_streaming_drain_job_budget(spark):
         )
         assert len(rows) > 0, name
         assert jobs <= budget, (name, jobs)
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Pin Spark's session_window boundary semantics (r5 sf0.1 oracle
+    gate): an event at EXACTLY prev_ts + gap extends the session; one
+    second past it starts a new one.  The catalog oracle's new-session
+    predicate must therefore be `gap > 600`, never `>=`."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+         (2, "2024-01-01 00:00:00"), (2, "2024-01-01 00:10:01")],
+        "user_id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .count()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    got = {r["user_id"]: r["n_sessions"] for r in out.collect()}
+    assert got == {1: 1, 2: 2}
