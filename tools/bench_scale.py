@@ -95,7 +95,14 @@ def main() -> int:
     spark = get_spark(
         app_name="bench-scale",
         shuffle_partitions=32,
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # a multi-hundred-stage run must not evict completed stages
+            # mid-measurement: eviction makes the cumulative counter go
+            # BACKWARDS (observed as negative per-query deltas)
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
     )
     jvm = spark.sparkContext._jvm  # noqa: SLF001
     sc = spark.sparkContext
