@@ -71,9 +71,12 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # single-file layout (driver testdata) or Spark-written
+        # directory-of-parts layout (tools/gen_scale_data.py)
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
