@@ -32,11 +32,50 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _exact_double_casts(sql: str) -> str:
+    """Route every oracle-side ``CAST(SUM(<decimal expr>) AS DOUBLE)``
+    through a VARCHAR hop: ``CAST(CAST(SUM(..) AS VARCHAR) AS DOUBLE)``.
+
+    DuckDB's direct decimal→double cast divides the scaled int128 by
+    10^scale in floating point — TWO roundings — and lands 1 ULP off
+    the correctly-rounded value for large magnitudes (observed at sf1:
+    q1's sum_charge, 27864155010.941590 → ...4159**3** vs Spark's and
+    Python's correctly-rounded ...4159**0**).  The string round-trip
+    parses the exact decimal digits and rounds ONCE, matching Spark's
+    BigDecimal.doubleValue().  Applied mechanically at registration so
+    every money-sum oracle is immune, not just the one that diverged."""
+    import re as _re
+
+    out, i = [], 0
+    while True:
+        j = sql.find("CAST(SUM(", i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        k = j + len("CAST(SUM")  # index of SUM's opening paren
+        depth, p = 1, k
+        while depth:
+            p += 1
+            if sql[p] == "(":
+                depth += 1
+            elif sql[p] == ")":
+                depth -= 1
+        inner = sql[j + len("CAST("):p + 1]  # SUM( ... )
+        m = _re.match(r"\s*AS\s+DOUBLE\s*\)", sql[p + 1:])
+        if m and "DECIMAL" in inner.upper():
+            out.append(sql[i:j])
+            out.append(f"CAST(CAST({inner} AS VARCHAR) AS DOUBLE)")
+            i = p + 1 + m.end()
+        else:
+            out.append(sql[i:p + 1])
+            i = p + 1
+
+
 def _q(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            ORACLES[name] = _exact_double_casts(oracle)
         return fn
 
     return deco
