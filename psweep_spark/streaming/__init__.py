@@ -237,7 +237,7 @@ def run_available_now(
     result: DataFrame,
     name: str,
     output_mode: str = "complete",
-    timeout_sec: int = 300,
+    timeout_sec: int = 1800,
     state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain all available input through the streaming query into an
@@ -265,8 +265,19 @@ def run_available_now(
             .start()
         )
         # micro-batches are planned asynchronously after start(), so the
-        # conf must stay pinned until the drain finishes
-        q.awaitTermination(timeout_sec)
+        # conf must stay pinned until the drain finishes.
+        # ``timeout_sec`` is a HANG guard, not an SLA: availableNow
+        # terminates by itself once input is drained, so hitting the
+        # timeout means something is wedged — raise loudly.  (r5 sf10
+        # lesson: the old silent `awaitTermination(300)` returned a
+        # PARTIAL memory table when a 9.8M-session drain ran long —
+        # a correctness result quietly truncated to 0 rows.)
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"streaming drain '{name}' still running after "
+                f"{timeout_sec}s; refusing to return a partial table"
+            )
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
