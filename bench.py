@@ -147,6 +147,7 @@ HEADLINE = [
     "corpus_bpe_merges",
     "embed_batch_drift",
     "sim_ivfpq_ann",
+    "sim_ivf_delete_serve",
 ]
 
 

@@ -1,5 +1,6 @@
 """The full ANN serving-index lifecycle: build → serve → append →
-health stats → compact → serve (identically) → rebuild decision.
+delete → health stats → compact (purges) → serve (identically) →
+rebuild decision.
 
 This is the maintenance story a 100 TB embedding store runs on a
 schedule (mirrors production FAISS-on-object-store deployments):
@@ -11,11 +12,14 @@ schedule (mirrors production FAISS-on-object-store deployments):
 3. ``ivf_index_append`` — live ingestion: per-batch nearest-cell
    assignment against the frozen centroids, ``mode=append`` part files
    land inside the affected cell dirs only.  Cost ∝ batch.
-4. ``ivf_cell_stats`` — per-cell files/rows/bytes: the health metrics.
-5. ``ivf_index_compact`` — rewrite ONLY append-churned cells back to
-   one file each; untouched cells keep their exact bytes, and answers
-   are contractually identical before/after.
-6. Rebuild policy: when row-count skew across cells grows past ~4× the
+4. ``ivf_index_delete`` — tombstone append (zero cell IO); deleted
+   vectors vanish from answers immediately via a broadcast anti-join.
+5. ``ivf_cell_stats`` — per-cell files/rows/bytes: the health metrics.
+6. ``ivf_index_compact`` — rewrite ONLY append-churned and
+   tombstone-dirty cells; deleted rows are physically purged and the
+   fully-applied tombstone set cleared; untouched cells keep their
+   exact bytes, and answers are contractually identical before/after.
+7. Rebuild policy: when row-count skew across cells grows past ~4× the
    median, the coarse quantizer no longer balances the data — schedule
    a re-cluster (``write_ivf_index`` to a fresh path, flip a pointer).
 """
@@ -37,6 +41,7 @@ def main() -> int:
         ivf_cell_stats,
         ivf_index_append,
         ivf_index_compact,
+        ivf_index_delete,
         ivf_index_topk,
         write_ivf_index,
     )
@@ -63,23 +68,35 @@ def main() -> int:
         )
         print(f"append batch {i}: {n} vectors")
 
-    # 4. health stats → 5. compact the churned cells
+    # 4. delete: GDPR-style takedown of a vec_id batch — tombstones only
+    victims = [r["vec_id"] for r in ivf_index_topk(
+        spark, path, queries, k=1, nprobe=2).collect()]
+    n_del = ivf_index_delete(spark, path, victims)
+    print(f"deleted {n_del} vectors (tombstoned, zero cell IO)")
+    logical = {tuple(r) for r in ivf_index_topk(
+        spark, path, queries, k=3, nprobe=2).collect()}
+    assert not {t[1] for t in logical} & set(victims)
+
+    # 5. health stats → 6. compact the churned cells (purges tombstones)
     stats = ivf_cell_stats(spark, path)
     churned = [s["cell"] for s in stats if s["n_files"] > 4]
     print(f"cells: {len(stats)}, churned (>4 files): {churned}")
     report = ivf_index_compact(spark, path, max_files_per_cell=4)
     print(
         f"compacted {report['compacted_cells']}: "
-        f"{report['files_before']} -> {report['files_after']} files"
+        f"{report['files_before']} -> {report['files_after']} files, "
+        f"purged {report['purged_rows']} deleted rows"
     )
 
-    # serving answers must be identical across compaction
+    # serving answers must be identical across compaction (and the
+    # logical deletes must now be physical)
     a = {tuple(r) for r in ivf_index_topk(
         spark, path, queries, k=3, nprobe=2).collect()}
+    assert a == logical
     post_stats = ivf_cell_stats(spark, path)
     assert all(s["n_files"] <= 4 for s in post_stats), post_stats
 
-    # 6. rebuild decision from the same stats
+    # 7. rebuild decision from the same stats
     rows = [s["n_rows"] for s in post_stats]
     skew = max(rows) / max(1, statistics.median(rows))
     print(f"cell-size skew {skew:.2f}x median -> "

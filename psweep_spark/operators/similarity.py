@@ -26,6 +26,12 @@ __all__ = [
     "centroids_by_label",
     "assign_nearest_centroid",
     "ivf_topk",
+    "write_ivf_index",
+    "ivf_index_topk",
+    "ivf_index_append",
+    "ivf_index_delete",
+    "ivf_cell_stats",
+    "ivf_index_compact",
 ]
 
 
@@ -256,20 +262,48 @@ def assign_cells(
     vc: str,
     n: int,
 ) -> DataFrame:
-    """Nearest-``n`` centroid cells per vector (broadcast centroids,
-    per-vector top-n window).  ``cent`` must have (c_label, cv2)."""
-    scored = df.crossJoin(F.broadcast(cent)).withColumn(
-        "sim", F.round(cosine_expr(F.col(vc), F.col("cv2")), 6)
+    """Nearest-``n`` centroid cells per vector.  ``cent`` must have
+    (c_label, cv2).
+
+    The centroid table is k·d doubles — folded in-plan to a ONE-ROW
+    array of (label, vector) structs and broadcast, so the assignment
+    is a pure map: per row, score every centroid JVM-side, sort the
+    k-element (sim, label) array, keep the top n.  ZERO corpus
+    shuffle — the former crossJoin + row_number window pushed the
+    k-expanded corpus relation through an Exchange (per-vector
+    rank-limit pruning still leaves a full |corpus|-row shuffle; at 1B
+    vectors that is a billion-row shuffle for what is semantically a
+    per-row argmax).  Tie-break matches the window form exactly: max
+    sim (rounded 6 dp), then LOWEST label."""
+    centarr = cent.agg(
+        F.collect_list(F.struct("c_label", "cv2")).alias("_cents")
     )
-    w = Window.partitionBy(idc).orderBy(F.desc("sim"), F.asc("c_label"))
+    top = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    "_cents",
+                    lambda c: F.struct(
+                        F.round(
+                            cosine_expr(F.col(vc), c["cv2"]), 6
+                        ).alias("sim"),
+                        (-c["c_label"]).alias("neg_label"),
+                    ),
+                )
+            )
+        ),
+        1,
+        n,
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n)
-        .select(idc, vc, F.col("c_label").alias("cell"))
+        df.crossJoin(F.broadcast(centarr))
+        .select(F.col(idc), F.col(vc), F.explode(top).alias("t"))
+        .select(idc, vc, (-F.col("t.neg_label")).cast("int").alias("cell"))
     )
 
 
 CENTROIDS_SUBDIR = "_psweep_centroids"  # leading _: invisible to readers
+TOMBSTONES_SUBDIR = "_psweep_tombstones"  # logical deletes, see ivf_index_delete
 
 
 def write_ivf_index(
@@ -353,6 +387,57 @@ def ivf_index_append(
     return int(obs.get["n"])
 
 
+def ivf_index_delete(
+    spark,
+    path: str,
+    ids,
+    id_col: str = "vec_id",
+) -> int:
+    """Logically delete vectors from a :func:`write_ivf_index` layout —
+    the last quarter of the index lifecycle (build → append → compact →
+    **delete**).
+
+    Deletion is a TOMBSTONE append, the only shape that scales: the
+    deleted ids land as a tiny parquet batch under
+    ``_psweep_tombstones`` (the ``_`` prefix keeps it out of the data
+    reader's listing), cost ∝ |delete batch|, ZERO cell IO — no cell
+    file is opened, let alone rewritten.  :func:`ivf_index_topk`
+    anti-joins the tombstone set (small → broadcast) before ranking, so
+    deleted vectors disappear from answers immediately;
+    :func:`ivf_index_compact` later applies the tombstones PHYSICALLY
+    while it is rewriting cells anyway, then clears the fully-applied
+    set.  This is exactly the delete story of production
+    LSM/Iceberg-style layouts: logical-now, physical-at-compaction.
+
+    ``ids`` is a DataFrame with an ``id_col`` column, or any iterable
+    of ints.  Returns the number of tombstones written (idempotent at
+    query time — duplicate tombstones are harmless)."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    out = ids.select(F.col(id_col).cast("long").alias("vec_id")).distinct()
+    obs = Observation()
+    out.observe(obs, F.count(F.lit(1)).alias("n")).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{path}/{TOMBSTONES_SUBDIR}")
+    return int(obs.get["n"])
+
+
+def _read_tombstones(spark, path: str) -> "DataFrame | None":
+    """The tombstone relation of an index, or None when there are none."""
+    import os as _os
+
+    d = f"{path}/{TOMBSTONES_SUBDIR}"
+    if not _os.path.isdir(d):
+        return None
+    try:
+        t = spark.read.parquet(d)
+    except Exception:  # empty dir — unable to infer schema
+        return None
+    return t.select("vec_id").distinct()
+
+
 def ivf_cell_stats(spark, path: str) -> "list[dict]":
     """Per-cell health metrics for a :func:`write_ivf_index` layout:
     ``[{cell, n_files, n_rows, n_bytes}, ...]`` from one directory
@@ -418,19 +503,45 @@ def ivf_index_compact(
     equivalence is contract-tested: :func:`ivf_index_topk` answers
     identically before and after.
 
+    When the index carries tombstones (:func:`ivf_index_delete`), the
+    pass also applies them PHYSICALLY: every cell holding a tombstoned
+    row joins the rewrite set (found by one vec_id-pruned scan), the
+    rewrite anti-joins the tombstone relation, and — since every cell
+    that contained a deleted row has now been rewritten — the
+    fully-applied tombstone set is cleared.  Queries answer identically
+    before and after (they already excluded tombstoned ids logically);
+    only the physical bytes change.
+
     Returns ``{"compacted_cells": [...], "files_before": n,
-    "files_after": m}``.  File manipulation uses the local/NFS
-    filesystem API (this environment's landing store); an object-store
-    deployment does the same two steps through the Hadoop FileSystem
-    API, and gets atomic visibility by routing the swap through a
-    manifest commit (metastore.py) exactly like the Database's parquet
-    appends — per-file listing semantics are identical."""
+    "files_after": m, "purged_rows": p}``.  File manipulation uses the
+    local/NFS filesystem API (this environment's landing store); an
+    object-store deployment does the same two steps through the Hadoop
+    FileSystem API, and gets atomic visibility by routing the swap
+    through a manifest commit (metastore.py) exactly like the
+    Database's parquet appends — per-file listing semantics are
+    identical."""
     import os as _os
+    import shutil as _shutil
 
     stats = ivf_cell_stats(spark, path)
     todo = [s for s in stats if s["n_files"] > max_files_per_cell]
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        # one column-pruned scan finds the cells with deleted rows;
+        # those cells must be rewritten regardless of file count
+        dirty = {
+            int(r["cell"])
+            for r in spark.read.parquet(path)
+            .join(F.broadcast(tomb), "vec_id", "left_semi")
+            .select("cell")
+            .distinct()
+            .collect()
+        }
+        have = {s["cell"] for s in todo}
+        todo += [s for s in stats if s["cell"] in dirty and s["cell"] not in have]
     files_before = sum(s["n_files"] for s in stats)
     compacted = []
+    purged = 0
     for s in todo:
         cdir = _os.path.join(path, f"cell={s['cell']}")
         old = [
@@ -440,12 +551,17 @@ def ivf_index_compact(
         # read THIS cell dir only (no partition column in-file), rewrite
         # coalesced into a tmp dir, then swap: new files in, old out
         tmp = cdir + ".compact.tmp"
+        cell_df = spark.read.parquet(cdir)
+        if tomb is not None:
+            cell_df = cell_df.join(F.broadcast(tomb), "vec_id", "left_anti")
+        obs = Observation()
         (
-            spark.read.parquet(cdir)
+            cell_df.observe(obs, F.count(F.lit(1)).alias("n"))
             .coalesce(max(1, target_files_per_cell))
             .write.mode("overwrite")
             .parquet(tmp)
         )
+        purged += s["n_rows"] - int(obs.get["n"])
         moved = 0
         for f in sorted(_os.listdir(tmp)):
             if f.endswith(".parquet") and not f.startswith((".", "_")):
@@ -456,10 +572,13 @@ def ivf_index_compact(
                 moved += 1
         for f in old:
             _os.unlink(_os.path.join(cdir, f))
-        import shutil as _shutil
-
         _shutil.rmtree(tmp, ignore_errors=True)
         compacted.append(s["cell"])
+    if tomb is not None:
+        # every cell that held a tombstoned row was rewritten above —
+        # the tombstone set is fully applied; clear it so future probes
+        # and compactions stop paying for it
+        _shutil.rmtree(f"{path}/{TOMBSTONES_SUBDIR}", ignore_errors=True)
     files_after = files_before - sum(s["n_files"] for s in todo) + len(
         todo
     ) * max(1, target_files_per_cell)
@@ -467,6 +586,7 @@ def ivf_index_compact(
         "compacted_cells": compacted,
         "files_before": files_before,
         "files_after": files_after,
+        "purged_rows": purged,
     }
 
 
@@ -497,6 +617,11 @@ def ivf_index_topk(
     qcells = assign_cells(q, cent, "query_id", "qv", nprobe)
     probe_cells = [r["cell"] for r in qcells.select("cell").distinct().collect()]
     idx = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        # logical deletes: tombstoned ids vanish from answers the moment
+        # ivf_index_delete returns; the set is |deletes|-sized → broadcast
+        idx = idx.join(F.broadcast(tomb), "vec_id", "left_anti")
     cand = (
         idx.join(F.broadcast(qcells), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -1714,6 +1714,77 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "sim_ivf_delete_serve",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e),
+    cd AS (SELECT label AS c_label, pos, AVG(x) AS cx FROM d GROUP BY label, pos),
+    cent AS (SELECT c_label, list(cx ORDER BY pos) AS cv FROM cd GROUP BY c_label),
+    scored0 AS (
+      SELECT e.vec_id, e.v, cent.c_label,
+             {_COS_SQL.format(a='e.v', b='cent.cv')} AS sim
+      FROM e, cent
+    ),
+    cells AS (
+      SELECT vec_id, v, c_label AS cell FROM (
+        SELECT vec_id, v, c_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, c_label) AS rn
+        FROM scored0) WHERE rn = 1
+    ),
+    live AS (SELECT * FROM cells WHERE vec_id % 7 <> 3),
+    qc AS (
+      SELECT vec_id AS query_id, v AS qv, c_label AS cell FROM (
+        SELECT vec_id, v, c_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, c_label) AS rn
+        FROM scored0 WHERE vec_id < 10) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT qc.query_id, live.vec_id,
+             {_COS_SQL.format(a='qc.qv', b='live.v')} AS cosine
+      FROM live JOIN qc ON live.cell = qc.cell
+      WHERE live.vec_id <> qc.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+      FROM cand
+    )
+    SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_ivf_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index DELETE, served: build the on-disk IVF layout
+    (write_ivf_index), tombstone ~14% of the corpus (ivf_index_delete —
+    an id-batch append, ZERO cell IO), then answer top-5 through
+    ivf_index_topk, whose broadcast tombstone anti-join hides deleted
+    vectors immediately.  The quantizer stays frozen (centroids from
+    the full build-time corpus — deletes never move cells, exactly like
+    production IVF layouts); physical purge happens at the next
+    compaction (ivf_index_compact, contract-tested equivalent).  Oracle
+    = the sim_ivf_ann SQL with the deleted ids filtered from the served
+    relation only, never from the centroid estimation."""
+    from .operators.similarity import (
+        ivf_index_delete,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    path = os.path.join(tempfile.mkdtemp(prefix="psq_ivfdel_"), "idx")
+    write_ivf_index(emb, path)
+    ivf_index_delete(
+        spark, path, emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    )
+    return ivf_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2,
+        query_id_col="vec_id",
+    )
+
+
 # ===========================================================================
 # H. Structured Streaming — bounded availableNow drains of the live
 #    operators; results are deterministic, so the streaming path itself is

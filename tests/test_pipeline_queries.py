@@ -553,6 +553,79 @@ def test_ivf_index_compact_contracts(spark, tmp_path):
     assert after == before and len(after) == 50
 
 
+def test_ivf_index_delete_contracts(spark, tmp_path):
+    """Index-lifecycle DELETE contracts: (a) ivf_index_delete is an
+    id-batch tombstone append — NO cell file is touched (names+bytes
+    identical); (b) deleted ids vanish from ivf_index_topk answers
+    immediately (logical delete); (c) the next ivf_index_compact
+    applies tombstones physically — deleted rows gone from the cell
+    files, purged_rows matches, tombstone set cleared, cells without
+    deleted rows byte-identical — and serving answers are IDENTICAL
+    before and after the purge."""
+    from pyspark.sql import functions as F
+
+    from psweep_spark.operators.similarity import (
+        TOMBSTONES_SUBDIR,
+        ivf_index_compact,
+        ivf_index_delete,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, path)
+
+    def cell_files():
+        out = {}
+        for d in sorted(os.listdir(path)):
+            if d.startswith("cell="):
+                full = os.path.join(path, d)
+                out[d] = sorted(
+                    (f, os.path.getsize(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                )
+        return out
+
+    def serve():
+        return {
+            (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+            for r in ivf_index_topk(spark, path, queries, k=5, nprobe=2).collect()
+        }
+
+    base = serve()
+    # delete every query's CURRENT nearest neighbor — answers must change
+    victims = sorted({v for (_, rank), (v, _) in base.items() if rank == 1})
+    files0 = cell_files()
+    n = ivf_index_delete(spark, path, victims)
+    assert n == len(victims)
+    assert cell_files() == files0  # (a) zero cell IO
+
+    logical = serve()
+    served_ids = {v for v, _ in logical.values()}
+    assert not served_ids & set(victims)  # (b) gone immediately
+    assert logical != base
+    assert len(logical) == 50  # k=5 still filled from the remaining rows
+
+    # (c) physical purge at compaction: threshold high, so ONLY
+    # tombstone-dirty cells are rewritten
+    rep = ivf_index_compact(spark, path, max_files_per_cell=10**9)
+    assert rep["purged_rows"] == len(victims)
+    assert not os.path.isdir(os.path.join(path, TOMBSTONES_SUBDIR))
+    remaining = {
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    }
+    assert not remaining & set(victims)
+    clean = {d for d in files0 if d not in
+             {f"cell={c}" for c in rep["compacted_cells"]}}
+    after_files = cell_files()
+    for d in clean:
+        assert after_files[d] == files0[d]
+    assert serve() == logical  # logical == physical
+
+
 def test_bpe_apply_merges_equals_sequential_fold(spark):
     """Randomized pin of the 'provably equal' claim: the JVM-side
     regexp_replace with trailing-boundary lookahead (left-greedy,
