@@ -55,6 +55,7 @@ HEADLINE = [
     "q_cube_flag_status",
     "q_percentile_quantity",
     "q_hll_sketch_union_regions",
+    "q_quantile_hist_rollup",
     "q10_returned_items",
     "q14_promo_effect",
     "q18_large_orders",

@@ -1573,6 +1573,148 @@ def q_hll_sketch_union_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_quantile_hist_rollup",
+    """
+    WITH fact AS (
+      SELECT r_name, o_totalprice
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    ),
+    binned AS (
+      SELECT r_name,
+             CAST(least(1023, floor(o_totalprice / 512.0)) AS INT) AS bin
+      FROM fact
+    ),
+    hist AS (
+      SELECT r_name, bin, COUNT(*) AS cnt FROM binned GROUP BY r_name, bin
+    ),
+    cum AS (
+      SELECT r_name, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY r_name ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(cnt) OVER (PARTITION BY r_name) AS n
+      FROM hist
+    ),
+    est AS (
+      SELECT r_name, MAX(n) AS n_orders,
+             MIN(CASE WHEN c >= ceil(0.5 * n) THEN bin END) AS b50,
+             MIN(CASE WHEN c >= ceil(0.95 * n) THEN bin END) AS b95
+      FROM cum GROUP BY r_name
+    ),
+    ranked AS (
+      SELECT r_name, o_totalprice,
+             row_number() OVER (PARTITION BY r_name ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER (PARTITION BY r_name) AS n
+      FROM fact
+    ),
+    exact AS (
+      SELECT r_name,
+             MIN(CASE WHEN rn >= ceil(0.5 * n) THEN o_totalprice END) AS x50,
+             MIN(CASE WHEN rn >= ceil(0.95 * n) THEN o_totalprice END) AS x95
+      FROM ranked GROUP BY r_name
+    )
+    SELECT est.r_name,
+           CAST(est.n_orders AS BIGINT) AS n_orders,
+           (est.b50 + 0.5) * 512.0 AS p50_est,
+           (est.b95 + 0.5) * 512.0 AS p95_est,
+           abs((est.b50 + 0.5) * 512.0 - exact.x50) <= 256.000001 AS p50_ok,
+           abs((est.b95 + 0.5) * 512.0 - exact.x95) <= 256.000001 AS p95_ok
+    FROM est JOIN exact ON est.r_name = exact.r_name
+    """,
+)
+def q_quantile_hist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketches as fixed-size histograms, rolled up
+    a level — the quantile sibling of q_hll_sketch_union_regions.
+
+    Per-nation order-price histograms (1024 bins × width 512.0 over
+    [0, 2^19) — the width is binary-exact, so ``floor(p/512)`` is the
+    identical IEEE op in any engine) are built in ONE fact pass; the
+    region level then merges SKETCHES, not rows: the rollup shuffle
+    unit is ≤1024 (bin, count) rows per nation REGARDLESS of corpus
+    size — the property that makes 100 TB rollup hierarchies cheap,
+    where re-computing exact quantiles at every level would re-shuffle
+    the full value set per level.  p50/p95 are read off the merged
+    cumulative histogram (estimate = bin center, error ≤ width/2 by
+    construction) and GUARDRAILED against the exact discrete quantile
+    (min value at rank ≥ ceil(q·n), computed per region in a second
+    pass): the booleans assert |est − exact| ≤ width/2, deterministic
+    in both engines because every input is an identical integer count
+    or an exact-width double product."""
+    orders = _ld(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _ld(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = _ld(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    re = _ld(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        cust.join(F.broadcast(na), cust.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    fact = orders.join(dim, orders.o_custkey == dim.c_custkey).select(
+        "r_name", "o_totalprice"
+    )
+    width = 512.0
+    hist = (
+        fact.select(
+            "r_name",
+            F.least(
+                F.lit(1023),
+                F.floor(F.col("o_totalprice") / F.lit(width)),
+            ).cast("int").alias("bin"),
+        )
+        .groupBy("r_name", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("r_name")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("r_name")
+    cum = hist.withColumn("c", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    est = cum.groupBy("r_name").agg(
+        F.max("n").alias("n_orders"),
+        F.min(
+            F.when(F.col("c") >= F.ceil(F.lit(0.5) * F.col("n")), F.col("bin"))
+        ).alias("b50"),
+        F.min(
+            F.when(F.col("c") >= F.ceil(F.lit(0.95) * F.col("n")), F.col("bin"))
+        ).alias("b95"),
+    )
+    wrank = Window.partitionBy("r_name").orderBy("o_totalprice")
+    ranked = fact.withColumn("rn", F.row_number().over(wrank)).withColumn(
+        "n", F.count("*").over(wall)
+    )
+    exact = ranked.groupBy("r_name").agg(
+        F.min(
+            F.when(
+                F.col("rn") >= F.ceil(F.lit(0.5) * F.col("n")),
+                F.col("o_totalprice"),
+            )
+        ).alias("x50"),
+        F.min(
+            F.when(
+                F.col("rn") >= F.ceil(F.lit(0.95) * F.col("n")),
+                F.col("o_totalprice"),
+            )
+        ).alias("x95"),
+    )
+    p50e = (F.col("b50") + F.lit(0.5)) * F.lit(width)
+    p95e = (F.col("b95") + F.lit(0.5)) * F.lit(width)
+    return est.join(exact, "r_name").select(
+        "r_name",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        p50e.alias("p50_est"),
+        p95e.alias("p95_est"),
+        (F.abs(p50e - F.col("x50")) <= F.lit(256.000001)).alias("p50_ok"),
+        (F.abs(p95e - F.col("x95")) <= F.lit(256.000001)).alias("p95_ok"),
+    )
+
+
+@_q(
     "events_value_outliers",
     """
     WITH s AS (
