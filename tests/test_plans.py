@@ -385,6 +385,37 @@ def test_retrieval_queries_plan_shapes(spark):
         assert plans.broadcast_join_count(df) >= min_bcast, name
 
 
+def test_ivf_cell_assignment_is_map_side(spark):
+    """r5 plan contract: assign_cells must NOT shuffle the vector
+    relation — the per-vector top-n runs as a map-side array sort
+    against a one-row broadcast centroid array.  The only shuffle
+    exchanges allowed are the tiny centroid aggregation's (k·d rows);
+    the former crossJoin + row_number window pushed the full corpus
+    through an Exchange."""
+    from pyspark.sql import functions as F
+
+    from psweep_spark import plans
+    from psweep_spark.operators.similarity import (
+        _as_double,
+        assign_cells,
+        centroids_by_label,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    cent = centroids_by_label(emb, "embedding", "label").withColumnRenamed(
+        "cv", "cv2"
+    )
+    c = emb.select("vec_id", _as_double(F.col("embedding")).alias("cv"))
+    df = assign_cells(c, cent, "vec_id", "cv", 2)
+    plan = plans.formatted_plan(df)
+    assert "Window" not in plan, "corpus-wide window reintroduced"
+    # the centroid agg shuffles (label,pos) then label — nothing else;
+    # in particular no exchange keyed on the vector id
+    assert "hashpartitioning(vec_id" not in plan, plan
+    n = df.count()
+    assert n == 2 * emb.count()
+
+
 def test_events_resample_runtime_exchange_count(spark):
     """RUNTIME (not just static) shuffle audit for the resample query:
     after execution the AQE final plan records which exchanges actually
