@@ -39,6 +39,50 @@ def sample_by_hash(
     return df.filter(hash_bucket(F.col(key_col), salt) < int(rate * BUCKETS))
 
 
+def hash_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform in (0, 1] from md5 of the (salted) key.
+
+    13 hex chars = 52 bits — below the double mantissa, so the integer
+    parse AND the division are exact in IEEE754: any engine that can
+    md5 and divide reproduces the identical double bit-for-bit."""
+    s = F.concat(F.lit(salt), key.cast("string"))
+    v = F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("double")
+    return (v + F.lit(1.0)) / F.lit(float(1 << 52))
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis 2006): each row gets key ``ln(u)/w`` with
+    ``u = hash_uniform(key)``; the top-``k`` rows by that key are a
+    weight-proportional sample (P(row i first) = w_i / Σw).
+
+    Replacing the RNG with the md5-derived uniform makes the draw a
+    pure function of (key, salt): stable under repartition, retries,
+    and engine swaps — the property a 100 TB curriculum-sampling job
+    needs so re-runs and audits agree on the chosen rows.
+
+    Scale shape: one map-side expression + TakeOrdered top-k
+    (per-partition heads, driver merge of k·partitions rows) — no
+    global sort, no shuffle of the corpus.  ``ln`` is evaluated on
+    identical doubles in any engine; two keys would need to collide
+    within 1 ULP (~1e-16 relative) to make the order engine-dependent.
+    """
+    es = F.log(hash_uniform(F.col(key_col), salt)) / F.col(weight_col).cast(
+        "double"
+    )
+    return (
+        df.withColumn("es_key", es)
+        .orderBy(F.desc("es_key"), F.asc(key_col))
+        .limit(k)
+    )
+
+
 def stratified_sample_by_hash(
     df: DataFrame,
     key_col: str,
