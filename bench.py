@@ -120,6 +120,7 @@ HEADLINE = [
     "q_pandas_udf_weighted_avg",
     "dedup_clusters",
     "dedup_clusters_lsh",
+    "dedup_clusters_exact",
     "docs_substring_dup",
     "docs_substring_dup_w64",
     "dedup_incremental_batch",
@@ -149,6 +150,8 @@ HEADLINE = [
     "embed_batch_drift",
     "sim_ivfpq_ann",
     "sim_ivf_delete_serve",
+    "corpus_heavy_hitters",
+    "docs_weighted_sample",
 ]
 
 

@@ -119,12 +119,16 @@ class Hasher(Pickler):
         try:
             items = iter(sorted(items))
         except TypeError:
-            # joblib's Hasher sorts the ORIGINAL (key, value) pairs by
-            # key hash and pickles them unchanged (joblib hashing.py,
-            # _batch_setitems) — it does not substitute hash(k) for the
-            # key.  Match that exactly so mixed-type-key dicts hash the
-            # same as joblib's pure-python pickler would produce.
-            items = iter(sorted(items, key=lambda kv: hash(kv[0])))
+            # Unorderable (mixed-type) keys: joblib's published
+            # Hasher._batch_setitems substitutes each key by its hash
+            # and pickles the SUBSTITUTED (hash(k), v) pairs sorted
+            # (joblib hashing.py).  Matched here per ADVICE r5; real
+            # joblib is not installable in this environment, so the
+            # emitted stream is pinned by a known-answer test instead
+            # (tests/test_hashing.py::test_compat_hash_mixed_type_keys).
+            # String-keyed psets — the actual migration surface — sort
+            # in the `try` branch and never reach this code.
+            items = iter(sorted((hash(k), v) for k, v in items))
         try:
             Pickler._batch_setitems(self, items, obj)
         except TypeError:  # CPython < 3.14 signature

@@ -72,14 +72,23 @@ def weighted_sample_topk(
     global sort, no shuffle of the corpus.  ``ln`` is evaluated on
     identical doubles in any engine; two keys would need to collide
     within 1 ULP (~1e-16 relative) to make the order engine-dependent.
+
+    Rows with weight ≤ 0 (or NULL) are dropped before scoring: weight 0
+    with u == 1 yields ln(1)/0 = NaN, which Spark's descending sort
+    orders ABOVE every double — invalid rows would win the top-k — and
+    negative weights invert the selection.  E-S is defined on positive
+    weights only.  The internal scoring key never leaks: the returned
+    schema is exactly ``df``'s.
     """
     es = F.log(hash_uniform(F.col(key_col), salt)) / F.col(weight_col).cast(
         "double"
     )
     return (
-        df.withColumn("es_key", es)
-        .orderBy(F.desc("es_key"), F.asc(key_col))
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("__es_key", es)
+        .orderBy(F.desc("__es_key"), F.asc(key_col))
         .limit(k)
+        .select(*df.columns)
     )
 
 

@@ -274,11 +274,32 @@ def assign_cells(
     rank-limit pruning still leaves a full |corpus|-row shuffle; at 1B
     vectors that is a billion-row shuffle for what is semantically a
     per-row argmax).  Tie-break matches the window form exactly: max
-    sim (rounded 6 dp), then LOWEST label."""
+    sim (rounded 6 dp), then LOWEST label.
+
+    Contract: ``c_label`` must be NUMERIC (the descending tie-break is
+    implemented by negating the label inside the sort struct, and the
+    cell id is cast to int downstream — both would silently misorder or
+    fail analysis on string labels), and ``cent`` must be non-empty (an
+    empty quantizer would otherwise explode to zero rows and read as
+    "no neighbors" instead of "no index").  The label type is checked
+    at plan-build time; emptiness is enforced IN-PLAN on the one-row
+    folded relation (raise_error inside the expression that produces
+    the cells), so the guard costs zero extra jobs — an isEmpty() here
+    would re-run the corpus-wide centroid aggregation in the
+    ivf_topk / write_ivf_index paths."""
+    label_type = dict(cent.dtypes).get("c_label", "")
+    if label_type not in {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    } and not label_type.startswith("decimal"):
+        raise TypeError(
+            f"assign_cells requires a numeric c_label column, got "
+            f"{label_type!r} — map string labels to dense ints before "
+            "building the quantizer"
+        )
     centarr = cent.agg(
         F.collect_list(F.struct("c_label", "cv2")).alias("_cents")
     )
-    top = F.slice(
+    ranked = F.slice(
         F.reverse(
             F.array_sort(
                 F.transform(
@@ -295,6 +316,15 @@ def assign_cells(
         1,
         n,
     )
+    top = F.when(
+        F.size("_cents") == 0,
+        F.raise_error(
+            F.lit(
+                "assign_cells: empty centroid table — the coarse "
+                "quantizer has no cells (build the index first)"
+            )
+        ),
+    ).otherwise(ranked)
     return (
         df.crossJoin(F.broadcast(centarr))
         .select(F.col(idc), F.col(vc), F.explode(top).alias("t"))
@@ -523,6 +553,12 @@ def ivf_index_compact(
     import os as _os
     import shutil as _shutil
 
+    # Crash hygiene: stale temp output from an interrupted compaction
+    # lives under _compact_tmp (underscore prefix → invisible to Spark's
+    # partition discovery, so a half-finished rewrite can never surface
+    # duplicated rows or a string-typed 'cell' partition to readers).
+    # Clear any leftover before starting this pass.
+    _shutil.rmtree(_os.path.join(path, "_compact_tmp"), ignore_errors=True)
     stats = ivf_cell_stats(spark, path)
     todo = [s for s in stats if s["n_files"] > max_files_per_cell]
     tomb = _read_tombstones(spark, path)
@@ -549,8 +585,12 @@ def ivf_index_compact(
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         ]
         # read THIS cell dir only (no partition column in-file), rewrite
-        # coalesced into a tmp dir, then swap: new files in, old out
-        tmp = cdir + ".compact.tmp"
+        # coalesced into a tmp dir, then swap: new files in, old out.
+        # The tmp dir sits under _compact_tmp/ (underscore prefix), so a
+        # reader hitting the index mid-rewrite — or after a crash —
+        # never lists it: a 'cell=N.compact.tmp' sibling would be picked
+        # up by partition discovery as a bogus string-valued partition.
+        tmp = _os.path.join(path, "_compact_tmp", f"cell={s['cell']}")
         cell_df = spark.read.parquet(cdir)
         if tomb is not None:
             cell_df = cell_df.join(F.broadcast(tomb), "vec_id", "left_anti")
@@ -574,6 +614,7 @@ def ivf_index_compact(
             _os.unlink(_os.path.join(cdir, f))
         _shutil.rmtree(tmp, ignore_errors=True)
         compacted.append(s["cell"])
+    _shutil.rmtree(_os.path.join(path, "_compact_tmp"), ignore_errors=True)
     if tomb is not None:
         # every cell that held a tombstoned row was rewritten above —
         # the tombstone set is fully applied; clear it so future probes

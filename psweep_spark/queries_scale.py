@@ -465,7 +465,7 @@ _NGRAM_PAIRS_CTE = """
 
 
 @_q(
-    "dedup_clusters",
+    "dedup_clusters_exact",
     f"""
     WITH RECURSIVE {_NGRAM_PAIRS_CTE},
     edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -480,13 +480,16 @@ _NGRAM_PAIRS_CTE = """
     FROM reach GROUP BY src
     """,
 )
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs → CLUSTERS: the transitive closure of n-gram Jaccard ≥ 0.5
-    near-dup pairs via distributed min-label propagation
-    (operators/cluster.py) — the actual keep-one-per-group decision a
-    training-data pipeline acts on. Each round is one edge join + one
-    min-groupBy; dup clusters are near-cliques so rounds ≈ 3. Oracle:
-    DuckDB recursive-CTE transitive closure over the same pairs."""
+def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → CLUSTERS over the EXACT n-gram Jaccard ≥ 0.5 pair graph —
+    the small-SF oracle twin of ``dedup_clusters``, NOT a production
+    path: the exact pair stage self-joins on shingles and is quadratic
+    in docs-per-shingle (BENCH_SCALE r5: 63× wall for 10× data at
+    sf1→sf10, vs 4.9× for the LSH-fed headline).  Renamed from
+    ``dedup_clusters`` in r6 (VERDICT r5 item 3) so the headline name
+    users reach for is the path that scales; run this one only to
+    validate the LSH pair set at oracle-able sizes.  Oracle: DuckDB
+    recursive-CTE transitive closure over the same exact pairs."""
     from psweep_spark.operators.cluster import connected_components
     from psweep_spark.operators.dedup import jaccard_pairs
 
@@ -514,16 +517,18 @@ def _lsh_clusters_oracle() -> str:
     """
 
 
-@_q("dedup_clusters_lsh", _lsh_clusters_oracle())
-def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION cluster path (VERDICT r01 #6):
+@_q("dedup_clusters", _lsh_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HEADLINE cluster path — what a 100 TB corpus runs:
     ``connected_components(minhash_dedup(...))`` — candidate pairs come
     from banded LSH (bucket-bounded, hot-bucket-capped, exact-verified),
     never from the exact shingle self-join that is quadratic in
-    docs-per-shingle.  ``dedup_clusters`` keeps the exact-Jaccard
-    composition as the small-SF oracle twin; this one is what a 100 TB
-    corpus runs.  Oracle: DuckDB recursive closure over the SAME LSH
-    pair set (signature math is engine-identical integer arithmetic)."""
+    docs-per-shingle (that composition lives on as
+    ``dedup_clusters_exact``, the small-SF oracle twin; BENCH_SCALE r5
+    measured 63× vs 4.9× wall at sf1→sf10 — hence this r6 rename,
+    VERDICT r5 item 3).  Oracle: DuckDB recursive closure over the SAME
+    LSH pair set (signature math is engine-identical integer
+    arithmetic)."""
     from psweep_spark.operators.cluster import connected_components
     from psweep_spark.operators.dedup import minhash_dedup
 
@@ -534,6 +539,15 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
+
+
+@_q("dedup_clusters_lsh", _lsh_clusters_oracle())
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias of ``dedup_clusters`` kept for artifact continuity across
+    rounds (BENCH_r0{1..5} / BENCH_SCALE time this name): since the r6
+    rename the headline ``dedup_clusters`` IS the LSH-fed path, so both
+    names run the identical plan."""
+    return dedup_clusters(spark, sf_dir)
 
 
 @_q("dedup_clusters_star", _lsh_clusters_oracle())
@@ -1228,6 +1242,14 @@ def multimodal_binaryfile_ingest(
     except OSError:
         provisioned = False
     if not provisioned:
+        # Stale-stamp re-provision: clear the landing dir first.  A
+        # regenerated corpus can DROP doc_ids; rewriting current blobs
+        # over the old dir would leave the removed ids' '<id>.bin'
+        # files in place and read_blob_landing would return phantom
+        # rows, silently diverging from the oracle.
+        import shutil as _shutil
+
+        _shutil.rmtree(blob_dir, ignore_errors=True)
         write_blob_landing(docs, blob_dir)
         _os.makedirs(blob_dir, exist_ok=True)
         with open(marker, "w") as fh:
@@ -2661,4 +2683,99 @@ def pq_kmeans_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pq_code_csv")
         )
+    )
+
+
+@_q(
+    "corpus_heavy_hitters",
+    r"""
+    WITH norm AS (SELECT string_split_regex(trim(text), '\s+') AS t
+                  FROM documents WHERE trim(text) <> ''),
+    sh AS (SELECT array_to_string(t[i:i+1], ' ') AS bigram
+           FROM norm, unnest(range(1, len(t))) AS u(i)),
+    c AS (SELECT bigram, COUNT(*) AS cnt FROM sh GROUP BY bigram)
+    SELECT bigram, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, bigram) AS BIGINT) AS rank
+    FROM c ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+)
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams via the Misra-Gries candidate/recount
+    sketch (operators/sketch.py) — the bounded-memory answer to "most
+    frequent n-grams/domains" when the keyspace outgrows an exact
+    groupBy (VERDICT r5 item 1: the canonical corpus-profiling op).
+
+    Exactness condition (two clauses, per the MG survival guarantee):
+    the top-k is exact when EITHER (a) the true k-th count exceeds
+    N/(k_counters+1), OR (b) the distinct-item count never exceeds
+    k_counters — then no counter is ever evicted and the candidate
+    pass degenerates to exact per-partition counting.  This corpus is
+    near-uniform at every n-gram granularity (measured: 3-gram top-20
+    share ~8e-5 and FALLING with SF — no true heavy hitters exist), so
+    the catalog entry is sized for clause (b): the token vocabulary is
+    31, bounding bigrams at 961 < k_counters=2048 at every SF.  Clause
+    (a) — eviction under genuine Zipfian skew — is pinned by the
+    survival-guarantee pytest contract
+    (tests/test_operators.py::test_mg_survival_guarantee) and measured
+    on the skewed sf1 corpus in the r6 skew bench.
+
+    Scale shape: candidate pass is ZERO shuffle (mapInPandas, O(k)
+    memory per partition, Arrow value_counts pre-reduction); recount
+    shuffles candidates×partitions (≤ k·P rows), never the
+    vocabulary-cardinality relation; final top-k is a 20-row window."""
+    from psweep_spark.operators.sketch import heavy_hitters_topk
+
+    docs = _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    tk = F.split(F.trim("text"), r"\s+")
+    bigrams = docs.select(
+        F.explode(
+            F.when(
+                F.size(tk) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(tk) - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(tk, i + 1), F.element_at(tk, i + 2)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return heavy_hitters_topk(bigrams, "bigram", k_counters=2048, topk=20)
+
+
+@_q(
+    "docs_weighted_sample",
+    """
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+             (CAST('0x' || substring(md5('wsamp_v1' || CAST(doc_id AS VARCHAR)),
+                                     1, 13) AS BIGINT) + 1.0)
+               / 4503599627370496.0 AS u
+      FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+    )
+    SELECT doc_id, weight FROM w
+    ORDER BY ln(u) / weight DESC, doc_id LIMIT 50
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis over the md5-derived uniform,
+    operators/sampling.py — VERDICT r5 item 1): draw 50 documents with
+    probability proportional to length, reproducibly — the
+    curriculum/mixture sampling primitive whose kept set must survive
+    repartitioning, task retries, and engine swaps (the oracle IS the
+    engine-swap test: DuckDB evaluates the identical ln(u)/w formula on
+    the identical 52-bit uniforms and must pick the identical 50 docs).
+
+    Scale shape: one map-side expression + TakeOrdered top-k
+    (per-partition heads, driver merge of k·P rows) — no global sort,
+    no corpus shuffle.  Rows with weight ≤ 0 are dropped by the
+    operator (NaN keys would otherwise win a descending sort)."""
+    from psweep_spark.operators.sampling import weighted_sample_topk
+
+    docs = _ld(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("weight")
+    )
+    return weighted_sample_topk(
+        docs, key_col="doc_id", weight_col="weight", k=50, salt="wsamp_v1"
     )

@@ -272,3 +272,26 @@ def test_pset_hash_joblib_method_filters_special_cols():
     assert h != pset_hash({"a": 1})  # different algorithm families
     with pytest.raises(ValueError):
         pset_hash({"a": 1}, method="bogus")
+
+
+def test_compat_hash_mixed_type_keys():
+    """Unorderable (mixed-type) dict keys take joblib's substituted
+    (hash(k), v) path (joblib hashing.py _batch_setitems; restored per
+    ADVICE r5): the emitted stream must equal the stream of the same
+    dict re-keyed by hash(k).  Keys here are ints / int-tuples so
+    hash() is deterministic across processes — with string keys even
+    real joblib's digest is PYTHONHASHSEED-dependent, which is why
+    string-keyed psets (the actual migration surface) sort in the
+    orderable branch and never reach this code."""
+    from psweep_spark.compat_hash import Hasher, joblib_hash
+
+    mixed = {1: "a", (2, 3): "b"}
+    subst = {hash(k): v for k, v in mixed.items()}
+    h1 = Hasher("sha1")
+    h1.dump(mixed)
+    h2 = Hasher("sha1")
+    h2.dump(subst)
+    assert h1.stream.getvalue() == h2.stream.getvalue()
+    assert joblib_hash(mixed) == joblib_hash(subst)
+    # insertion-order invariant under the hash-substituted sort
+    assert joblib_hash({(2, 3): "b", 1: "a"}) == joblib_hash(mixed)

@@ -693,3 +693,98 @@ def test_assign_nearest_centroid_broadcast_path_at_large_k(spark):
     got_big = {r["vec_id"]: r["cid"] for r in big.collect()}
     got_lit = {r["vec_id"]: r["cid"] for r in lit.collect()}
     assert got_big == got_lit and len(got_big) == n
+
+
+def test_mg_survival_guarantee(spark):
+    """Misra-Gries survival contract (operators/sketch.py): any item
+    with global count > N/(k+1) appears in the candidate union — under
+    REAL eviction pressure (k=16 counters, 210 distinct items, Zipfian
+    head, 8 partitions), and heavy_hitters_topk is exact whenever the
+    true k-th count clears that threshold (here: 5th count 400 >
+    N/17 ≈ 356)."""
+    from psweep_spark.operators.sketch import heavy_hitters_topk, mg_candidates
+
+    # Zipfian-ish: item_i has count ~ 2000/i for the head, plus a long
+    # uniform tail of singletons spread across partitions.
+    rows = []
+    for i in range(1, 11):
+        rows += [f"hot_{i:02d}"] * (2000 // i)
+    rows += [f"tail_{j:04d}" for j in range(200)]
+    n = len(rows)
+    k = 16
+    df = spark.createDataFrame([(r,) for r in rows], "item string").repartition(8)
+    cands = {r["item"] for r in mg_candidates(df, "item", k).collect()}
+    thresh = n / (k + 1)
+    exact = {
+        r["item"]: r["cnt"]
+        for r in df.groupBy("item").agg(F.count("*").alias("cnt")).collect()
+    }
+    must_survive = {it for it, c in exact.items() if c > thresh}
+    assert must_survive, "test data must have items above the MG threshold"
+    assert must_survive <= cands, must_survive - cands
+    # eviction actually happened: candidates ≪ distinct items
+    assert len(cands) < len(exact)
+
+    topk = 5
+    kth = sorted(exact.values(), reverse=True)[topk - 1]
+    assert kth > thresh  # guarantee holds → result must be EXACT
+    got = [
+        (r["item"], r["cnt"], r["rank"])
+        for r in heavy_hitters_topk(df, "item", k, topk).collect()
+    ]
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+    assert got == [(it, c, i + 1) for i, (it, c) in enumerate(want)]
+
+
+def test_weighted_sample_topk_guards(spark):
+    """Efraimidis-Spirakis sampling (operators/sampling.py, ADVICE r5):
+    weight ≤ 0 / NULL rows can never win (NaN ordering trap), the
+    internal scoring key does not leak into the schema, and the draw is
+    repartition-invariant."""
+    from psweep_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, float(i % 7) - 1.0) for i in range(1, 200)]  # some ≤ 0
+    rows += [(1000, 0.0), (1001, -5.0), (1002, None)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    out = weighted_sample_topk(df, "k", "w", k=10)
+    assert out.columns == ["k", "w"]  # no es_key leak
+    got = out.collect()
+    assert len(got) == 10
+    assert all(r["w"] is not None and r["w"] > 0 for r in got)
+    # deterministic under repartitioning
+    got2 = weighted_sample_topk(df.repartition(13), "k", "w", k=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+    # weight-proportional in aggregate: with one dominant weight the
+    # heavy key is effectively always drawn first across salts
+    heavy = spark.createDataFrame(
+        [(i, 1.0) for i in range(100)] + [(999, 1e6)], "k long, w double"
+    )
+    firsts = [
+        weighted_sample_topk(heavy, "k", "w", k=1, salt=f"s{t}").collect()[0]["k"]
+        for t in range(5)
+    ]
+    assert firsts.count(999) >= 4
+
+
+def test_stacked_buckets_matches_two_step(spark, docs):
+    """The r6 single-projection banding (signature array bound once via
+    transform(array(sig), ...)) must produce bit-identical
+    (id, band_idx, bucket) rows to the two-step
+    minhash_signatures → _bands_of_sig form — same md5 bucket strings,
+    so indexes built by either form interoperate."""
+    from psweep_spark.operators.dedup import (
+        _bands_of_sig,
+        _stacked_buckets,
+        minhash_signatures,
+    )
+
+    sample = docs.limit(200)
+    fast = _stacked_buckets(
+        sample, num_hashes=12, bands=4, n=3, id_col="doc_id", text_col="text"
+    )
+    slow = _bands_of_sig(
+        minhash_signatures(sample, num_hashes=12, n=3), 12, 4
+    )
+    a = sorted(map(tuple, fast.collect()))
+    b = sorted(map(tuple, slow.collect()))
+    assert a == b and len(a) == 200 * 4

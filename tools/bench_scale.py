@@ -52,8 +52,11 @@ DEFAULT_QUERIES = [
     "dedup_ngram_jaccard",
     "docs_substring_dup",
     "docs_substring_dup_w64",
+    # headline dedup_clusters is the LSH-fed path since r6 (VERDICT r5
+    # item 3); the quadratic dedup_clusters_exact is deliberately NOT in
+    # the scale set — it is the documented small-SF oracle twin (63×
+    # wall at sf1→sf10 in BENCH_SCALE r5 under its old headline name)
     "dedup_clusters",
-    "dedup_clusters_lsh",
     "dedup_incremental_batch",
     "corpus_bigram_pmi",
     "corpus_bpe_merges",
