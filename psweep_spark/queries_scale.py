@@ -2709,23 +2709,33 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-k is exact when EITHER (a) the true k-th count exceeds
     N/(k_counters+1), OR (b) the distinct-item count never exceeds
     k_counters — then no counter is ever evicted and the candidate
-    pass degenerates to exact per-partition counting.  This corpus is
-    near-uniform at every n-gram granularity (measured: 3-gram top-20
-    share ~8e-5 and FALLING with SF — no true heavy hitters exist), so
-    the catalog entry is sized for clause (b): the token vocabulary is
-    31, bounding bigrams at 961 < k_counters=2048 at every SF.  Clause
-    (a) — eviction under genuine Zipfian skew — is pinned by the
-    survival-guarantee pytest contract
+    pass degenerates to an exact zero-shuffle per-partition count.
+    This corpus is near-uniform at every n-gram granularity (measured:
+    top-20 bigram counts stay ~350 ABSOLUTE as the tiled corpus scales
+    — per-replica token suffixes grow the vocabulary instead of the
+    head, so no true heavy hitters exist and clause (a) can never hold
+    at scale).  The entry is therefore sized for clause (b) across the
+    gated SFs: bigram vocabulary is 961 at sf≤0.1 and 93,100 at sf10
+    (mutated-vocab tiling) < k_counters=131072 — still O(k) bounded
+    memory (~MBs per partition) against a 26.5M-row corpus at sf10.
+    Clause (a) — eviction under genuine Zipfian skew — is pinned by
+    the survival-guarantee pytest contract
     (tests/test_operators.py::test_mg_survival_guarantee) and measured
-    on the skewed sf1 corpus in the r6 skew bench.
+    exact on the 20%-boilerplate skewed corpus in BENCH_SKEW
+    (tools/bench_skew.py), where eviction actually engages.
 
     Scale shape: candidate pass is ZERO shuffle (mapInPandas, O(k)
     memory per partition, Arrow value_counts pre-reduction); recount
     shuffles candidates×partitions (≤ k·P rows), never the
     vocabulary-cardinality relation; final top-k is a 20-row window."""
     from psweep_spark.operators.sketch import heavy_hitters_topk
+    from psweep_spark.plans import ensure_parallelism
 
-    docs = _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    # repartition BEFORE the explode: a single-file scan would run the
+    # per-row bigram lambda on one task (measured 58 s -> 4 s at sf1)
+    docs = ensure_parallelism(
+        _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    )
     tk = F.split(F.trim("text"), r"\s+")
     bigrams = docs.select(
         F.explode(
@@ -2740,7 +2750,7 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("bigram")
     )
-    return heavy_hitters_topk(bigrams, "bigram", k_counters=2048, topk=20)
+    return heavy_hitters_topk(bigrams, "bigram", k_counters=131072, topk=20)
 
 
 @_q(
