@@ -19,7 +19,8 @@ candidate/recount scheme:
    aggregation makes the shuffle ∝ candidates × partitions, never
    vocabulary-cardinality.  Counts for candidates are EXACT, so the
    final top-k is exact whenever the k-th count clears the threshold
-   (checked by :func:`heavy_hitters_topk` when ``check_guarantee``).
+   (callers size ``k_counters`` so it does — see
+   :func:`heavy_hitters_topk`).
 
 Reference: Misra & Gries 1982 "Finding repeated elements"; the weighted
 variant here follows the SpaceSaving/MG equivalence (Agarwal et al.
