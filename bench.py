@@ -152,6 +152,9 @@ HEADLINE = [
     "sim_ivf_delete_serve",
     "corpus_heavy_hitters",
     "docs_weighted_sample",
+    "docs_ols_scaling_fit",
+    "docs_stratified_weighted_sample",
+    "corpus_cms_freq",
 ]
 
 

@@ -92,6 +92,80 @@ def weighted_sample_topk(
     )
 
 
+def weighted_sample_topk_per_group(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-group weighted sampling without replacement:
+    the top-``k`` rows per ``group_col`` by the Efraimidis–Spirakis key
+    ``ln(u)/w`` — "sample k docs per language proportional to length"
+    (the stratified curriculum/mixture primitive).
+
+    Scale shape — the naive form is a window over the whole corpus
+    partitioned by group (full-corpus shuffle).  Instead the corpus is
+    PRE-REDUCED per input partition with a bounded fold: an Arrow
+    ``mapInPandas`` pass keeps at most ``k`` rows per (group,
+    partition) — memory O(k·groups + batch), zero shuffle — which is
+    lossless because a row in the global per-group top-k is necessarily
+    in its own partition's per-group top-k.  The exact window then runs
+    over ≤ k·groups·partitions rows, never the corpus.
+
+    Determinism: the E-S key is a pure function of (key, salt) — see
+    :func:`weighted_sample_topk` — and both the fold and the window
+    break ties by ``key_col`` ascending.  Rows with weight ≤ 0 / NULL
+    are dropped (NaN keys would win a descending sort).
+
+    Returns ``df``'s columns plus ``sample_rank`` (1-based within
+    group).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..plans import ensure_parallelism
+
+    es = F.log(hash_uniform(F.col(key_col), salt)) / F.col(weight_col).cast(
+        "double"
+    )
+    scored = (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("__es_key", es)
+        .select(*df.columns, "__es_key")
+    )
+    cols = list(scored.columns)
+    schema = scored.schema
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            acc = pdf if acc is None else pd.concat((acc, pdf))
+            acc = (
+                acc.sort_values(
+                    ["__es_key", key_col], ascending=[False, True]
+                )
+                .groupby(group_col, sort=False)
+                .head(k)
+            )
+        if acc is not None:
+            yield acc[cols]
+
+    from pyspark.sql.window import Window
+
+    reduced = ensure_parallelism(scored).mapInPandas(fold, schema=schema)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__es_key"), F.asc(key_col)
+    )
+    return (
+        reduced.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+        .select(*df.columns, "sample_rank")
+    )
+
+
 def stratified_sample_by_hash(
     df: DataFrame,
     key_col: str,

@@ -95,6 +95,86 @@ def mg_candidates(df: DataFrame, item_col: str, k: int) -> DataFrame:
     )
 
 
+def _cms_bucket(item, i: int, width: int, salt: str):
+    """Deterministic CMS row-``i`` bucket: 60-bit md5 prefix mod width.
+    Pure function of (salt, i, item) — any engine that can md5
+    reproduces it, which is how the catalog oracle re-derives the
+    sketch bit-for-bit (same trick as sampling.hash_uniform)."""
+    s = F.concat(
+        F.lit(f"{salt}{i}|"), F.col(item) if isinstance(item, str) else item
+    )
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % width
+
+
+def cms_cells(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms_v1",
+) -> DataFrame:
+    """Build a Count-Min sketch as a ``(i, col, cnt)`` relation.
+
+    The complement to Misra-Gries: MG answers "which items are
+    frequent", CMS answers "how frequent is THIS item" for arbitrary
+    point queries, with overestimate ≤ εN (ε = e/width) at probability
+    1−δ (δ = e^−depth) — and it is MERGEABLE: sketches of two corpora
+    (or two days' increments) add cell-wise, so a 100 TB rollup keeps
+    depth·width counters per unit, never the vocabulary.
+
+    Scale shape: each row fans out map-side into ``depth`` (row,
+    bucket) pairs; the groupBy keyspace is ≤ depth·width (fixed), so
+    map-side partial aggregation bounds the shuffle at
+    depth·width·partitions rows regardless of corpus size or
+    vocabulary.  Zero Python in the pipeline.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    _cms_bucket(item_col, i, width, salt).alias("col"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("x")
+    ).select("x.i", "x.col")
+    return pairs.groupBy("i", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    cells: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms_v1",
+) -> DataFrame:
+    """Point-query the sketch: ``est(item) = min_i cells[i][h_i(item)]``.
+
+    ``cells`` is ≤ depth·width rows — broadcast; probing never touches
+    the corpus.  Absent cells count 0 (an item hashing to an untouched
+    bucket has estimate 0, i.e. provably absent).  Returns
+    ``(item, est_cnt)`` with the CMS guarantee true ≤ est ≤ true + εN.
+    """
+    exploded = probes.select(item_col).distinct().select(
+        item_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    _cms_bucket(item_col, i, width, salt).alias("col"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("x"),
+    ).select(item_col, "x.i", "x.col")
+    joined = exploded.join(F.broadcast(cells), ["i", "col"], "left")
+    return joined.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_cnt")
+    )
+
+
 def heavy_hitters_topk(
     df: DataFrame,
     item_col: str,

@@ -2789,3 +2789,238 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(
         docs, key_col="doc_id", weight_col="weight", k=50, salt="wsamp_v1"
     )
+
+
+@_q(
+    "docs_ols_scaling_fit",
+    r"""
+    WITH d AS (
+      SELECT lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS x,
+             CAST(n_chars AS BIGINT) AS y
+      FROM documents WHERE trim(text) <> ''
+    ),
+    s AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM d GROUP BY lang
+    ),
+    m AS (
+      SELECT lang, n,
+             n * sxy - sx * sy AS cov,
+             n * sxx - sx * sx AS varx,
+             n * syy - sy * sy AS vary,
+             sx, sy
+      FROM s
+    ),
+    f AS (
+      SELECT lang, n, sx, sy, vary,
+             CASE WHEN varx <> 0
+                  THEN CAST(cov AS DOUBLE) / CAST(varx AS DOUBLE) END AS slope,
+             CASE WHEN varx <> 0 AND vary <> 0
+                  THEN (CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE))
+                       / (CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE))
+             END AS r2
+      FROM m
+    )
+    SELECT lang, n, slope,
+           (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept,
+           r2
+    FROM f ORDER BY lang
+    """,
+)
+def docs_ols_scaling_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OLS fit of document length (chars) against token
+    count via MERGEABLE SUFFICIENT STATISTICS (operators/stats.py) —
+    the distributed "fit a line to corpus statistics" primitive
+    (chars-per-token regressions, scaling-law fits on quantized grids,
+    drift monitors).  The reference does this step in pandas on the
+    collected database (post-processing ethos, manual.md:820); at
+    100 TB the collect is impossible but the five sums are one
+    partially-aggregated shuffle of 6 longs per (group × partition).
+
+    Exactness: x (token count) and y (n_chars) are integers, so
+    n/Σx/Σy/Σxy/Σx²/Σy² are exact BIGINTs in both engines; slope,
+    intercept and R² are then single IEEE754 double expressions over
+    those exact integers — DuckDB reproduces them bit-for-bit (same
+    guarantee family as the ×1000-grid k-means arithmetic).
+
+    Scale shape: ONE shuffle (map-side partial agg → 6 longs per
+    group), solve is a projection over the group rows.  The statistics
+    are associative — incremental corpora roll up by addition
+    (ols_fit_from_stats) without re-scanning history.
+    """
+    from psweep_spark.operators.stats import ols_fit
+    from psweep_spark.plans import ensure_parallelism
+
+    docs = ensure_parallelism(
+        _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    )
+    d = docs.select(
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("x"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    return ols_fit(d, "x", "y", group_cols=["lang"]).orderBy("lang")
+
+
+@_q(
+    "docs_stratified_weighted_sample",
+    """
+    WITH w AS (
+      SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+             (CAST('0x' || substring(md5('wsamp_grp_v1'
+                                         || CAST(doc_id AS VARCHAR)),
+                                     1, 13) AS BIGINT) + 1.0)
+               / 4503599627370496.0 AS u
+      FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+    )
+    SELECT lang, doc_id, weight,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY ln(u) / weight DESC, doc_id)
+                AS BIGINT) AS sample_rank
+    FROM w
+    QUALIFY row_number() OVER (PARTITION BY lang
+                               ORDER BY ln(u) / weight DESC, doc_id) <= 10
+    ORDER BY lang, sample_rank
+    """,
+)
+def docs_stratified_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language weighted sampling without replacement: the top-10
+    documents per lang by the deterministic Efraimidis-Spirakis key
+    (operators/sampling.weighted_sample_topk_per_group) — "sample k
+    docs per stratum proportional to length", the stratified
+    curriculum/mixture primitive whose kept set must survive
+    repartitioning and engine swaps (the oracle IS the engine-swap
+    test: DuckDB evaluates ln(u)/w on identical 52-bit uniforms).
+
+    Scale shape: the corpus is pre-reduced per input partition with a
+    bounded Arrow fold (≤ k rows per group per partition, zero
+    shuffle) — lossless, because a global per-group top-k row is
+    necessarily in its partition's per-group top-k — and the exact
+    window runs over ≤ k·groups·partitions rows, never the corpus.
+    The naive window-over-corpus would shuffle everything.
+    """
+    from psweep_spark.operators.sampling import weighted_sample_topk_per_group
+
+    docs = _ld(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.col("n_chars").cast("double").alias("weight")
+    )
+    out = weighted_sample_topk_per_group(
+        docs,
+        key_col="doc_id",
+        weight_col="weight",
+        group_col="lang",
+        k=10,
+        salt="wsamp_grp_v1",
+    )
+    return out.select("lang", "doc_id", "weight", "sample_rank").orderBy(
+        "lang", "sample_rank"
+    )
+
+
+@_q(
+    "corpus_cms_freq",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ),
+    probes AS (
+      SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE doc_id = 0 AND trim(text) <> ''
+    ),
+    cells AS (
+      SELECT i,
+             CAST('0x' || substring(md5('cms_v1' || CAST(i AS VARCHAR)
+                                        || '|' || token), 1, 15)
+                  AS BIGINT) % 1024 AS col,
+             COUNT(*) AS cnt
+      FROM toks, (SELECT unnest(range(0, 4)) AS i) d
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT p.token, MIN(COALESCE(c.cnt, 0)) AS est_cnt
+      FROM probes p
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS i) d
+      LEFT JOIN cells c
+        ON c.i = d.i
+       AND c.col = CAST('0x' || substring(md5('cms_v1'
+                                              || CAST(d.i AS VARCHAR)
+                                              || '|' || p.token), 1, 15)
+                        AS BIGINT) % 1024
+      GROUP BY p.token
+    ),
+    tru AS (
+      SELECT token, COUNT(*) AS true_cnt FROM toks
+      WHERE token IN (SELECT token FROM probes) GROUP BY token
+    )
+    SELECT e.token AS token, CAST(e.est_cnt AS BIGINT) AS est_cnt,
+           CAST(COALESCE(t.true_cnt, 0) AS BIGINT) AS true_cnt
+    FROM est e LEFT JOIN tru t USING (token)
+    ORDER BY token
+    """,
+)
+def corpus_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimates (operators/sketch.py
+    cms_cells/cms_estimate) for the probe vocabulary of document 0,
+    beside the exact recount — the complement to Misra-Gries: MG finds
+    WHICH items are frequent, CMS answers "how frequent is THIS item"
+    at fixed depth·width memory, and the sketch MERGES cell-wise
+    across corpora/increments (Cormode & Muthukrishnan 2005).
+
+    Determinism: bucket hashes are 60-bit md5 prefixes mod width —
+    pure functions of (salt, row, token) — so DuckDB rebuilds the
+    IDENTICAL sketch and must produce identical estimates (including
+    any collision-driven overestimates; at sf10's 93k-token mutated
+    vocabulary the 4×1024 sketch genuinely collides and the oracle
+    still matches bit-for-bit, because the sketch itself is the
+    contract, not the true counts).
+
+    Scale shape: the build fans each token map-side into 4 (row,
+    bucket) pairs whose groupBy keyspace is ≤ 4096 cells — map-side
+    partial aggregation bounds the shuffle at cells×partitions rows
+    regardless of corpus size; probing broadcasts the ≤4096-cell
+    relation.  The exact recount (verification column) is a broadcast
+    semi-join, candidates-only — the same recount shape as
+    corpus_heavy_hitters.
+    """
+    from psweep_spark.operators.sketch import cms_cells, cms_estimate
+    from psweep_spark.plans import ensure_parallelism
+
+    docs = ensure_parallelism(
+        _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    )
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    probes = (
+        _ld(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") == 0) & (F.trim("text") != ""))
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .distinct()
+    )
+    cells = cms_cells(toks, "token", depth=4, width=1024, salt="cms_v1")
+    est = cms_estimate(cells, probes, "token", depth=4, width=1024,
+                       salt="cms_v1")
+    tru = (
+        toks.join(F.broadcast(probes), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    return (
+        est.join(tru, "token", "left")
+        .select(
+            "token",
+            F.col("est_cnt").cast("long").alias("est_cnt"),
+            F.coalesce(F.col("true_cnt"), F.lit(0)).cast("long")
+            .alias("true_cnt"),
+        )
+        .orderBy("token")
+    )

@@ -788,3 +788,151 @@ def test_stacked_buckets_matches_two_step(spark, docs):
     a = sorted(map(tuple, fast.collect()))
     b = sorted(map(tuple, slow.collect()))
     assert a == b and len(a) == 200 * 4
+
+
+def test_ols_fit_exact_and_mergeable(spark):
+    """OLS via sufficient statistics (operators/stats.py): the fitted
+    slope/intercept/R² match the closed-form computed in plain Python
+    on integer data EXACTLY (not approximately — both are the same
+    IEEE754 expression over exact bigint sums), degenerate groups
+    (zero x-variance) yield NULLs instead of ±inf, and the statistics
+    MERGE: fitting from the sum of two disjoint halves' stats equals
+    fitting the whole."""
+    from pyspark.sql import functions as F
+
+    from psweep_spark.operators.stats import (
+        ols_fit,
+        ols_fit_from_stats,
+        ols_sufficient_stats,
+    )
+
+    rows = []
+    # group 'a': y = 3x + 7 with deterministic residuals
+    for i in range(1, 50):
+        rows.append(("a", i, 3 * i + 7 + (i % 5) - 2))
+    # group 'b': constant x -> degenerate (varx = 0)
+    for i in range(10):
+        rows.append(("b", 4, 10 + i))
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+
+    got = {r["g"]: r for r in ols_fit(df, "x", "y", ["g"]).collect()}
+
+    # independent closed form on exact ints
+    xs = [r[1] for r in rows if r[0] == "a"]
+    ys = [r[2] for r in rows if r[0] == "a"]
+    n, sx, sy = len(xs), sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    cov, varx, vary = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    slope = float(cov) / float(varx)
+    intercept = (float(sy) - slope * float(sx)) / float(n)
+    r2 = (float(cov) * float(cov)) / (float(varx) * float(vary))
+    a = got["a"]
+    assert (a["slope"], a["intercept"], a["r2"]) == (slope, intercept, r2)
+    assert got["b"]["slope"] is None and got["b"]["r2"] is None
+
+    # mergeability: stats(half1) + stats(half2) -> identical fit
+    h1 = df.filter(F.col("y") % 2 == 0)
+    h2 = df.filter(F.col("y") % 2 != 0)
+    merged = (
+        ols_sufficient_stats(h1, "x", "y", ["g"])
+        .unionAll(ols_sufficient_stats(h2, "x", "y", ["g"]))
+        .groupBy("g")
+        .agg(*[
+            F.sum(c).alias(c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]
+        ])
+    )
+    got_m = {r["g"]: r for r in ols_fit_from_stats(merged, ["g"]).collect()}
+    assert (got_m["a"]["slope"], got_m["a"]["intercept"], got_m["a"]["r2"]) \
+        == (slope, intercept, r2)
+
+
+def test_weighted_sample_per_group_matches_naive_window(spark):
+    """The bounded per-partition pre-reduction in
+    weighted_sample_topk_per_group is LOSSLESS: its result equals the
+    naive full window over the corpus, under adversarial partitioning,
+    and invalid weights are dropped (operators/sampling.py)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from psweep_spark.operators.sampling import (
+        hash_uniform,
+        weighted_sample_topk_per_group,
+    )
+
+    rows = [(i, f"g{i % 7}", float(1 + (i * 37) % 100)) for i in range(500)]
+    rows += [(9000, "g0", 0.0), (9001, "g1", -2.0), (9002, "g2", None)]
+    df = spark.createDataFrame(rows, "k long, g string, w double")
+
+    out = weighted_sample_topk_per_group(
+        df.repartition(17), "k", "w", "g", k=5, salt="t"
+    )
+    assert out.columns == ["k", "g", "w", "sample_rank"]
+    got = sorted(
+        (r["g"], r["sample_rank"], r["k"]) for r in out.collect()
+    )
+
+    es = F.log(hash_uniform(F.col("k"), "t")) / F.col("w")
+    naive = (
+        df.filter(F.col("w") > 0)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy(F.desc(es), F.asc("k"))
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+    )
+    want = sorted((r["g"], r["rk"], r["k"]) for r in naive.collect())
+    assert got == want and len(got) == 35
+    # no invalid-weight winners
+    assert all(k < 9000 for _, _, k in got)
+
+
+def test_cms_contracts(spark):
+    """Count-Min sketch (operators/sketch.py): estimates are NEVER
+    below the true count (one-sided error), exact for collision-free
+    items, the sketch is repartition-invariant, and two disjoint
+    halves' sketches MERGE by cell-wise addition into the whole-corpus
+    sketch."""
+    from pyspark.sql import functions as F
+
+    from psweep_spark.operators.sketch import cms_cells, cms_estimate
+
+    rows = [(f"item_{i % 50:03d}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, "token string")
+    probes = df.distinct()
+
+    cells = cms_cells(df, "token", depth=4, width=64, salt="t")
+    est = {
+        r["token"]: r["est_cnt"]
+        for r in cms_estimate(cells, probes, "token", 4, 64, "t").collect()
+    }
+    true = {
+        r["token"]: r["cnt"]
+        for r in df.groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert est.keys() == true.keys()
+    assert all(est[t] >= true[t] for t in true), "CMS must overestimate"
+    # width 64 vs 50 items: most items see no collision -> exact
+    assert sum(est[t] == true[t] for t in true) >= 25
+
+    # repartition invariance
+    cells2 = cms_cells(df.repartition(13), "token", depth=4, width=64, salt="t")
+    c1 = sorted(map(tuple, cells.collect()))
+    c2 = sorted(map(tuple, cells2.collect()))
+    assert c1 == c2
+
+    # mergeability: sketch(h1) + sketch(h2) == sketch(all), cell-wise,
+    # on a deterministic hash-parity split
+    h1 = df.filter(F.crc32(F.col("token")) % 2 == 0)
+    h2 = df.filter(F.crc32(F.col("token")) % 2 != 0)
+    merged = (
+        cms_cells(h1, "token", 4, 64, "t")
+        .unionAll(cms_cells(h2, "token", 4, 64, "t"))
+        .groupBy("i", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    m = sorted(map(tuple, merged.collect()))
+    assert m == c1

@@ -430,3 +430,41 @@ def test_events_resample_runtime_exchange_count(spark):
     assert "isFinalPlan=true" in plan
     assert plans.count_exchanges(df) <= 2
     spark.catalog.clearCache()
+
+
+def test_ols_fit_single_shuffle_pruned_scan(spark):
+    """OLS sufficient statistics (operators/stats.py): the whole fit is
+    ONE exchange (the partially-aggregated groupBy of six longs); the
+    solve is a projection over the group rows, and the scan reads only
+    the three involved columns."""
+    df = QUERIES["docs_ols_scaling_fit"](spark, SF_DIR)
+    # groupBy agg + the final tiny orderBy of ~5 group rows
+    assert plans.count_exchanges(df) <= 2, plans.formatted_plan(df)[:800]
+    (read,) = plans.read_schema_columns(df)
+    assert set(read) == {"lang", "text", "n_chars"}, read
+
+
+def test_cms_build_bounded_shuffle_keyspace(spark):
+    """The CMS build's only corpus-wide operation is a hash aggregate
+    whose keyspace is ≤ depth·width cells — verified by materializing
+    the cell relation (≤ 4·64 rows from 3k inputs) — and the estimate
+    side broadcasts the cell relation instead of shuffling probes."""
+    from pyspark.sql import functions as F
+
+    from psweep_spark.operators.sketch import cms_cells, cms_estimate
+
+    df = spark.createDataFrame(
+        [(f"t{i % 100}",) for i in range(3000)], "token string"
+    )
+    cells = cms_cells(df, "token", depth=4, width=64, salt="p")
+    assert cells.count() <= 4 * 64
+    est = cms_estimate(
+        cells, df.select("token").distinct(), "token", 4, 64, "p"
+    )
+    assert plans.broadcast_join_count(est) >= 1, plans.formatted_plan(est)[:800]
+    # sanity: estimates at least the true max count
+    top = (
+        df.groupBy("token").agg(F.count("*").alias("c"))
+        .agg(F.max("c")).collect()[0][0]
+    )
+    assert max(r["est_cnt"] for r in est.collect()) >= top
