@@ -155,6 +155,8 @@ HEADLINE = [
     "docs_ols_scaling_fit",
     "docs_stratified_weighted_sample",
     "corpus_cms_freq",
+    "docs_global_shuffle_shards",
+    "stream_ols_trend",
 ]
 
 

@@ -166,6 +166,47 @@ def weighted_sample_topk_per_group(
     )
 
 
+def global_shuffle_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global training shuffle: assign every row a
+    ``shard`` in [0, n_shards) and a pseudo-random ``pos`` within its
+    shard — the final step of a training-data pipeline (examples must
+    reach the trainer in an order uncorrelated with their source
+    layout, yet REPRODUCIBLY, so a re-run or a resumed job reads the
+    identical stream).
+
+    Both coordinates derive from the md5 bucket of the (salted) key:
+    ``shard = bucket mod n_shards`` and the within-shard order sorts by
+    the bucket value itself (key ascending breaks the rare bucket
+    ties).  ``DataFrame.orderBy(rand())`` can guarantee none of this —
+    the RNG draw changes with partitioning and retries.
+
+    Scale shape: ONE shuffle — the window's hash partitioning on
+    ``shard`` is exactly the ``repartition(shard)`` a sharded-file
+    writer needs, and the per-shard sort is in-partition (no global
+    order).  At the sink this plan becomes
+    ``.write.partitionBy("shard")`` with files already ordered.
+
+    Returns ``df``'s columns plus ``shard`` (int) and ``pos``
+    (1-based long within shard).
+    """
+    from pyspark.sql.window import Window
+
+    b = hash_bucket(F.col(key_col), salt)
+    out = df.withColumn("__b", b).withColumn(
+        "shard", (F.col("__b") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.asc("__b"), F.asc(key_col))
+    return (
+        out.withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(*df.columns, "shard", "pos")
+    )
+
+
 def stratified_sample_by_hash(
     df: DataFrame,
     key_col: str,

@@ -3024,3 +3024,154 @@ def corpus_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+@_q(
+    "docs_global_shuffle_shards",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5('gshuf_v1' || CAST(doc_id AS VARCHAR)),
+                                    1, 15) AS BIGINT) % 1000000 AS bkt
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, CAST(bkt % 16 AS INT) AS shard,
+             CAST(row_number() OVER (PARTITION BY bkt % 16
+                                     ORDER BY bkt, doc_id) AS BIGINT) AS pos
+      FROM b
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS ord_checksum,
+           CAST(min_by(doc_id, pos) AS BIGINT) AS first_doc,
+           CAST(max_by(doc_id, pos) AS BIGINT) AS last_doc
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+)
+def docs_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle
+    (operators/sampling.global_shuffle_assign): every document gets a
+    shard in [0,16) and a reproducible pseudo-random position within
+    its shard — the pipeline's final step before the trainer, where
+    example order must be uncorrelated with source layout yet
+    identical across re-runs, resumes, and engines
+    (``orderBy(rand())`` guarantees neither).
+
+    The query returns per-shard accounting plus an ORDER-SENSITIVE
+    checksum (Σ pos·doc_id) and the first/last doc per shard, so the
+    oracle pins the exact within-shard sequence without materializing
+    the corpus-sized assignment in the comparison.
+
+    Scale shape: ONE shuffle — the window's hash partitioning on shard
+    IS the ``repartition(shard)`` a sharded-file writer needs, and the
+    per-shard sort is in-partition (never a global order).  Both
+    coordinates are md5-derived (engine-exact)."""
+    from psweep_spark.operators.sampling import global_shuffle_assign
+
+    docs = _ld(spark, sf_dir, "documents").select("doc_id")
+    a = global_shuffle_assign(docs, "doc_id", n_shards=16, salt="gshuf_v1")
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("pos") * F.col("doc_id")).cast("long")
+            .alias("ord_checksum"),
+            F.min_by("doc_id", "pos").cast("long").alias("first_doc"),
+            F.max_by("doc_id", "pos").cast("long").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+@_q(
+    "stream_ols_trend",
+    """
+    WITH d AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP))
+              - epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))))
+               // 1000000 AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM d GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT window_start, event_type, n, sx, sy,
+             n * sxy - sx * sy AS cov,
+             n * sxx - sx * sx AS varx,
+             n * syy - sy * sy AS vary
+      FROM s
+    ),
+    f AS (
+      SELECT window_start, event_type, n, sx, sy, vary,
+             CASE WHEN varx <> 0
+                  THEN CAST(cov AS DOUBLE) / CAST(varx AS DOUBLE) END AS slope,
+             CASE WHEN varx <> 0 AND vary <> 0
+                  THEN (CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE))
+                       / (CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE))
+             END AS r2
+      FROM m
+    )
+    SELECT window_start, event_type, n, slope,
+           (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept,
+           r2
+    FROM f ORDER BY window_start, event_type
+    """,
+)
+def stream_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift/trend monitor: per (1-hour window × event_type),
+    the OLS slope of event value against seconds-into-window, computed
+    INCREMENTALLY — the streaming face of the mergeable-sufficient-
+    statistics design (operators/stats.py).  Because the six sums are
+    plain associative aggregates, the state store carries exactly six
+    longs + a count per open window (bounded state regardless of
+    traffic), and the closed-form solve runs on the drained window
+    rows — never the events.  This is how a 100 TB/day pipeline
+    watches "is the value trending within the hour" without a second
+    batch pass.
+
+    Exactness: x = whole seconds into the window (exact integer via
+    µs arithmetic), y = value on the ×100 integer grid (the events
+    values are 2-decimal; both engines round the identical double) —
+    so the sums are exact BIGINTs and slope/intercept/R² reproduce in
+    DuckDB bit-for-bit, same contract as docs_ols_scaling_fit."""
+    import os as _os
+
+    from psweep_spark.operators.stats import ols_fit_from_stats
+    from psweep_spark.queries_catalog import _mem_name
+    from psweep_spark.streaming import events_stream, run_available_now
+
+    ev = events_stream(spark, _os.path.join(sf_dir, "events.parquet"))
+    x = F.expr(
+        "(unix_micros(ts) - unix_micros(date_trunc('hour', ts)))"
+        " div 1000000"
+    )
+    y = F.round(F.col("value") * 100).cast("long")
+    enriched = ev.withColumn("x", x).withColumn("y", y)
+    g = (
+        enriched.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    stats = run_available_now(g, _mem_name("olstrend"), output_mode="complete")
+    return ols_fit_from_stats(
+        stats, ["window_start", "event_type"]
+    ).orderBy("window_start", "event_type")

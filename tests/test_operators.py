@@ -936,3 +936,34 @@ def test_cms_contracts(spark):
     )
     m = sorted(map(tuple, merged.collect()))
     assert m == c1
+
+
+def test_global_shuffle_assign_contracts(spark):
+    """Deterministic training shuffle (operators/sampling.py): the
+    (shard, pos) assignment is a pure function of the key — identical
+    under adversarial repartitioning — positions are dense 1..n per
+    shard, and the within-shard order is uncorrelated with key order
+    (it follows the md5 bucket, not the key)."""
+    from pyspark.sql import functions as F
+
+    from psweep_spark.operators.sampling import global_shuffle_assign
+
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    a = {r["k"]: (r["shard"], r["pos"])
+         for r in global_shuffle_assign(df, "k", 8, "s").collect()}
+    b = {r["k"]: (r["shard"], r["pos"])
+         for r in global_shuffle_assign(
+             df.repartition(17), "k", 8, "s").collect()}
+    assert a == b and len(a) == 2000
+    # dense ranks per shard
+    by_shard: dict[int, list[int]] = {}
+    for sh, pos in a.values():
+        by_shard.setdefault(sh, []).append(pos)
+    assert set(by_shard) == set(range(8))
+    for sh, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), sh
+    # order decorrelated from key order: the first few positions of a
+    # shard are not simply the smallest keys
+    sh0 = sorted((pos, k) for k, (sh, pos) in a.items() if sh == 0)
+    first_keys = [k for _, k in sh0[:20]]
+    assert first_keys != sorted(first_keys)
