@@ -147,7 +147,10 @@ def weighted_sample_topk_per_group(
                 acc.sort_values(
                     ["__es_key", key_col], ascending=[False, True]
                 )
-                .groupby(group_col, sort=False)
+                # dropna=False: a NULL group is a group (matches the
+                # window semantics downstream) — pandas would silently
+                # drop those rows otherwise
+                .groupby(group_col, sort=False, dropna=False)
                 .head(k)
             )
         if acc is not None:

@@ -863,6 +863,8 @@ def test_weighted_sample_per_group_matches_naive_window(spark):
 
     rows = [(i, f"g{i % 7}", float(1 + (i * 37) % 100)) for i in range(500)]
     rows += [(9000, "g0", 0.0), (9001, "g1", -2.0), (9002, "g2", None)]
+    # a NULL group is a group: must survive the pandas pre-reduction
+    rows += [(700 + i, None, float(1 + i)) for i in range(8)]
     df = spark.createDataFrame(rows, "k long, g string, w double")
 
     out = weighted_sample_topk_per_group(
@@ -870,7 +872,7 @@ def test_weighted_sample_per_group_matches_naive_window(spark):
     )
     assert out.columns == ["k", "g", "w", "sample_rank"]
     got = sorted(
-        (r["g"], r["sample_rank"], r["k"]) for r in out.collect()
+        ((r["g"] or "", r["sample_rank"], r["k"]) for r in out.collect())
     )
 
     es = F.log(hash_uniform(F.col("k"), "t")) / F.col("w")
@@ -884,8 +886,8 @@ def test_weighted_sample_per_group_matches_naive_window(spark):
         )
         .filter(F.col("rk") <= 5)
     )
-    want = sorted((r["g"], r["rk"], r["k"]) for r in naive.collect())
-    assert got == want and len(got) == 35
+    want = sorted((r["g"] or "", r["rk"], r["k"]) for r in naive.collect())
+    assert got == want and len(got) == 40  # 7 groups x 5 + NULL group x 5
     # no invalid-weight winners
     assert all(k < 9000 for _, _, k in got)
 
