@@ -96,14 +96,23 @@ def mg_candidates(df: DataFrame, item_col: str, k: int) -> DataFrame:
 
 
 def _cms_bucket(item, i: int, width: int, salt: str):
-    """Deterministic CMS row-``i`` bucket: 60-bit md5 prefix mod width.
-    Pure function of (salt, i, item) — any engine that can md5
-    reproduces it, which is how the catalog oracle re-derives the
-    sketch bit-for-bit (same trick as sampling.hash_uniform)."""
+    """Deterministic CMS row-``i`` bucket: the ``i``-th disjoint 8-hex
+    (32-bit) slice of ONE md5 digest, mod width.  One digest serves all
+    ``depth ≤ 4`` rows — 4× less hashing than per-row salted md5 on the
+    corpus-sized build pass (measured 19 → ~7 s at sf1) — and disjoint
+    slices of a single md5 are independently uniform (the
+    Kirsch–Mitzenmacher observation needs far less).  Pure function of
+    (salt, i, item): any engine that can md5 re-derives the sketch
+    bit-for-bit (same trick as sampling.hash_uniform)."""
+    if not 0 <= i < 4:
+        raise ValueError("CMS depth is limited to 4 rows (32-bit slices)")
     s = F.concat(
-        F.lit(f"{salt}{i}|"), F.col(item) if isinstance(item, str) else item
+        F.lit(f"{salt}|"), F.col(item) if isinstance(item, str) else item
     )
-    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % width
+    return (
+        F.conv(F.substring(F.md5(s), 1 + 8 * i, 8), 16, 10).cast("long")
+        % width
+    )
 
 
 def cms_cells(
@@ -128,6 +137,12 @@ def cms_cells(
     depth·width·partitions rows regardless of corpus size or
     vocabulary.  Zero Python in the pipeline.
     """
+    # The md5 digest appears in all `depth` slice expressions; inside
+    # ONE projection, whole-stage codegen's subexpression elimination
+    # evaluates it once per row.  (The HOF let-binding idiom used by
+    # _stacked_buckets was measured SLOWER here: higher-order functions
+    # run interpreted, and this fan-out is cheap enough that staying in
+    # codegen beats saving the hash — 5.3 s vs 6.3 s at sf10.)
     pairs = df.select(
         F.explode(
             F.array(*[

@@ -2938,8 +2938,8 @@ def docs_stratified_weighted_sample(
     ),
     cells AS (
       SELECT i,
-             CAST('0x' || substring(md5('cms_v1' || CAST(i AS VARCHAR)
-                                        || '|' || token), 1, 15)
+             CAST('0x' || substring(md5('cms_v1|' || token),
+                                    CAST(1 + 8 * i AS INT), 8)
                   AS BIGINT) % 1024 AS col,
              COUNT(*) AS cnt
       FROM toks, (SELECT unnest(range(0, 4)) AS i) d
@@ -2951,9 +2951,8 @@ def docs_stratified_weighted_sample(
       CROSS JOIN (SELECT unnest(range(0, 4)) AS i) d
       LEFT JOIN cells c
         ON c.i = d.i
-       AND c.col = CAST('0x' || substring(md5('cms_v1'
-                                              || CAST(d.i AS VARCHAR)
-                                              || '|' || p.token), 1, 15)
+       AND c.col = CAST('0x' || substring(md5('cms_v1|' || p.token),
+                                          CAST(1 + 8 * d.i AS INT), 8)
                         AS BIGINT) % 1024
       GROUP BY p.token
     ),
@@ -2975,8 +2974,11 @@ def corpus_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     at fixed depth·width memory, and the sketch MERGES cell-wise
     across corpora/increments (Cormode & Muthukrishnan 2005).
 
-    Determinism: bucket hashes are 60-bit md5 prefixes mod width —
-    pure functions of (salt, row, token) — so DuckDB rebuilds the
+    Determinism: bucket hashes are disjoint 32-bit slices of ONE md5
+    digest mod width (one hash per token, not depth; CollapseProject
+    is defeated via the HOF let-binding idiom so the digest really
+    evaluates once) — pure functions of (salt, row, token) — so DuckDB
+    rebuilds the
     IDENTICAL sketch and must produce identical estimates (including
     any collision-driven overestimates; at sf10's 93k-token mutated
     vocabulary the 4×1024 sketch genuinely collides and the oracle
