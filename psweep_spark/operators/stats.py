@@ -82,27 +82,9 @@ def ols_fit(
     Scale shape: ONE partially-aggregated shuffle of 6 longs per
     (group × partition); the solve is a projection over k group rows.
     """
-    s = ols_sufficient_stats(df, x_col, y_col, group_cols)
-    cov = s.n * s.sxy - s.sx * s.sy  # exact bigint
-    varx = s.n * s.sxx - s.sx * s.sx
-    vary = s.n * s.syy - s.sy * s.sy
-    slope = F.when(
-        varx != 0, cov.cast("double") / varx.cast("double")
-    )
-    intercept = (s.sy.cast("double") - slope * s.sx.cast("double")) / s.n.cast(
-        "double"
-    )
-    r2 = F.when(
-        (varx != 0) & (vary != 0),
-        (cov.cast("double") * cov.cast("double"))
-        / (varx.cast("double") * vary.cast("double")),
-    )
-    return s.select(
-        *(group_cols or []),
-        s.n.cast("long").alias("n"),
-        slope.alias("slope"),
-        intercept.alias("intercept"),
-        r2.alias("r2"),
+    return ols_fit_from_stats(
+        ols_sufficient_stats(df, x_col, y_col, group_cols),
+        group_cols or [],
     )
 
 
