@@ -20,6 +20,29 @@ from pyspark.sql import functions as F
 BUCKETS = 1_000_000
 
 
+def _valid_weight(weight_col: str) -> Column:
+    """Positive, non-NULL, non-NaN weight filter.  ``> 0`` alone is not
+    enough: Spark orders NaN ABOVE every double, so ``NaN > 0`` is
+    TRUE and a NaN weight would flow into the E-S key as ln(u)/NaN =
+    NaN — which Spark's descending sort ranks first while pandas'
+    ``sort_values`` ranks last, breaking the lossless pre-reduction
+    guarantee and making output partition-dependent."""
+    w = F.col(weight_col).cast("double")
+    return (w > 0) & ~F.isnan(w)
+
+
+def _reject_reserved(df: DataFrame, names: tuple[str, ...], op: str) -> None:
+    """Raise when ``df`` already carries a column this operator emits or
+    uses internally — ``withColumn`` would silently REPLACE the caller's
+    column and corrupt the final ``select(*df.columns, ...)`` output."""
+    clash = [c for c in names if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"{op}: input columns {clash} collide with reserved "
+            f"output/internal column names {list(names)}; rename them first"
+        )
+
+
 def hash_bucket(key: Column, salt: str = "") -> Column:
     """Uniform bucket in [0, 1e6) from md5 of the (salted) key string.
     15 hex chars = 60 bits — parses exactly into a long in any engine."""
@@ -73,18 +96,20 @@ def weighted_sample_topk(
     identical doubles in any engine; two keys would need to collide
     within 1 ULP (~1e-16 relative) to make the order engine-dependent.
 
-    Rows with weight ≤ 0 (or NULL) are dropped before scoring: weight 0
-    with u == 1 yields ln(1)/0 = NaN, which Spark's descending sort
-    orders ABOVE every double — invalid rows would win the top-k — and
-    negative weights invert the selection.  E-S is defined on positive
-    weights only.  The internal scoring key never leaks: the returned
-    schema is exactly ``df``'s.
+    Rows with weight ≤ 0, NULL or NaN are dropped before scoring:
+    weight 0 with u == 1 yields ln(1)/0 = NaN — and NaN weights pass a
+    bare ``> 0`` filter because Spark orders NaN above all doubles —
+    either way a NaN key would win the descending top-k; negative
+    weights invert the selection.  E-S is defined on positive weights
+    only.  The internal scoring key never leaks: the returned schema
+    is exactly ``df``'s.
     """
+    _reject_reserved(df, ("__es_key",), "weighted_sample_topk")
     es = F.log(hash_uniform(F.col(key_col), salt)) / F.col(weight_col).cast(
         "double"
     )
     return (
-        df.filter(F.col(weight_col).cast("double") > 0)
+        df.filter(_valid_weight(weight_col))
         .withColumn("__es_key", es)
         .orderBy(F.desc("__es_key"), F.asc(key_col))
         .limit(k)
@@ -116,8 +141,11 @@ def weighted_sample_topk_per_group(
 
     Determinism: the E-S key is a pure function of (key, salt) — see
     :func:`weighted_sample_topk` — and both the fold and the window
-    break ties by ``key_col`` ascending.  Rows with weight ≤ 0 / NULL
-    are dropped (NaN keys would win a descending sort).
+    break ties by ``key_col`` ascending.  Rows with weight ≤ 0 / NULL /
+    NaN are dropped — NaN matters doubly here: it passes a bare ``> 0``
+    (Spark sorts NaN above all doubles) and the resulting NaN E-S key
+    sorts FIRST in the Spark window but LAST in the pandas pre-reduce,
+    so the bounded fold could drop the row the window would rank #1.
 
     Returns ``df``'s columns plus ``sample_rank`` (1-based within
     group).
@@ -128,11 +156,14 @@ def weighted_sample_topk_per_group(
 
     from ..plans import ensure_parallelism
 
+    _reject_reserved(
+        df, ("__es_key", "sample_rank"), "weighted_sample_topk_per_group"
+    )
     es = F.log(hash_uniform(F.col(key_col), salt)) / F.col(weight_col).cast(
         "double"
     )
     scored = (
-        df.filter(F.col(weight_col).cast("double") > 0)
+        df.filter(_valid_weight(weight_col))
         .withColumn("__es_key", es)
         .select(*df.columns, "__es_key")
     )
@@ -199,6 +230,7 @@ def global_shuffle_assign(
     """
     from pyspark.sql.window import Window
 
+    _reject_reserved(df, ("shard", "pos", "__b"), "global_shuffle_assign")
     b = hash_bucket(F.col(key_col), salt)
     out = df.withColumn("__b", b).withColumn(
         "shard", (F.col("__b") % n_shards).cast("int")

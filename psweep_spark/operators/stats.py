@@ -71,13 +71,20 @@ def ols_fit(
     intercept = (Σy − slope·Σx) / n
     R²        = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
 
-    The covariance/variance terms are computed as exact BIGINTs first
-    (they fit: n ≤ ~1e6 rows × per-row products ≤ ~1e10 keeps n·Σxy
-    under 2⁶³ for the corpus-statistics regressions this serves), then
+    The covariance/variance terms are computed EXACTLY in
+    DECIMAL(38,0) (each factor is a BIGINT ≤ 2⁶³−1, so every product
+    n·Σxy etc. is < 8.6e37 and always fits 38 digits — BIGINT
+    arithmetic would silently wrap above 2⁶³ ≈ 9.2e18, which a mere
+    1e6 rows of 1e10-magnitude per-row products already exceeds), then
     cast to DOUBLE for the final divisions — the identical expression
-    evaluates bit-for-bit in DuckDB, which is how the catalog oracle
-    verifies it.  Degenerate groups (zero x-variance) return NULL
-    slope/intercept/R² rather than ±inf.
+    (HUGEINT in DuckDB) evaluates bit-for-bit, which is how the
+    catalog oracle verifies it.  The caller-side exactness contract is
+    therefore only that the six SUMS fit BIGINT (quantize so that
+    Σ|x·y| < 2⁶³); the solve never wraps.  The one remaining edge —
+    |n·Σxy − Σx·Σy| ≥ 1e38, reachable only when both products exceed
+    5e37, i.e. sums within ~25% of the BIGINT limit — yields NULL
+    (Spark decimal overflow), never a wrong number.  Degenerate groups
+    (zero x-variance) return NULL slope/intercept/R² rather than ±inf.
 
     Scale shape: ONE partially-aggregated shuffle of 6 longs per
     (group × partition); the solve is a projection over k group rows.
@@ -94,9 +101,17 @@ def ols_fit_from_stats(stats: DataFrame, group_cols: list[str]) -> DataFrame:
     stat columns across increments with ``groupBy(group).sum(...)``
     and hand the result here; no corpus re-scan."""
     s = stats
-    cov = s.n * s.sxy - s.sx * s.sy
-    varx = s.n * s.sxx - s.sx * s.sx
-    vary = s.n * s.syy - s.sy * s.sy
+
+    # Cross terms in DECIMAL, not BIGINT: each factor fits 19 digits
+    # (BIGINT), so products are exact DECIMAL(38,0) — BIGINT products
+    # would silently wrap at 2^63 with ANSI off (DuckDB raises; Spark
+    # would diverge).  See ols_fit's exactness contract.
+    def _d(c: Column) -> Column:
+        return c.cast("decimal(19,0)")
+
+    cov = _d(s.n) * _d(s.sxy) - _d(s.sx) * _d(s.sy)
+    varx = _d(s.n) * _d(s.sxx) - _d(s.sx) * _d(s.sx)
+    vary = _d(s.n) * _d(s.syy) - _d(s.sy) * _d(s.sy)
     slope = F.when(varx != 0, cov.cast("double") / varx.cast("double"))
     intercept = (
         s.sy.cast("double") - slope * s.sx.cast("double")

@@ -2810,9 +2810,9 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
       SELECT lang, n,
-             n * sxy - sx * sy AS cov,
-             n * sxx - sx * sx AS varx,
-             n * syy - sy * sy AS vary,
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS varx,
+             CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vary,
              sx, sy
       FROM s
     ),
@@ -2975,10 +2975,12 @@ def corpus_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     across corpora/increments (Cormode & Muthukrishnan 2005).
 
     Determinism: bucket hashes are disjoint 32-bit slices of ONE md5
-    digest mod width (one hash per token, not depth; CollapseProject
-    is defeated via the HOF let-binding idiom so the digest really
-    evaluates once) — pure functions of (salt, row, token) — so DuckDB
-    rebuilds the
+    digest mod width (one hash per token, not depth; cms_cells emits
+    all depth slices in a single projection and relies on whole-stage
+    codegen's subexpression elimination to evaluate the shared digest
+    once — the HOF let-binding idiom was measured SLOWER here because
+    higher-order functions run interpreted, see operators/sketch.py) —
+    pure functions of (salt, row, token) — so DuckDB rebuilds the
     IDENTICAL sketch and must produce identical estimates (including
     any collision-driven overestimates; at sf10's 93k-token mutated
     vocabulary the 4×1024 sketch genuinely collides and the oracle
@@ -3107,9 +3109,9 @@ def docs_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
       SELECT window_start, event_type, n, sx, sy,
-             n * sxy - sx * sy AS cov,
-             n * sxx - sx * sx AS varx,
-             n * syy - sy * sy AS vary
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS varx,
+             CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vary
       FROM s
     ),
     f AS (

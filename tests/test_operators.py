@@ -969,3 +969,80 @@ def test_global_shuffle_assign_contracts(spark):
     sh0 = sorted((pos, k) for k, (sh, pos) in a.items() if sh == 0)
     first_keys = [k for _, k in sh0[:20]]
     assert first_keys != sorted(first_keys)
+
+
+def test_sampling_nan_weights_and_reserved_columns(spark):
+    """ADVICE r6: NaN weights pass a bare ``> 0`` filter (Spark orders
+    NaN above all doubles) and would corrupt both sampling paths — the
+    top-k sort ranks a NaN E-S key first while the pandas pre-reduce
+    ranks it last, so the bounded fold could drop the window's #1 row.
+    Both operators must DROP NaN weights; and all three operators must
+    raise, not silently overwrite, when the input already carries a
+    reserved output/internal column name."""
+    import pytest
+
+    from psweep_spark.operators.sampling import (
+        global_shuffle_assign,
+        weighted_sample_topk,
+        weighted_sample_topk_per_group,
+    )
+
+    rows = [(i, "g", 1.0) for i in range(50)]
+    rows += [(900, "g", float("nan")), (901, "h", float("nan"))]
+    df = spark.createDataFrame(rows, "k long, g string, w double")
+
+    top = weighted_sample_topk(df, "k", "w", k=5).collect()
+    assert all(r["k"] < 900 for r in top) and len(top) == 5
+
+    per = weighted_sample_topk_per_group(df, "k", "w", "g", k=5)
+    got = per.collect()
+    assert all(r["k"] < 900 for r in got)
+    # group "h" had ONLY the NaN row → no output rows for it at all
+    assert {r["g"] for r in got} == {"g"}
+    # and the kept set is identical under adversarial partitioning
+    # (the pandas-fold vs window NaN ordering split would break this)
+    got2 = weighted_sample_topk_per_group(
+        df.repartition(7), "k", "w", "g", k=5
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+    clash_rank = df.withColumnRenamed("g", "sample_rank")
+    with pytest.raises(ValueError, match="sample_rank"):
+        weighted_sample_topk_per_group(clash_rank, "k", "w", "sample_rank", 5)
+    clash_es = df.withColumnRenamed("g", "__es_key")
+    with pytest.raises(ValueError, match="__es_key"):
+        weighted_sample_topk(clash_es, "k", "w", k=5)
+    clash_shard = df.withColumnRenamed("g", "shard")
+    with pytest.raises(ValueError, match="shard"):
+        global_shuffle_assign(clash_shard, "k", 8)
+
+
+def test_ols_fit_no_bigint_wraparound(spark):
+    """ADVICE r6 (medium): the covariance/variance cross terms must not
+    overflow at 2^63 when the six SUMS honor the caller contract (each
+    fits BIGINT).  Here Σxy ≈ 1.9e18 < 2^63 but n·Σxy ≈ 1.9e21 ≫ 2^63 —
+    BIGINT cross terms would wrap (ANSI off → silent wrong slope) or
+    raise (Spark 4 ANSI default); the DECIMAL(38,0) terms stay exact.
+    Verified against the closed form in exact Python ints."""
+    from fractions import Fraction
+
+    from psweep_spark.operators.stats import ols_fit
+
+    # y = 3x + 7 exactly, x ≈ 2.5e7, n = 1000: all six sums fit BIGINT
+    # (Σyy ≈ 5.6e18 is the largest) but every cross term exceeds 2^63
+    n, x0 = 1000, 25_000_000
+    rows = [(x0 + i, 3 * (x0 + i) + 7) for i in range(n)]
+    got = ols_fit(
+        spark.createDataFrame(rows, "x long, y long"), "x", "y"
+    ).collect()[0]
+
+    xs = [r[0] for r in rows]
+    ys = [r[1] for r in rows]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    cov, varx = n * sxy - sx * sy, n * sxx - sx * sx
+    assert Fraction(cov, varx) == 3  # exact slope in unbounded ints
+    assert got["slope"] == float(cov) / float(varx) == 3.0
+    assert got["intercept"] == (float(sy) - 3.0 * float(sx)) / float(n) == 7.0
+    assert got["r2"] == 1.0
