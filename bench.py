@@ -119,7 +119,9 @@ HEADLINE = [
     "stream_static_enrich",
     "q_pandas_udf_weighted_avg",
     "dedup_clusters",
-    "dedup_clusters_lsh",
+    # dedup_clusters_lsh retired r7: identical plan to dedup_clusters
+    # since the r6 headline rename (VERDICT r6 weak #1) — one timed
+    # entry per distinct plan; old artifacts map to dedup_clusters.
     "dedup_clusters_exact",
     "docs_substring_dup",
     "docs_substring_dup_w64",

