@@ -53,7 +53,13 @@ from .database import Database
 from .hashing import df_hash_expr, filter_cols, pset_hash
 from .objects import META_KEY, maybe_unpickle, obj_to_bytes, pickled_cols
 
-__all__ = ["run", "prepare_params_df", "uuid5_expr", "infer_schema"]
+__all__ = [
+    "run",
+    "prepare_params_df",
+    "uuid5_expr",
+    "infer_schema",
+    "skip_dups_anti_join",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -378,6 +384,26 @@ def git_exit(use_git: bool, run_id: str, cwd: str = ".") -> None:
         _git(["commit", "-m", f"psweep_spark: run_id={run_id}"], cwd)
 
 
+def skip_dups_anti_join(params_df: DataFrame, hashes: DataFrame) -> DataFrame:
+    """The skip-dups stage of :func:`run`: drop every grid row whose
+    ``_pset_hash`` already exists in the DB hash relation.
+
+    Scale shape: a LEFT ANTI join where the GRID side streams (it may
+    be a lazy 10⁹-row cross product that must never shuffle wholesale
+    just to dedup) and the DB hash set is the build side.  The hash
+    relation is bounded by distinct psets ever run — usually far
+    smaller than the incoming grid — so AQE converts the join to a
+    BroadcastHashJoin at runtime from the anti-join's actual build-side
+    size (the plan contract ``test_skip_dups_anti_join_broadcasts``
+    pins this); above the broadcast threshold AQE falls back to a
+    shuffled join, which is the correct choice for a billion-hash
+    history.  No hint is forced either way: a forced broadcast would
+    OOM executors on a huge DB, a forced shuffle would shuffle the
+    grid for a small one.
+    """
+    return params_df.join(hashes, "_pset_hash", "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # run()
 # ---------------------------------------------------------------------------
@@ -451,10 +477,7 @@ def run(
     )
 
     if skip_dups and db.exists():
-        hashes = db.distinct_hashes(spark)
-        # grid is usually the small side but the DB hash set is bounded by
-        # distinct psets ever run — let AQE pick the join strategy
-        params_df = params_df.join(hashes, "_pset_hash", "left_anti")
+        params_df = skip_dups_anti_join(params_df, db.distinct_hashes(spark))
 
     # skip_dups may have filtered everything → return DB unchanged
     # (reference: re-run of identical params appends 0 rows)
