@@ -1,0 +1,287 @@
+"""Close the sf10 oracle-cost exclusions by CONSTRUCTION (VERDICT r6
+item 4): the tiled corpus's duplicate structure is known from how
+tools/gen_scale_data.py builds it, so the expected answers of the
+queries whose direct DuckDB oracles are quadratic (or >20-min
+recursive) at sf10 can be derived cheaply and compared with the same
+rows+columns+order-insensitive-hash contract as the standard gate.
+
+Constructions (each VALIDATED first at sf1, where the true DuckDB
+oracle is feasible — the construction must reproduce the true oracle's
+output bit-for-bit before it is trusted at sf10):
+
+* ``dedup_ngram_jaccard`` — per-replica token suffixing is a BIJECTION
+  on tokens, hence on 3-gram shingles: within a replica every pairwise
+  shingle intersection/union count — and therefore every Jaccard
+  double — is IDENTICAL to sf0.1's; across replicas shingle sets are
+  disjoint (a suffixed token X||'r'||i can equal Y||'r'||j, i≠j, only
+  if the digit strings align inside 'r'-free suffixes — impossible for
+  numeric replica indexes — and any stray collision could contribute
+  at most a vanishing Jaccard ≪ 0.5).  Expected sf10 pairs = the
+  sf0.1 oracle's pairs replicated per tile with doc_id offset
+  r·1_000_000, jaccard copied verbatim.
+* ``dedup_clusters_exact`` — transitive closure of the above pair set:
+  pure-Python union-find (components never span tiles), cluster_id =
+  component minimum, emitted for every node incident to a pair —
+  exactly the recursive CTE's semantics.
+* ``dedup_clusters`` / ``dedup_clusters_star`` — the LSH pair set does
+  NOT tile-decompose (md5 of mutated shingles), but it IS
+  materializable: the ``dedup_minhash_lsh`` oracle already runs at
+  sf10 in the broad gate.  The >20-min blocker was only DuckDB's
+  recursive-CTE closure — replaced here by union-find over the
+  materialized pairs (the verdict's prescribed fix).
+* ``corpus_bpe_merges`` — BPE never touches the corpus after the word-
+  frequency relation is built, so the expected merge table is computed
+  by running classic BPE in pure Python over DuckDB's
+  ``GROUP BY word`` counts (one linear corpus pass): 6 rounds of
+  max-count pair (ties → lexicographically smallest), left-greedy
+  non-overlapping application — the oracle's list_reduce fold exactly.
+
+Still excluded at sf10, with reasons (not budget):
+* embedding_near_dup / embed_semdedup — the truth is pairwise cosine
+  over 500k×64 vectors (2.5e11 dot products); the corpus does NOT
+  tile-decompose because replicas are cyclic rotations and 100 replicas
+  share only 64 distinct shifts, so cross-tile near-dup pairs exist and
+  depend on all-shift cosine structure.
+* semdedup_kmeans — Lloyd iterations over the same 500k×64 relation;
+  an exact replica would be the engine itself, not an oracle.
+* multimodal_binaryfile_ingest — provisioning writes one blob file per
+  doc (500k files): a local-filesystem landing artifact, not plan cost.
+
+Usage: python tools/check_sf10_constructed.py [--validate-only]
+Writes CORRECTNESS_SF10_CONSTRUCTED_r7.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from check_correctness import TABLES, frame_hash  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, "scale_data", "sf1")
+SF10 = os.path.join(REPO, "scale_data", "sf10")
+DOC_OFFSET = 1_000_000
+BPE_ROUNDS = 6
+
+
+def connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+# --------------------------------------------------------------------------
+# constructions
+# --------------------------------------------------------------------------
+
+
+def replicate_pairs(base_pairs: pd.DataFrame, mult: int) -> pd.DataFrame:
+    """Tile the sf0.1 exact-Jaccard pair set: ids offset per replica,
+    jaccard doubles copied verbatim (bit-identical by the bijection
+    argument in the module docstring)."""
+    outs = []
+    for r in range(mult):
+        d = base_pairs.copy()
+        d["id_a"] = d["id_a"] + r * DOC_OFFSET
+        d["id_b"] = d["id_b"] + r * DOC_OFFSET
+        outs.append(d)
+    return pd.concat(outs, ignore_index=True)
+
+
+def closure(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Union-find transitive closure -> (doc_id, cluster_id=component
+    min) for every node incident to an edge — the recursive CTE's
+    output relation."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        a, b = int(a), int(b)
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((n, find(n)) for n in parent)
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+
+
+def bpe_expected(con: duckdb.DuckDBPyConnection, rounds: int) -> pd.DataFrame:
+    """Classic BPE over the word-frequency dict, replicating the engine
+    (bpe_train batch_m=1) / oracle semantics exactly: winner = max
+    summed count, ties -> lexicographically smallest (s1, s2); merge
+    applied left-greedy non-overlapping (the oracle's list_reduce
+    fold: merge when current symbol == s2 and previous symbol == s1)."""
+    vocab = con.sql(r"""
+        SELECT w, COUNT(*) AS cnt FROM (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+          FROM documents
+        ) GROUP BY w
+    """).df()
+    words: list[tuple[list[str], int]] = [
+        (list(w), int(c)) for w, c in zip(vocab["w"], vocab["cnt"])
+    ]
+    merges = []
+    for rnd in range(1, rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in words:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + cnt
+        if not counts:
+            break
+        (s1, s2), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, s1, s2, s1 + s2, c))
+        nxt = []
+        for syms, cnt in words:
+            out = [syms[0]]
+            for x in syms[1:]:
+                if x == s2 and out[-1] == s1:
+                    out[-1] = s1 + s2
+                else:
+                    out.append(x)
+            nxt.append((out, cnt))
+        words = nxt
+    return pd.DataFrame(
+        merges,
+        columns=["round", "left_sym", "right_sym", "merged", "pair_count"],
+    )
+
+
+# --------------------------------------------------------------------------
+# compare harness
+# --------------------------------------------------------------------------
+
+
+def compare(name: str, expected: pd.DataFrame, got: pd.DataFrame,
+            results: dict, method: str) -> None:
+    problems = []
+    if len(expected) != len(got):
+        problems.append(f"rows {len(got)} != expected {len(expected)}")
+    if sorted(expected.columns) != sorted(got.columns):
+        problems.append(f"cols {sorted(got.columns)} != "
+                        f"{sorted(expected.columns)}")
+    if not problems:
+        he, hg = frame_hash(expected), frame_hash(got)
+        if he != hg:
+            problems.append(f"value-hash {hg} != {he}")
+    if problems:
+        print(f"FAIL  {name}: {'; '.join(problems)}")
+        results[name] = {"status": "FAIL", "method": method,
+                         "problems": problems}
+    else:
+        print(f"ok    {name}: rows={len(got)} ({method})")
+        results[name] = {"status": "ok", "method": method,
+                         "rows": len(got)}
+
+
+def main() -> int:
+    validate_only = "--validate-only" in sys.argv
+    import __spark_entry__ as entrymod
+    from psweep_spark.session import get_spark
+
+    oracles = entrymod.oracle_sql()
+    queries = entrymod.queries()
+    results: dict[str, dict] = {}
+
+    # ---- step 1: VALIDATE each construction at sf1 against the true
+    # DuckDB oracle (feasible there; the sf1 full gate already runs it)
+    con01 = connect(SF01)
+    con1 = connect(SF1)
+    t0 = time.time()
+    base_pairs = con01.sql(oracles["dedup_ngram_jaccard"]).df()
+    print(f"sf0.1 exact pair set: {len(base_pairs)} pairs "
+          f"({time.time() - t0:.1f}s)")
+
+    checks = {
+        "dedup_ngram_jaccard": replicate_pairs(base_pairs, 10),
+        "dedup_clusters_exact": closure(replicate_pairs(base_pairs, 10)),
+        "dedup_clusters": closure(
+            con1.sql(oracles["dedup_minhash_lsh"]).df()
+        ),
+        "corpus_bpe_merges": bpe_expected(con1, BPE_ROUNDS),
+    }
+    ok = True
+    for name, constructed in checks.items():
+        truth = con1.sql(oracles[name]).df()
+        v = {}
+        compare(f"validate@sf1 {name}", constructed, truth, v,
+                "construction vs true oracle")
+        ok &= v[f"validate@sf1 {name}"]["status"] == "ok"
+        results[f"validate@sf1:{name}"] = v[f"validate@sf1 {name}"]
+    # dedup_clusters_star shares dedup_clusters' expected relation
+    results["validate@sf1:dedup_clusters_star"] = dict(
+        results["validate@sf1:dedup_clusters"],
+        note="same expected relation as dedup_clusters",
+    )
+    if not ok:
+        print("construction INVALID at sf1 — refusing to gate sf10 with it")
+        _write(results)
+        return 1
+    if validate_only:
+        _write(results)
+        return 0
+
+    # ---- step 2: constructed expectations at sf10, compared to Spark
+    spark = get_spark("sf10-constructed")
+    con10 = connect(SF10)
+
+    t0 = time.time()
+    lsh_pairs_10 = con10.sql(oracles["dedup_minhash_lsh"]).df()
+    print(f"sf10 LSH pair set: {len(lsh_pairs_10)} pairs "
+          f"({time.time() - t0:.1f}s)")
+    lsh_closure_10 = closure(lsh_pairs_10)
+
+    expected10 = {
+        "dedup_ngram_jaccard": replicate_pairs(base_pairs, 100),
+        "dedup_clusters_exact": closure(replicate_pairs(base_pairs, 100)),
+        "dedup_clusters": lsh_closure_10,
+        "dedup_clusters_star": lsh_closure_10,
+        "corpus_bpe_merges": bpe_expected(con10, BPE_ROUNDS),
+    }
+    methods = {
+        "dedup_ngram_jaccard": "tile-replicated sf0.1 oracle",
+        "dedup_clusters_exact": "union-find over tile-replicated pairs",
+        "dedup_clusters": "union-find over DuckDB-materialized LSH pairs",
+        "dedup_clusters_star": "union-find over DuckDB-materialized LSH pairs",
+        "corpus_bpe_merges": "pure-python BPE over DuckDB word counts",
+    }
+    for name, expected in expected10.items():
+        t0 = time.time()
+        got = queries[name](spark, SF10).toPandas()
+        print(f"spark {name}@sf10: {len(got)} rows ({time.time() - t0:.1f}s)")
+        compare(f"sf10 {name}", expected, got, results, methods[name])
+        results[name] = results.pop(f"sf10 {name}")
+    _write(results)
+    return 0
+
+
+def _write(results: dict) -> None:
+    path = os.path.join(REPO, "CORRECTNESS_SF10_CONSTRUCTED_r7.json")
+    with open(path, "w") as fh:
+        json.dump(results, fh, indent=2, sort_keys=True)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

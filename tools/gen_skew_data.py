@@ -80,6 +80,18 @@ def main() -> None:
         os.path.join(out, "documents.parquet")
     )
 
+    # the remaining tables are UNSKEWED — copy them through so the skew
+    # dir is a complete 10-table sf_dir and the full correctness gate
+    # (tools/check_correctness.py, r6 verdict item 6) can run on it
+    import shutil
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "events", "embeddings"):
+        s = os.path.join(src, f"{t}.parquet")
+        d = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(s) and not os.path.exists(d):
+            (shutil.copytree if os.path.isdir(s) else shutil.copyfile)(s, d)
+
     n_li = li_skew.filter(F.col("l_orderkey") == hot).count()
     n_docs = docs_skew.filter(F.col("text").contains("newsletter")).count()
     print(
