@@ -468,3 +468,21 @@ def test_cms_build_bounded_shuffle_keyspace(spark):
         .agg(F.max("c")).collect()[0][0]
     )
     assert max(r["est_cnt"] for r in est.collect()) >= top
+
+
+def test_bpe_merges_job_count_pinned(spark):
+    """Driver-job budget for the BPE round loop (VERDICT r6 item 7:
+    corpus_bpe_merges drifted 1.30x in the r6 driver bench with no code
+    on its path — a standalone A/B at the r7 tree measured 2.22-2.26 s,
+    i.e. machine context, but the loop's job count was unpinned so
+    drift was unattributable).  Budget: 1 vocab materialize + 6 rounds
+    x (pair-count TakeOrdered collect, <=2 jobs under AQE) + the final
+    tiny createDataFrame collect -> 18 measured; allow 20 for AQE
+    stage-retry slack.  A regression past the budget means the round
+    loop started scheduling extra jobs (lineage checkpoint misfiring,
+    AQE re-planning per round) — the exact failure mode that would look
+    like 'unattributable bench drift'."""
+    fn = QUERIES["corpus_bpe_merges"]
+    fn(spark, SF_DIR).collect()  # warm: codegen + vocab persist path
+    _, n = plans.jobs_run(spark, lambda: fn(spark, SF_DIR).collect())
+    assert n <= 20, f"BPE round loop scheduled {n} driver jobs (budget 20)"
