@@ -160,6 +160,8 @@ HEADLINE = [
     "docs_global_shuffle_shards",
     "stream_ols_trend",
     "stream_cms_freq",
+    "corpus_overlap_kmv",
+    "docs_lang_overlap_matrix",
 ]
 
 

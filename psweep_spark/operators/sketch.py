@@ -311,3 +311,249 @@ def heavy_hitters_topk(
             "__chk", "__n_total"
         )
     return top.withColumn("is_exact", certified).drop("__n_total")
+
+
+# -- KMV / bottom-k distinct sketches (corpus overlap estimation) -----------
+
+
+def kmv_hash(item, salt: str = "kmv_v1"):
+    """Deterministic 52-bit hash value for KMV sketches: the first 13
+    hex chars of md5(salt|item) as a BIGINT in [0, 2^52) — the same
+    below-the-mantissa trick as :func:`sampling.hash_uniform`, kept as
+    an INTEGER so sketch membership compares exactly in any engine."""
+    col = F.col(item) if isinstance(item, str) else item
+    s = F.concat(F.lit(f"{salt}|"), col.cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    item_col: str,
+    k: int,
+    salt: str = "kmv_v1",
+) -> DataFrame:
+    """Bottom-k sketch of a column's DISTINCT values (Beyer et al. 2007
+    "On synopses for distinct-value estimation"; the KMV / theta-sketch
+    family): the ``k`` smallest distinct 52-bit hash values, as a
+    ``(hv long)`` relation.
+
+    This is the 100 TB answer to "how big is this corpus's vocabulary /
+    how much does corpus A overlap corpus B" when exact distinct
+    aggregation would shuffle vocabulary-cardinality data: the sketch
+    is O(k), MERGEABLE (sketch of a union = bottom-k of the sketches'
+    union — roll up across days/shards by re-folding), and supports
+    distinct-count, Jaccard-overlap and intersection estimation with
+    relative error ~1/sqrt(k).
+
+    Determinism: the hash is a pure function of (salt, item), so the
+    sketch is a set — identical under repartitioning, retries, and
+    engines (DuckDB rebuilds it bit-for-bit; the catalog oracle IS the
+    engine-swap test).
+
+    Scale shape: one Arrow ``mapInPandas`` pass keeps the k smallest
+    DISTINCT hashes per partition (bounded memory, zero shuffle —
+    lossless: a global bottom-k hash is necessarily in its partition's
+    bottom-k), then the global bottom-k reduces ≤ k·P candidate rows.
+    The corpus itself is never shuffled.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..plans import ensure_parallelism
+
+    hv_df = df.select(kmv_hash(item_col, salt).alias("hv"))
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            acc = pdf if acc is None else pd.concat((acc, pdf))
+            acc = acc.drop_duplicates("hv").nsmallest(k, "hv")
+        yield acc if acc is not None else pd.DataFrame({"hv": []}).astype(
+            {"hv": "int64"}
+        )
+
+    reduced = ensure_parallelism(hv_df).mapInPandas(fold, schema="hv long")
+    return reduced.dropDuplicates(["hv"]).orderBy("hv").limit(k)
+
+
+def kmv_distinct_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """Distinct-count estimate from a bottom-k sketch: when the sketch
+    holds fewer than ``k`` hashes the count is EXACT (every distinct
+    value is in the sketch — ``is_exact`` true); otherwise
+    D̂ = (k−1) / U_(k) with U_(k) = (kth smallest hash + 1) / 2^52 —
+    the standard KMV estimator, a single double expression over exact
+    integers (bit-identical in any engine).  Returns one row
+    ``(n_seen, est_distinct, is_exact)``."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_seen"), F.max("hv").alias("mx")
+    )
+    exact = F.col("n_seen") < k
+    est = F.when(exact, F.col("n_seen").cast("double")).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(float(1 << 52))
+        / (F.col("mx").cast("double") + F.lit(1.0))
+    )
+    return agg.select(
+        F.col("n_seen").cast("long").alias("n_seen"),
+        est.alias("est_distinct"),
+        exact.alias("is_exact"),
+    )
+
+
+def kmv_overlap_estimate(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int
+) -> DataFrame:
+    """Jaccard / intersection / union estimates between two corpora
+    from their bottom-k sketches alone (never the corpora): take the
+    bottom-k of the sketch UNION; the fraction of those hashes present
+    in BOTH sketches estimates Jaccard (a hash in bottom-k(A∪B) that
+    belongs to A is necessarily in bottom-k(A), so sketch membership
+    is exact set membership for these rows), and the union's kth value
+    estimates |A∪B| by KMV.  Returns one row ``(k_used, est_jaccard,
+    est_union, est_intersection)``; all estimates are exact when the
+    union sketch is not full.  Everything runs on ≤ 2k rows."""
+    a = sketch_a.select("hv").withColumn("ina", F.lit(1)).withColumn(
+        "inb", F.lit(0)
+    )
+    b = sketch_b.select("hv").withColumn("ina", F.lit(0)).withColumn(
+        "inb", F.lit(1)
+    )
+    merged = (
+        a.unionAll(b)
+        .groupBy("hv")
+        .agg(F.max("ina").alias("ina"), F.max("inb").alias("inb"))
+        .orderBy("hv")
+        .limit(k)
+    )
+    agg = merged.agg(
+        F.count(F.lit(1)).alias("ku"),
+        F.sum(F.col("ina") * F.col("inb")).alias("nboth"),
+        F.max("hv").alias("mx"),
+    )
+    exact = F.col("ku") < k
+    est_union = F.when(exact, F.col("ku").cast("double")).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(float(1 << 52))
+        / (F.col("mx").cast("double") + F.lit(1.0))
+    )
+    jac = F.col("nboth").cast("double") / F.col("ku").cast("double")
+    return agg.select(
+        F.col("ku").cast("long").alias("k_used"),
+        jac.alias("est_jaccard"),
+        est_union.alias("est_union"),
+        (jac * est_union).alias("est_intersection"),
+    )
+
+
+def kmv_sketch_per_group(
+    df: DataFrame,
+    item_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "kmv_v1",
+) -> DataFrame:
+    """Bottom-k sketch per group in ONE corpus pass — the input to an
+    overlap MATRIX ("how much vocabulary do these languages/sources/
+    shards share"), computed without ever joining the corpora.
+
+    Same lossless two-level reduction as :func:`kmv_sketch`: an Arrow
+    fold keeps the k smallest distinct hashes per (group, partition) —
+    memory O(k·groups + batch), zero shuffle — then an exact window
+    over ≤ k·groups·partitions rows takes each group's global bottom-k.
+    Returns ``(group_col, hv)``.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    from ..plans import ensure_parallelism
+
+    hv_df = df.select(
+        F.col(group_col), kmv_hash(item_col, salt).alias("hv")
+    )
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            acc = pdf if acc is None else pd.concat((acc, pdf))
+            acc = (
+                acc.drop_duplicates([group_col, "hv"])
+                .sort_values("hv")
+                # dropna=False: a NULL group is a group (window parity)
+                .groupby(group_col, sort=False, dropna=False)
+                .head(k)
+            )
+        yield acc if acc is not None else pd.DataFrame(
+            {group_col: pd.array([], dtype=object), "hv": []}
+        ).astype({"hv": "int64"})
+
+    reduced = (
+        ensure_parallelism(hv_df)
+        .mapInPandas(fold, schema=f"{group_col} string, hv long")
+        .dropDuplicates([group_col, "hv"])
+    )
+    w = Window.partitionBy(group_col).orderBy("hv")
+    return (
+        reduced.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(group_col, "hv")
+    )
+
+
+def kmv_overlap_matrix(
+    sketches: DataFrame,
+    group_col: str,
+    k: int,
+) -> DataFrame:
+    """Pairwise overlap estimates between every pair of groups from
+    their bottom-k sketches (``(group, hv)`` relation, e.g. from
+    :func:`kmv_sketch_per_group`): for each unordered pair the union's
+    bottom-k is taken and the fraction present in both sketches
+    estimates Jaccard — all on the sketch relation (≤ k·G rows), the
+    corpora are never touched.  Returns
+    ``(g_a, g_b, k_used, est_jaccard, est_union, est_intersection)``
+    for g_a < g_b."""
+    from pyspark.sql.window import Window
+
+    groups = sketches.select(F.col(group_col).alias("g")).distinct()
+    pairs = (
+        groups.select(F.col("g").alias("g_a"))
+        .crossJoin(groups.select(F.col("g").alias("g_b")))
+        .filter(F.col("g_a") < F.col("g_b"))
+    )
+    side_a = pairs.join(
+        sketches.select(F.col(group_col).alias("g_a"), "hv"), "g_a"
+    ).select("g_a", "g_b", "hv", F.lit(1).alias("ina"), F.lit(0).alias("inb"))
+    side_b = pairs.join(
+        sketches.select(F.col(group_col).alias("g_b"), "hv"), "g_b"
+    ).select("g_a", "g_b", "hv", F.lit(0).alias("ina"), F.lit(1).alias("inb"))
+    merged = (
+        side_a.unionAll(side_b)
+        .groupBy("g_a", "g_b", "hv")
+        .agg(F.max("ina").alias("ina"), F.max("inb").alias("inb"))
+    )
+    w = Window.partitionBy("g_a", "g_b").orderBy("hv")
+    bott = merged.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    agg = bott.groupBy("g_a", "g_b").agg(
+        F.count(F.lit(1)).alias("ku"),
+        F.sum(F.col("ina") * F.col("inb")).alias("nboth"),
+        F.max("hv").alias("mx"),
+    )
+    exact = F.col("ku") < k
+    est_union = F.when(exact, F.col("ku").cast("double")).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(float(1 << 52))
+        / (F.col("mx").cast("double") + F.lit(1.0))
+    )
+    jac = F.col("nboth").cast("double") / F.col("ku").cast("double")
+    return agg.select(
+        "g_a", "g_b",
+        F.col("ku").cast("long").alias("k_used"),
+        jac.alias("est_jaccard"),
+        est_union.alias("est_union"),
+        (jac * est_union).alias("est_intersection"),
+    )

@@ -3343,3 +3343,226 @@ def stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+# --------------------------------------------------------------------------
+# KMV / bottom-k sketches: corpus overlap estimation (round 7)
+# --------------------------------------------------------------------------
+
+_KMV_K = 1024
+
+
+def _kmv_halves_oracle(k: int = _KMV_K) -> str:
+    est = ("CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE) ELSE "
+           "{km1}.0 * 4503599627370496.0 / (CAST({mx} AS DOUBLE) + 1.0) END")
+    return r"""
+    WITH ta AS (
+      SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE doc_id % 2 = 0 AND trim(text) <> ''
+    ),
+    tb AS (
+      SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE doc_id % 2 = 1 AND trim(text) <> ''
+    ),
+    ha AS (SELECT CAST('0x' || substring(md5('kmv_v1|' || token), 1, 13)
+                       AS BIGINT) AS hv FROM ta),
+    hb AS (SELECT CAST('0x' || substring(md5('kmv_v1|' || token), 1, 13)
+                       AS BIGINT) AS hv FROM tb),
+    ska AS (SELECT DISTINCT hv FROM ha ORDER BY hv LIMIT {k}),
+    skb AS (SELECT DISTINCT hv FROM hb ORDER BY hv LIMIT {k}),
+    aa AS (SELECT COUNT(*) AS n, MAX(hv) AS mx FROM ska),
+    ab AS (SELECT COUNT(*) AS n, MAX(hv) AS mx FROM skb),
+    merged AS (
+      SELECT hv, MAX(ina) AS ina, MAX(inb) AS inb FROM (
+        SELECT hv, 1 AS ina, 0 AS inb FROM ska
+        UNION ALL SELECT hv, 0, 1 FROM skb
+      ) GROUP BY hv ORDER BY hv LIMIT {k}
+    ),
+    mu AS (SELECT COUNT(*) AS ku, CAST(SUM(ina * inb) AS BIGINT) AS nboth,
+                  MAX(hv) AS mx FROM merged),
+    ea AS (SELECT COUNT(*) AS da FROM ta),
+    eb AS (SELECT COUNT(*) AS db FROM tb),
+    ei AS (SELECT COUNT(*) AS di FROM ta JOIN tb USING (token))
+    SELECT CAST(aa.n AS BIGINT) AS n_a,
+           {ea_est} AS est_distinct_a,
+           CAST(ea.da AS BIGINT) AS exact_distinct_a,
+           CAST(ab.n AS BIGINT) AS n_b,
+           {eb_est} AS est_distinct_b,
+           CAST(eb.db AS BIGINT) AS exact_distinct_b,
+           CAST(mu.ku AS BIGINT) AS k_used,
+           CAST(mu.nboth AS DOUBLE) / CAST(mu.ku AS DOUBLE) AS est_jaccard,
+           {eu_est} AS est_union,
+           (CAST(mu.nboth AS DOUBLE) / CAST(mu.ku AS DOUBLE))
+             * ({eu_est}) AS est_intersection,
+           CAST(ei.di AS DOUBLE)
+             / CAST(ea.da + eb.db - ei.di AS DOUBLE) AS exact_jaccard
+    FROM aa, ab, mu, ea, eb, ei
+    """.format(
+        k=k,
+        ea_est=est.format(n="aa.n", mx="aa.mx", k=k, km1=k - 1),
+        eb_est=est.format(n="ab.n", mx="ab.mx", k=k, km1=k - 1),
+        eu_est=est.format(n="mu.ku", mx="mu.mx", k=k, km1=k - 1),
+    )
+
+
+@_q("corpus_overlap_kmv", _kmv_halves_oracle())
+def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus overlap estimation from bottom-k (KMV) sketches
+    (operators/sketch.py kmv_sketch / kmv_distinct_estimate /
+    kmv_overlap_estimate — NEW in r7): how much does corpus B's
+    vocabulary overlap corpus A's, WITHOUT joining the corpora — the
+    decontamination-triage / dedup-planning primitive ("is this crawl
+    worth exact-decontaminating against the training set?") that at
+    100 TB must run on O(k) state per corpus.  Here A = tokens of
+    even-doc_id documents, B = odd.
+
+    The sketch is the k smallest distinct 52-bit md5 hashes — a pure
+    function of (salt, token), so DuckDB rebuilds the IDENTICAL sets
+    and every estimate (KMV distinct, bottom-k-union Jaccard) is the
+    identical double: the oracle is the engine-swap test, not a
+    tolerance check.  Exact distinct/Jaccard columns ride along as the
+    verification twin (computable here; the 100 TB deployment drops
+    them — that is the point of the sketch).
+
+    Scale shape: per corpus ONE Arrow fold pass keeping k smallest
+    distinct hashes per partition (zero shuffle, lossless — a global
+    bottom-k hash is in its partition's bottom-k), then a ≤ k·P-row
+    reduction; the overlap math runs on ≤ 2k rows.  Sketches are
+    mergeable: tomorrow's shard folds into today's sketch without
+    rescanning history."""
+    from psweep_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_overlap_estimate,
+        kmv_sketch,
+    )
+    from psweep_spark.plans import ensure_parallelism
+
+    docs = ensure_parallelism(
+        _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    )
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+    ).persist()
+    ta = toks.filter(F.col("half") == 0).select("token")
+    tb = toks.filter(F.col("half") == 1).select("token")
+    ska = kmv_sketch(ta, "token", _KMV_K).persist()
+    skb = kmv_sketch(tb, "token", _KMV_K).persist()
+    da = kmv_distinct_estimate(ska, _KMV_K).select(
+        F.col("n_seen").alias("n_a"),
+        F.col("est_distinct").alias("est_distinct_a"),
+    )
+    db = kmv_distinct_estimate(skb, _KMV_K).select(
+        F.col("n_seen").alias("n_b"),
+        F.col("est_distinct").alias("est_distinct_b"),
+    )
+    ov = kmv_overlap_estimate(ska, skb, _KMV_K)
+    # exact verification twin (linear aggregates; dropped at 100 TB)
+    ea = ta.distinct()
+    eb = tb.distinct()
+    exact = (
+        ea.withColumn("ia", F.lit(1)).withColumn("ib", F.lit(0))
+        .unionAll(eb.withColumn("ia", F.lit(0)).withColumn("ib", F.lit(1)))
+        .groupBy("token")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+        .agg(
+            F.sum("ia").cast("long").alias("exact_distinct_a"),
+            F.sum("ib").cast("long").alias("exact_distinct_b"),
+            (
+                F.sum(F.col("ia") * F.col("ib")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("exact_jaccard"),
+        )
+    )
+    out = (
+        da.crossJoin(db).crossJoin(ov).crossJoin(F.broadcast(exact))
+        .select(
+            "n_a", "est_distinct_a", "exact_distinct_a",
+            "n_b", "est_distinct_b", "exact_distinct_b",
+            "k_used", "est_jaccard", "est_union", "est_intersection",
+            "exact_jaccard",
+        )
+    )
+    return out
+
+
+def _kmv_matrix_oracle(k: int = 512) -> str:
+    est = ("CASE WHEN ku < {k} THEN CAST(ku AS DOUBLE) ELSE "
+           "{km1}.0 * 4503599627370496.0 / (CAST(mx AS DOUBLE) + 1.0) END"
+           ).format(k=k, km1=k - 1)
+    return rf"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ),
+    hv AS (
+      SELECT DISTINCT lang,
+             CAST('0x' || substring(md5('kmv_v1|' || token), 1, 13)
+                  AS BIGINT) AS hv
+      FROM tok
+    ),
+    sk AS (
+      SELECT lang, hv FROM hv
+      QUALIFY row_number() OVER (PARTITION BY lang ORDER BY hv) <= {k}
+    ),
+    pairs AS (
+      SELECT a.lang AS g_a, b.lang AS g_b
+      FROM (SELECT DISTINCT lang FROM sk) a,
+           (SELECT DISTINCT lang FROM sk) b
+      WHERE a.lang < b.lang
+    ),
+    sides AS (
+      SELECT p.g_a, p.g_b, s.hv, 1 AS ina, 0 AS inb
+      FROM pairs p JOIN sk s ON s.lang = p.g_a
+      UNION ALL
+      SELECT p.g_a, p.g_b, s.hv, 0, 1
+      FROM pairs p JOIN sk s ON s.lang = p.g_b
+    ),
+    merged AS (
+      SELECT g_a, g_b, hv, MAX(ina) AS ina, MAX(inb) AS inb
+      FROM sides GROUP BY 1, 2, 3
+      QUALIFY row_number() OVER (PARTITION BY g_a, g_b ORDER BY hv) <= {k}
+    ),
+    agg AS (
+      SELECT g_a, g_b, COUNT(*) AS ku,
+             CAST(SUM(ina * inb) AS BIGINT) AS nboth, MAX(hv) AS mx
+      FROM merged GROUP BY 1, 2
+    )
+    SELECT g_a, g_b, CAST(ku AS BIGINT) AS k_used,
+           CAST(nboth AS DOUBLE) / CAST(ku AS DOUBLE) AS est_jaccard,
+           {est} AS est_union,
+           (CAST(nboth AS DOUBLE) / CAST(ku AS DOUBLE)) * ({est})
+             AS est_intersection
+    FROM agg ORDER BY g_a, g_b
+    """
+
+
+@_q("docs_lang_overlap_matrix", _kmv_matrix_oracle())
+def docs_lang_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary-overlap MATRIX between languages from
+    per-group bottom-k sketches (operators/sketch.py
+    kmv_sketch_per_group + kmv_overlap_matrix — NEW in r7): every
+    (lang_a, lang_b) Jaccard/union/intersection estimate from ONE
+    corpus pass, never a corpus join — the mixture-planning /
+    cross-contamination view ("which shards share vocabulary") that a
+    100 TB pipeline wants as a dashboard, not a batch job per pair.
+
+    Scale shape: the corpus pass is the zero-shuffle per-(group,
+    partition) bottom-k Arrow fold; everything pairwise runs on the
+    ≤ k·G-row sketch relation (G·(G−1)/2 pairs of ≤ 2k rows).  The
+    estimates are pure functions of the md5 hashes, so DuckDB
+    reproduces every double bit-for-bit."""
+    from psweep_spark.operators.sketch import (
+        kmv_overlap_matrix,
+        kmv_sketch_per_group,
+    )
+    from psweep_spark.plans import ensure_parallelism
+
+    docs = ensure_parallelism(
+        _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    )
+    toks = docs.select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    sk = kmv_sketch_per_group(toks, "token", "lang", k=512)
+    return kmv_overlap_matrix(sk, "lang", k=512).orderBy("g_a", "g_b")

@@ -1088,3 +1088,112 @@ def test_heavy_hitters_runtime_exactness(spark):
         key=lambda kv: (-kv[1], kv[0]),
     )[:5]
     assert got == [(i, c, r + 1) for r, (i, c) in enumerate(exact)]
+
+
+def test_kmv_sketch_contracts(spark):
+    """KMV bottom-k sketches (operators/sketch.py, r7): sketch is a
+    pure function of (salt, item) — repartition-invariant; distinct
+    estimate is EXACT (and flagged) below k and within the ~1/sqrt(k)
+    error band above it; sketches MERGE (bottom-k of the union of two
+    sketches equals the sketch of the union); overlap estimates hit
+    the exact endpoints (identical -> 1.0, disjoint -> 0.0) and track
+    a constructed half-overlap."""
+    from psweep_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_overlap_estimate,
+        kmv_sketch,
+    )
+
+    k = 256
+    small = spark.createDataFrame(
+        [(f"x{i % 100}",) for i in range(5000)], "item string"
+    ).repartition(8)
+    sk_small = kmv_sketch(small, "item", k)
+    est = kmv_distinct_estimate(sk_small, k).collect()[0]
+    assert est["is_exact"] and est["n_seen"] == 100
+    assert est["est_distinct"] == 100.0
+
+    big = spark.createDataFrame(
+        [(f"y{i}",) for i in range(20000)], "item string"
+    ).repartition(16)
+    sk_big = kmv_sketch(big, "item", k)
+    rows = sk_big.collect()
+    assert len(rows) == k
+    est = kmv_distinct_estimate(sk_big, k).collect()[0]
+    assert not est["is_exact"]
+    assert abs(est["est_distinct"] - 20000) / 20000 < 4 / (k ** 0.5)
+    # repartition invariance: the sketch is a SET equal under any layout
+    again = {r["hv"] for r in kmv_sketch(big.repartition(3), "item", k)
+             .collect()}
+    assert again == {r["hv"] for r in rows}
+
+    # mergeability: bottom-k of (sketch(A) ∪ sketch(B)) == sketch(A ∪ B)
+    a = spark.createDataFrame([(f"a{i}",) for i in range(3000)], "item string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(3000)], "item string")
+    merged_sketches = (
+        kmv_sketch(a, "item", k).unionAll(kmv_sketch(b, "item", k))
+        .dropDuplicates(["hv"]).orderBy("hv").limit(k)
+    )
+    direct = kmv_sketch(a.unionAll(b), "item", k)
+    assert {r["hv"] for r in merged_sketches.collect()} == {
+        r["hv"] for r in direct.collect()
+    }
+
+    # overlap endpoints + a constructed half overlap
+    ov_same = kmv_overlap_estimate(
+        kmv_sketch(big, "item", k), kmv_sketch(big, "item", k), k
+    ).collect()[0]
+    assert ov_same["est_jaccard"] == 1.0
+    ov_disj = kmv_overlap_estimate(
+        kmv_sketch(a, "item", k), kmv_sketch(b, "item", k), k
+    ).collect()[0]
+    assert ov_disj["est_jaccard"] == 0.0
+    # A = 0..5999, B = 3000..8999 -> true J = 3000/9000 = 1/3
+    xa = spark.createDataFrame([(f"z{i}",) for i in range(6000)],
+                               "item string")
+    xb = spark.createDataFrame([(f"z{i}",) for i in range(3000, 9000)],
+                               "item string")
+    ov = kmv_overlap_estimate(
+        kmv_sketch(xa, "item", k), kmv_sketch(xb, "item", k), k
+    ).collect()[0]
+    assert abs(ov["est_jaccard"] - 1 / 3) < 4 / (k ** 0.5)
+    assert abs(ov["est_union"] - 9000) / 9000 < 4 / (k ** 0.5)
+
+
+def test_kmv_per_group_matrix(spark):
+    """Per-group KMV sketches + overlap matrix: the bounded per-(group,
+    partition) fold is lossless (sketches equal the per-group global
+    bottom-k under adversarial partitioning), and the matrix hits exact
+    endpoints for constructed group vocabularies."""
+    from psweep_spark.operators.sketch import (
+        kmv_overlap_matrix,
+        kmv_sketch,
+        kmv_sketch_per_group,
+    )
+
+    k = 128
+    rows = [(f"w{i}", "g1") for i in range(2000)]
+    rows += [(f"w{i}", "g2") for i in range(1000, 3000)]   # J(g1,g2)=1/3
+    rows += [(f"q{i}", "g3") for i in range(500)]          # disjoint
+    df = spark.createDataFrame(rows, "item string, g string").repartition(7)
+
+    sk = kmv_sketch_per_group(df, "item", "g", k)
+    for g in ("g1", "g2", "g3"):
+        got = {r["hv"] for r in sk.filter(F.col("g") == g).collect()}
+        want = {
+            r["hv"]
+            for r in kmv_sketch(
+                df.filter(F.col("g") == g), "item", k
+            ).collect()
+        }
+        assert got == want, g
+
+    m = {(r["g_a"], r["g_b"]): r for r in
+         kmv_overlap_matrix(sk, "g", k).collect()}
+    assert set(m) == {("g1", "g2"), ("g1", "g3"), ("g2", "g3")}
+    assert m[("g1", "g3")]["est_jaccard"] == 0.0
+    assert m[("g2", "g3")]["est_jaccard"] == 0.0
+    assert abs(m[("g1", "g2")]["est_jaccard"] - 1 / 3) < 4 / (k ** 0.5)
+    # union estimates track the true union sizes within the error band
+    assert abs(m[("g1", "g3")]["est_union"] - 2500) / 2500 < 4 / (k ** 0.5)
+    assert abs(m[("g1", "g2")]["est_union"] - 3000) / 3000 < 4 / (k ** 0.5)
