@@ -91,6 +91,24 @@ def main() -> int:
     )
     print(f"sampled {n_sample} docs -> shards {per_shard}")
 
+    # 6. How much vocabulary do the language shards share?  Bottom-k
+    #    (KMV) sketches from one corpus pass; every pairwise estimate
+    #    runs on the sketch relation, never a corpus join.
+    from psweep_spark.operators.sketch import (
+        kmv_overlap_matrix,
+        kmv_sketch_per_group,
+    )
+
+    sk = kmv_sketch_per_group(toks, "token", "lang", k=256, salt="prof")
+    for r in (
+        kmv_overlap_matrix(sk, "lang", k=256)
+        .orderBy("g_a", "g_b").limit(4).collect()
+    ):
+        print(
+            f"kmv  {r['g_a']}~{r['g_b']}: J≈{r['est_jaccard']:.3f} "
+            f"|∪|≈{r['est_union']:.0f}"
+        )
+
     assert n_sample > 0 and sum(per_shard.values()) == n_sample
     spark.stop()
     return 0
