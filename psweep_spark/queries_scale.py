@@ -3354,7 +3354,7 @@ _KMV_K = 1024
 
 def _kmv_halves_oracle(k: int = _KMV_K) -> str:
     est = ("CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE) ELSE "
-           "{km1}.0 * 4503599627370496.0 / (CAST({mx} AS DOUBLE) + 1.0) END")
+           "{km1}e0 * 4503599627370496e0 / (CAST({mx} AS DOUBLE) + 1.0) END")
     return r"""
     WITH ta AS (
       SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+')) AS token
@@ -3488,7 +3488,7 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmv_matrix_oracle(k: int = 512) -> str:
     est = ("CASE WHEN ku < {k} THEN CAST(ku AS DOUBLE) ELSE "
-           "{km1}.0 * 4503599627370496.0 / (CAST(mx AS DOUBLE) + 1.0) END"
+           "{km1}e0 * 4503599627370496e0 / (CAST(mx AS DOUBLE) + 1.0) END"
            ).format(k=k, km1=k - 1)
     return rf"""
     WITH tok AS (
