@@ -267,6 +267,14 @@ def heavy_hitters_topk(
     raw = mg_candidates(
         df, item_col, k_counters, emit_partition_totals=exactness is not None
     )
+    if exactness is not None:
+        # the candidate relation feeds TWO branches (candidates + the
+        # sentinel N-total); without a persist each branch re-runs the
+        # corpus-wide MG fold (measured +0.6 s at sf0.1 — a third
+        # corpus pass).  The relation is ≤ (k+1)·P rows — cache-sized
+        # at any corpus (MEMORY_AND_DISK spills if a 1000-partition
+        # k=131072 run ever outgrows executor memory).
+        raw = raw.persist()
     cands = (
         raw.filter(F.col(item_col).isNotNull()).select(item_col).distinct()
     )
