@@ -252,11 +252,10 @@ def main() -> int:
         # ~50 plans' persisted blocks + broadcasts behind, and the
         # async ContextCleaner would otherwise reclaim them DURING the
         # first timed queries (measured +4-19 s on the early queries).
-        spark.catalog.clearCache()
-        jsc = spark.sparkContext._jsc  # noqa: SLF001
-        for rdd in list(jsc.getPersistentRDDs().values()):
-            rdd.unpersist()
-        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        # The drain policy lives in psweep_spark.caching (ONE place).
+        from psweep_spark.caching import clear_query_caches
+
+        clear_query_caches(spark, gc=True)
         time.sleep(3)
 
     timings: dict[str, float] = {}
@@ -279,24 +278,19 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"# bench error {name}: {str(e)[:200]}", file=sys.stderr)
             timings[name] = -1.0
-        # untimed per-query drain: force the driver GC so the async
-        # ContextCleaner reclaims the finished query's broadcasts/blocks
-        # NOW instead of taxing whichever later query hits an allocation
-        # wall (measured: the shingle-heavy dedups swing 4 s ↔ 39 s
-        # without this; every query measures from a clean state, which
-        # is also the per-job isolation a real cluster gives).  Also
-        # drop any relation a query persisted (resample counts, PMI
-        # unigrams, DSIR buckets): query builders return lazy plans so
-        # they can't unpersist themselves, and without this drain the
-        # caches accumulate across the 100+-query run.  The drain must
-        # be SYNCHRONOUS: clearCache's lazy unpersist otherwise runs
-        # inside the NEXT query's timed region (measured: erratic
-        # +1-3 s spikes on the dedup family with an async drain)
-        spark.catalog.clearCache()
-        jsc = spark.sparkContext._jsc  # noqa: SLF001
-        for rdd in list(jsc.getPersistentRDDs().values()):
-            rdd.unpersist()
-        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        # untimed per-query drain — the shared session-cache policy
+        # (psweep_spark/caching.py): unpersist every registered
+        # session-lifetime relation (resample counts, PMI unigrams,
+        # heavy-hitter candidates, KMV sketches — builders return lazy
+        # plans so they can't unpersist themselves), clear the cache,
+        # and force a synchronous driver GC so the async ContextCleaner
+        # reclaims the finished query's broadcasts NOW instead of
+        # taxing whichever later query hits an allocation wall
+        # (measured: the shingle-heavy dedups swing 4 s ↔ 39 s without
+        # this; erratic +1-3 s spikes with an async drain).
+        from psweep_spark.caching import clear_query_caches
+
+        clear_query_caches(spark, gc=True)
         time.sleep(0.8)
 
     ok = {k: v for k, v in timings.items() if v >= 0}

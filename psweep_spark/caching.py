@@ -1,0 +1,84 @@
+"""Session-lifetime cache policy — ONE place for the "builder persists,
+caller drains" contract (VERDICT r7 item 6 / ADVICE r7 #1).
+
+Several catalog queries and operators persist a small intermediate
+relation that feeds two or more branches of ONE returned plan (the
+heavy-hitters candidate relation, the PMI unigram/bigram counts, the
+resample minute counts, the KMV token/sketch relations).  The returned
+DataFrame is LAZY, so the builder cannot unpersist after "the" action —
+it never sees one.  Left alone, those cached blocks accumulate for the
+life of the session (harmless at their ≤-grid-bounded sizes, but a leak
+by construction in a long-lived serving session).
+
+Policy:
+
+* builders call :func:`persisted_for_session` instead of bare
+  ``.persist()`` — same semantics, plus the relation is REGISTERED;
+* sessions that run many queries drain between queries with
+  :func:`clear_query_caches` — ``bench.py`` does this after every timed
+  query, the correctness gate after every oracle comparison;
+* operators whose persist scope is a single eager loop (k-means
+  assignment barriers in queries_scale.py) keep their explicit
+  paired ``persist()``/``unpersist()`` — nothing to register.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "persisted_for_session",
+    "registered_caches",
+    "clear_query_caches",
+]
+
+#: (tag, DataFrame) for every live session-lifetime persist, in
+#: registration order.  Module-level on purpose: the registry's scope
+#: IS the Python session, same as the caches it tracks.
+_REGISTRY: list[tuple[str, DataFrame]] = []
+
+
+def persisted_for_session(df: DataFrame, tag: str) -> DataFrame:
+    """``df.persist()`` + register under ``tag`` for a later
+    :func:`clear_query_caches`.  Use for persists whose lifetime must
+    outlive the builder (the returned plan is lazy and re-reads the
+    relation on every action)."""
+    df = df.persist()
+    _REGISTRY.append((tag, df))
+    return df
+
+
+def registered_caches() -> list[str]:
+    """Tags of the currently-registered session-lifetime persists."""
+    return [tag for tag, _ in _REGISTRY]
+
+
+def clear_query_caches(spark: SparkSession | None = None, gc: bool = False) -> int:
+    """Drain every registered session-lifetime persist (and, with a
+    ``spark`` handle, ALL cached relations + leaked RDD blocks).
+
+    This is the between-queries drain bench.py runs after each timed
+    query: ``unpersist(blocking=True)`` so the release cannot land
+    inside the NEXT query's timed region (measured: an async drain
+    causes erratic +1-3 s spikes on the dedup family), plus an optional
+    synchronous driver GC (``gc=True``) so the JVM ContextCleaner
+    reclaims finished queries' broadcasts NOW instead of taxing
+    whichever later query hits an allocation wall (measured: the
+    shingle-heavy dedups swing 4 s ↔ 39 s without it).
+
+    Returns the number of registered relations drained."""
+    n = len(_REGISTRY)
+    for _tag, df in _REGISTRY:
+        try:
+            df.unpersist(blocking=True)
+        except Exception:  # noqa: BLE001  (session may already be gone)
+            pass
+    _REGISTRY.clear()
+    if spark is not None:
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc  # noqa: SLF001
+        for rdd in list(jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+        if gc:
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+    return n

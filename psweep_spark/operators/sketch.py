@@ -273,8 +273,12 @@ def heavy_hitters_topk(
         # corpus-wide MG fold (measured +0.6 s at sf0.1 — a third
         # corpus pass).  The relation is ≤ (k+1)·P rows — cache-sized
         # at any corpus (MEMORY_AND_DISK spills if a 1000-partition
-        # k=131072 run ever outgrows executor memory).
-        raw = raw.persist()
+        # k=131072 run ever outgrows executor memory).  Session-
+        # lifetime by necessity (the returned plan is lazy); drained by
+        # caching.clear_query_caches — the one cache policy.
+        from ..caching import persisted_for_session
+
+        raw = persisted_for_session(raw, "heavy_hitters_candidates")
     cands = (
         raw.filter(F.col(item_col).isNotNull()).select(item_col).distinct()
     )
@@ -370,7 +374,13 @@ def kmv_sketch(
 
     from ..plans import ensure_parallelism
 
-    hv_df = df.select(kmv_hash(item_col, salt).alias("hv"))
+    # NULL items hash to NULL: drop them BEFORE the fold — a sketch is
+    # a set of hash VALUES, and a surviving NaN row would inflate
+    # n_seen in kmv_distinct_estimate (count counts it, max ignores
+    # it), skewing the below-k exact count (ADVICE r7 #2).
+    hv_df = df.select(kmv_hash(item_col, salt).alias("hv")).filter(
+        F.col("hv").isNotNull()
+    )
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: pd.DataFrame | None = None
@@ -383,6 +393,24 @@ def kmv_sketch(
 
     reduced = ensure_parallelism(hv_df).mapInPandas(fold, schema="hv long")
     return reduced.dropDuplicates(["hv"]).orderBy("hv").limit(k)
+
+
+def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:
+    """Fold bottom-k sketches into the sketch of the UNION of their
+    corpora: bottom-k of the sketches' union — the mergeability that
+    makes KMV the 100 TB rollup shape (Beyer et al. 2007 §3; Agarwal
+    et al. 2013 "Mergeable summaries").  Exact identity, not an
+    approximation: a hash in bottom-k(A∪B) is in bottom-k(A) or
+    bottom-k(B), so merging per-day/per-shard sketches (incrementally,
+    in any order, any grouping) yields BIT-FOR-BIT the sketch a
+    from-scratch pass over the concatenated corpora builds.  Runs on
+    ≤ k·len(sketches) rows — history is never rescanned."""
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch")
+    merged = sketches[0].select("hv")
+    for s in sketches[1:]:
+        merged = merged.unionAll(s.select("hv"))
+    return merged.dropDuplicates(["hv"]).orderBy("hv").limit(k)
 
 
 def kmv_distinct_estimate(sketch: DataFrame, k: int) -> DataFrame:
@@ -478,9 +506,11 @@ def kmv_sketch_per_group(
 
     from ..plans import ensure_parallelism
 
+    # NULL items → NULL hash: dropped before the fold (same ADVICE r7
+    # #2 rationale as kmv_sketch); a NULL GROUP is kept — it is a group.
     hv_df = df.select(
         F.col(group_col), kmv_hash(item_col, salt).alias("hv")
-    )
+    ).filter(F.col("hv").isNotNull())
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: pd.DataFrame | None = None
@@ -522,9 +552,18 @@ def kmv_overlap_matrix(
     estimates Jaccard — all on the sketch relation (≤ k·G rows), the
     corpora are never touched.  Returns
     ``(g_a, g_b, k_used, est_jaccard, est_union, est_intersection)``
-    for g_a < g_b."""
+    for g_a < g_b.
+
+    NULL groups are EXCLUDED from the matrix, explicitly (ADVICE r7
+    #3): :func:`kmv_sketch_per_group` preserves a NULL group as a
+    group, but an unordered-pair matrix needs a total order on group
+    labels and ``NULL < x`` is not a truth value — rather than invent a
+    sentinel ordering (which could collide with a real label), the
+    NULL group's sketch is still available in the input relation for a
+    caller to compare via :func:`kmv_overlap_estimate` directly."""
     from pyspark.sql.window import Window
 
+    sketches = sketches.filter(F.col(group_col).isNotNull())
     groups = sketches.select(F.col(group_col).alias("g")).distinct()
     pairs = (
         groups.select(F.col("g").alias("g_a"))

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from psweep_spark.caching import persisted_for_session
 from psweep_spark.operators.skew import salted_join
 from psweep_spark.queries_catalog import (
     _REV_SQL,
@@ -1134,8 +1135,9 @@ def events_resample_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cache lifetime: the counts persist is INTENTIONALLY left for the
     session — the returned plan is lazy, so the builder cannot
     unpersist before the caller's action.  The relation is grid-bounded
-    (tiny); long-lived sessions running many queries should drain via
-    ``spark.catalog.clearCache()`` between queries (bench.py does)."""
+    (tiny); registered via caching.persisted_for_session — long-lived
+    sessions drain via ``caching.clear_query_caches()`` between
+    queries (bench.py does; the ONE cache policy lives there)."""
     ev = _ld_events(spark, sf_dir).select(
         "event_type", F.date_trunc("minute", F.col("ts")).alias("m")
     )
@@ -1143,8 +1145,9 @@ def events_resample_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |types|·|minutes|, tiny) is persisted and every other input —
     # time bounds, the type dim, the join probe — derives from it
     # instead of re-scanning the raw events
-    counts = (
-        ev.groupBy("event_type", "m").agg(F.count("*").alias("n")).persist()
+    counts = persisted_for_session(
+        ev.groupBy("event_type", "m").agg(F.count("*").alias("n")),
+        "events_resample_counts",
     )
     bounds = counts.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
     minutes = bounds.select(
@@ -1440,9 +1443,11 @@ def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total and the PMI join both read it, so the raw token stream is
     # exploded and shuffled ONCE, not re-scanned per consumer.  The
     # cache intentionally outlives the builder (the returned plan is
-    # lazy); sessions running many queries drain via clearCache()
-    # between queries — bench.py does
-    uni = tok.groupBy("token").agg(F.count("*").alias("c")).persist()
+    # lazy); registered session-lifetime — drained via
+    # caching.clear_query_caches() between queries (bench.py does)
+    uni = persisted_for_session(
+        tok.groupBy("token").agg(F.count("*").alias("c")), "pmi_unigrams"
+    )
     n = uni.agg(F.sum("c")).first()[0]
     bigrams = toks.filter(F.size("t") >= 2).select(
         F.explode(
@@ -1460,7 +1465,10 @@ def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and materialized by the bn action, so every later branch reads the
     # in-memory bigram-TYPE relation (vocabulary-cardinality), never the
     # raw exploded bigram stream
-    bgall = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c")).persist()
+    bgall = persisted_for_session(
+        bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c")),
+        "pmi_bigrams",
+    )
     bn = bgall.agg(F.sum("c")).first()[0]
     bg = bgall.filter(F.col("c") >= 5)
     # semi-filter the unigram stats to words that occur in a FREQUENT
@@ -3440,14 +3448,17 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(
         _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
     )
-    toks = docs.select(
-        (F.col("doc_id") % 2).alias("half"),
-        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
-    ).persist()
+    toks = persisted_for_session(
+        docs.select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+        ),
+        "kmv_tokens",
+    )
     ta = toks.filter(F.col("half") == 0).select("token")
     tb = toks.filter(F.col("half") == 1).select("token")
-    ska = kmv_sketch(ta, "token", _KMV_K).persist()
-    skb = kmv_sketch(tb, "token", _KMV_K).persist()
+    ska = persisted_for_session(kmv_sketch(ta, "token", _KMV_K), "kmv_sketch_a")
+    skb = persisted_for_session(kmv_sketch(tb, "token", _KMV_K), "kmv_sketch_b")
     da = kmv_distinct_estimate(ska, _KMV_K).select(
         F.col("n_seen").alias("n_a"),
         F.col("est_distinct").alias("est_distinct_a"),

@@ -1197,3 +1197,101 @@ def test_kmv_per_group_matrix(spark):
     # union estimates track the true union sizes within the error band
     assert abs(m[("g1", "g3")]["est_union"] - 2500) / 2500 < 4 / (k ** 0.5)
     assert abs(m[("g1", "g2")]["est_union"] - 3000) / 3000 < 4 / (k ** 0.5)
+
+
+def test_kmv_null_handling(spark):
+    """ADVICE r7 #2/#3: NULL items never enter a sketch (a NULL hash
+    would inflate ``n_seen`` and break the below-k exact count), and
+    NULL GROUPS — preserved by kmv_sketch_per_group — are explicitly
+    excluded from the pairwise matrix (documented contract)."""
+    from psweep_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_overlap_matrix,
+        kmv_sketch,
+        kmv_sketch_per_group,
+    )
+
+    k = 64
+    rows = [(f"x{i % 10}",) for i in range(100)] + [(None,)] * 30
+    df = spark.createDataFrame(rows, "item string").repartition(5)
+    est = kmv_distinct_estimate(kmv_sketch(df, "item", k), k).collect()[0]
+    assert est["n_seen"] == 10 and est["is_exact"]
+    assert est["est_distinct"] == 10.0
+
+    grows = [(f"w{i}", "g1") for i in range(50)]
+    grows += [(f"w{i}", None) for i in range(25, 75)]  # NULL group
+    grows += [(None, "g1")] * 10                        # NULL item
+    grows += [(f"w{i}", "g2") for i in range(50)]
+    gdf = spark.createDataFrame(grows, "item string, g string").repartition(4)
+    sk = kmv_sketch_per_group(gdf, "item", "g", k)
+    # the NULL group IS a group in the sketch relation...
+    by_g = {r["g"]: 1 for r in sk.select("g").distinct().collect()}
+    assert set(by_g) == {"g1", "g2", None}
+    # ...and NULL items contributed no hashes anywhere
+    assert sk.filter(F.col("hv").isNull()).count() == 0
+    assert sk.filter(F.col("g") == "g1").count() == 50
+    # the matrix covers only non-NULL group pairs
+    m = kmv_overlap_matrix(sk, "g", k)
+    pairs = {(r["g_a"], r["g_b"]) for r in m.collect()}
+    assert pairs == {("g1", "g2")}
+
+
+def test_kmv_merge_incremental(spark):
+    """kmv_merge: incremental multi-shard rollup (fold shard sketches
+    in arbitrary order/grouping) is BIT-FOR-BIT the from-scratch sketch
+    of the concatenated corpus — the mergeable-summary identity that
+    lets a 100 TB deployment roll up per-day sketches without ever
+    rescanning history."""
+    from psweep_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    k = 128
+    shards = [
+        spark.createDataFrame(
+            [(f"t{(7 * i + s) % 9000}",) for i in range(4000)],
+            "item string",
+        )
+        for s in range(3)
+    ]
+    sks = [kmv_sketch(sh, "item", k) for sh in shards]
+    # incremental left fold
+    inc = kmv_merge(kmv_merge(sks[0], sks[1], k=k), sks[2], k=k)
+    # one-shot fold, different grouping
+    oneshot = kmv_merge(*sks, k=k)
+    scratch = kmv_sketch(
+        shards[0].unionAll(shards[1]).unionAll(shards[2]), "item", k
+    )
+    want = [r["hv"] for r in scratch.collect()]
+    assert [r["hv"] for r in inc.collect()] == want
+    assert [r["hv"] for r in oneshot.collect()] == want
+
+
+def test_session_cache_policy(spark):
+    """caching.py (VERDICT r7 item 6): builder-side session-lifetime
+    persists are REGISTERED and a single clear_query_caches() drains
+    them all — including the heavy-hitters candidate persist that
+    operators/sketch.py registers internally."""
+    from psweep_spark.caching import (
+        clear_query_caches,
+        persisted_for_session,
+        registered_caches,
+    )
+    from psweep_spark.operators.sketch import heavy_hitters_topk
+
+    clear_query_caches(spark)
+    df = persisted_for_session(
+        spark.range(100).select((F.col("id") % 7).alias("v")), "t_policy"
+    )
+    assert df.count() == 100
+    assert df.storageLevel.useMemory
+    assert "t_policy" in registered_caches()
+
+    hh_in = spark.createDataFrame(
+        [(f"i{i % 5}",) for i in range(200)], "item string"
+    )
+    heavy_hitters_topk(hh_in, "item", 16, 3, exactness="column").collect()
+    assert "heavy_hitters_candidates" in registered_caches()
+
+    n = clear_query_caches(spark)
+    assert n >= 2
+    assert registered_caches() == []
+    assert not df.storageLevel.useMemory

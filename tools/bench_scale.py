@@ -121,11 +121,10 @@ def main() -> int:
             return None
 
     def drain():
-        spark.catalog.clearCache()
-        jsc = spark.sparkContext._jsc  # noqa: SLF001
-        for rdd in list(jsc.getPersistentRDDs().values()):
-            rdd.unpersist()
-        jvm.System.gc()
+        # shared session-cache policy: psweep_spark/caching.py
+        from psweep_spark.caching import clear_query_caches
+
+        clear_query_caches(spark, gc=True)
 
     def timed(fn, sf_dir: str) -> tuple[float, float | None]:
         drain()

@@ -85,12 +85,30 @@ def main() -> None:
     # (tools/check_correctness.py, r6 verdict item 6) can run on it
     import shutil
 
+    def _mtime(p: str) -> float:
+        if os.path.isdir(p):
+            return max(
+                (os.path.getmtime(os.path.join(r, f))
+                 for r, _, fs in os.walk(p) for f in fs),
+                default=os.path.getmtime(p),
+            )
+        return os.path.getmtime(p)
+
     for t in ("region", "nation", "customer", "supplier", "part",
               "events", "embeddings"):
         s = os.path.join(src, f"{t}.parquet")
         d = os.path.join(out, f"{t}.parquet")
-        if os.path.exists(s) and not os.path.exists(d):
-            (shutil.copytree if os.path.isdir(s) else shutil.copyfile)(s, d)
+        if not os.path.exists(s):
+            continue
+        # refresh stale copies: a bare exists() guard kept OLD table
+        # copies after the source sf_dir was regenerated, so the full
+        # correctness gate validated against mismatched data (ADVICE
+        # r7 #4) — copy unless the destination is at least as new
+        if os.path.exists(d):
+            if _mtime(d) >= _mtime(s):
+                continue
+            (shutil.rmtree if os.path.isdir(d) else os.remove)(d)
+        (shutil.copytree if os.path.isdir(s) else shutil.copyfile)(s, d)
 
     n_li = li_skew.filter(F.col("l_orderkey") == hot).count()
     n_docs = docs_skew.filter(F.col("text").contains("newsletter")).count()
