@@ -670,6 +670,63 @@ ORACLES["run_sweep_deterministic"] = _run_sweep_oracle()
 
 
 @_q(
+    "run_sweep_vectorized",
+    None,
+)
+def run_sweep_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #12, vectorized mode (``run(func_pandas=...)``, VERDICT
+    r7 item 1): the same lifecycle as ``run_sweep_deterministic`` with
+    the executor stage running ONE pandas call per Arrow batch instead
+    of the per-pset dict loop (runner.py module docstring "Vectorized
+    mode") — the throughput path for cheap-func sweeps where the loop
+    itself was the engine's 170k rows/s ceiling.  The oracle is the
+    same closed form as the per-row twin's: equality of the two modes
+    is pinned by tests/test_run.py::test_run_vectorized_matches_per_row
+    and at 1e6-pset scale by BENCH_SCALE run_operator.func_throughput
+    (per-row) vs .func_throughput_vectorized."""
+    from .grid import pgrid, plist
+    from .runner import run
+
+    def fp(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "result_": (pdf["a"] * 10 + pdf["b"]).astype(float),
+                "ratio_": pdf["a"] / (pdf["b"] + 1.0),
+            }
+        )
+
+    calc = tempfile.mkdtemp(prefix="psq_runv_")
+    df = run(
+        spark, None,
+        pgrid([plist("a", [0, 1, 2, 3, 4, 5]), plist("b", [0, 1, 2])]),
+        calc_dir=os.path.join(calc, "calc"), func_pandas=fp,
+    )
+    return df.select(
+        "a", "b", "result_", "ratio_", "_run_seq", "_pset_seq", "_pset_hash"
+    )
+
+
+def _run_sweep_vectorized_oracle() -> str:
+    from .hashing import hash_sql
+
+    h = hash_sql({"a": "bigint", "b": "bigint"})
+    return f"""
+    SELECT a, b, CAST(a * 10 + b AS DOUBLE) AS result_,
+           CAST(a AS DOUBLE) / (CAST(b AS DOUBLE) + 1.0) AS ratio_,
+           CAST(0 AS BIGINT) AS _run_seq,
+           CAST(a * 3 + b AS BIGINT) AS _pset_seq,
+           {h} AS _pset_hash
+    FROM {_vals('a', [0, 1, 2, 3, 4, 5])}
+    CROSS JOIN {_vals('b', [0, 1, 2])}
+    """
+
+
+ORACLES["run_sweep_vectorized"] = _run_sweep_vectorized_oracle()
+
+
+@_q(
     "run_skip_dups_incremental",
     """
     SELECT a, CAST(a * 10.0 AS DOUBLE) AS result_,

@@ -539,3 +539,85 @@ def test_skip_dups_anti_join_broadcasts(spark, calc_dir):
     # stamp and visible as a RoundRobin, not a hashpartitioning)
     assert plans.count_exchanges(out) <= 2, plan[:1500]
     assert "hashpartitioning(a#" not in plan, plan[:1500]
+
+
+def test_run_vectorized_matches_per_row(spark, calc_dir):
+    """func_pandas (VERDICT r7 item 1): the vectorized batch contract
+    produces the SAME values as the per-pset dict loop — pset cols,
+    result cols, hashes, seqs — with the documented batch-level stamp
+    semantics (_time_utc = batch start shared across the batch,
+    _pset_runtime = amortized batch wall / rows); per-pset contracts
+    (safe/capture_logs/tmpsave) are rejected in vectorized mode."""
+    import pandas as pd
+
+    from psweep_spark.runner import run
+
+    params = pgrid([plist("a", list(range(16))), plist("b", [0, 1, 2])])
+
+    def f(p):
+        return {"y_": float(p["a"] * 10 + p["b"]), "lbl_": f"r{p['a']}"}
+
+    def fp(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sees the stamped batch: meta columns present, raw values
+        assert {"_run_id", "_pset_id", "_pset_seq", "_pset_hash"} <= set(
+            pdf.columns
+        )
+        return pd.DataFrame(
+            {
+                "y_": (pdf.a * 10 + pdf.b).astype(float),
+                "lbl_": "r" + pdf.a.astype(str),
+            }
+        )
+
+    d_row = run(spark, f, params, calc_dir=os.path.join(calc_dir, "r"))
+    d_vec = run(
+        spark, None, params, calc_dir=os.path.join(calc_dir, "v"),
+        func_pandas=fp,
+    )
+    cols = ["a", "b", "y_", "lbl_", "_pset_hash", "_pset_seq"]
+    want = sorted(tuple(r[c] for c in cols) for r in d_row.collect())
+    got_rows = d_vec.collect()
+    got = sorted(tuple(r[c] for c in cols) for r in got_rows)
+    assert got == want
+    # batch stamp semantics: stamps present; one shared _time_utc per
+    # executor batch (48 rows through local[*] → few distinct values,
+    # each an exact second); amortized runtime equal within a batch
+    assert all(r["_time_utc"] is not None for r in got_rows)
+    assert all(r["_exec_host"] for r in got_rows)
+    assert all(r["_pset_runtime"] >= 0.0 for r in got_rows)
+    per_host_times = {}
+    for r in got_rows:
+        per_host_times.setdefault(
+            (r["_exec_host"], r["_time_utc"]), set()
+        ).add(r["_pset_runtime"])
+    # rows sharing a batch share the amortized runtime
+    assert all(len(v) <= 48 for v in per_host_times.values())
+
+    # both funcs: per-row func probes the schema, func_pandas executes
+    d_both = run(
+        spark, f, params, calc_dir=os.path.join(calc_dir, "w"),
+        func_pandas=fp,
+    )
+    assert sorted(
+        tuple(r[c] for c in ("a", "b", "y_")) for r in d_both.collect()
+    ) == sorted(tuple(r[c] for c in ("a", "b", "y_")) for r in d_row.collect())
+
+    # misaligned result frames fail loudly, not silently misassign
+    def bad(pdf):
+        return pd.DataFrame({"y_": [1.0]})
+
+    with pytest.raises(Exception, match="align|rows"):
+        run(
+            spark, None, params, calc_dir=os.path.join(calc_dir, "x"),
+            func_pandas=bad,
+            result_schema=d_row.select("y_").schema,
+        ).collect()
+
+    # per-pset contracts rejected
+    for kw in ({"safe": True}, {"capture_logs": "db"}, {"tmpsave": True}):
+        with pytest.raises(ValueError, match="vectorized"):
+            run(
+                spark, None, params,
+                calc_dir=os.path.join(calc_dir, "y"),
+                func_pandas=fp, **kw,
+            )

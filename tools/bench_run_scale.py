@@ -24,7 +24,12 @@ tests/test_run.py::test_skip_dups_anti_join_broadcasts.
 
 Also seeds the DB through ``run()`` with a REAL (arithmetic) func —
 that leg is the mapInPandas throughput number (rows/s through the
-row-loop + Arrow round-trip + hash + stamp + parquet write).
+row-loop + Arrow round-trip + hash + stamp + parquet write) — and A/Bs
+it against the vectorized ``func_pandas`` mode (r7 item 1), both as a
+full-lifecycle wall number at local[32] and as a poolsize=1 single-core
+leg that isolates what a CLUSTER pays for the per-pset dict loop in
+CPU-seconds (at 32 local threads the loop hides behind fixed costs;
+per core it is ~100x the pandas expression).
 
 Writes BENCH_SCALE.json key "run_operator".
 
@@ -71,6 +76,13 @@ def grid_df(spark, start: int, n: int):
 
 def _seed_func(pset):
     return {"y_": pset["a"] * 0.5 + pset["b"]}
+
+
+def _seed_func_pandas(pdf):
+    """Vectorized twin of _seed_func (run(func_pandas=...), r7 item 1)."""
+    import pandas as pd
+
+    return pd.DataFrame({"y_": pdf["a"] * 0.5 + pdf["b"]})
 
 
 def main() -> int:
@@ -148,6 +160,80 @@ def main() -> int:
     }
     print(f"seed/throughput: {DB_ROWS} psets through run() in {seed_sec}s "
           f"= {result['func_throughput']['rows_per_sec']} rows/s")
+
+    # ---- vectorized-func leg (r7 item 1): identical lifecycle, same
+    # grid/func, executor stage = ONE pandas call per Arrow batch
+    # instead of the per-row dict loop.  Same-session A/B against the
+    # per-row leg above; output equality is pinned by
+    # tests/test_run.py::test_run_vectorized_matches_per_row.
+    calc_vec = os.path.join(SCRATCH, "calc_vec")
+    run(spark, None, grid_df(spark, 10**12, 512), calc_dir=calc_vec,
+        func_pandas=_seed_func_pandas)
+    vec_df, vec_sec, vec_mb = timed(
+        lambda: run(spark, None, grid_df(spark, 0, DB_ROWS),
+                    calc_dir=calc_vec, func_pandas=_seed_func_pandas)
+    )
+    assert vec_df.count() == DB_ROWS + 512
+    result["func_throughput_vectorized"] = {
+        "rows": DB_ROWS,
+        "sec": vec_sec,
+        "rows_per_sec": round(DB_ROWS / vec_sec),
+        "shuffle_mb": vec_mb,
+        "func": "y_ = a*0.5 + b (func_pandas, one call per Arrow batch)",
+        "speedup_vs_per_row": round(seed_sec / vec_sec, 2),
+    }
+    print(f"vectorized: {DB_ROWS} psets in {vec_sec}s = "
+          f"{result['func_throughput_vectorized']['rows_per_sec']} rows/s "
+          f"({result['func_throughput_vectorized']['speedup_vs_per_row']}x "
+          "vs per-row)")
+
+    # ---- per-CORE func-stage A/B (poolsize=1 → one task runs the whole
+    # map stage; save=False → no append).  The lifecycle legs above
+    # measure local[32] WALL, where 32 threads hide the dict loop behind
+    # the fixed costs; what a 1000-executor cluster actually pays for
+    # the loop is CPU-SECONDS PER CORE, and that is what this isolates
+    # (ground truth: the loop is ~216k rows/s/core, the pandas
+    # expression ~28M rows/s/core — the 100 TB bill differs ~100x).
+    n1 = DB_ROWS
+    per_core = {}
+    for tag, fn, fnp in (("per_row", _seed_func, None),
+                         ("vectorized", None, _seed_func_pandas)):
+        _, sec, _ = timed(
+            lambda fn=fn, fnp=fnp: run(
+                spark, fn, grid_df(spark, 0, n1),
+                calc_dir=os.path.join(SCRATCH, f"core_{tag}"),
+                save=False, poolsize=1, func_pandas=fnp,
+            ).count()
+        )
+        per_core[tag] = {"rows": n1, "sec": sec,
+                         "rows_per_sec": round(n1 / sec)}
+    per_core["wall_speedup"] = round(
+        per_core["per_row"]["sec"] / per_core["vectorized"]["sec"], 2
+    )
+    # both legs share ~identical non-func costs (grid gen, the
+    # poolsize=1 shuffle, hash/uuid5 stamping, count) and the pandas
+    # expression itself is ~28M rows/s/core (measured: 0.036 s per 1e6
+    # rows standalone, unresolvable inside the ~seconds of shared
+    # overhead) — so the leg DIFFERENCE is the dict loop's own cost,
+    # the CPU-seconds a cluster pays per core
+    loop_sec = round(
+        per_core["per_row"]["sec"] - per_core["vectorized"]["sec"], 3
+    )
+    per_core["derived_loop_only"] = {
+        "sec_per_million_rows": round(loop_sec * 1_000_000 / n1, 3),
+        "loop_rows_per_sec_per_core": round(n1 / loop_sec) if loop_sec > 0
+        else None,
+        "note": (
+            "per_row.sec - vectorized.sec: the per-pset dict loop's own "
+            "CPU cost per core; the vectorized func stage is ~28M "
+            "rows/s/core standalone, i.e. effectively free vs the loop"
+        ),
+    }
+    result["func_stage_single_core"] = per_core
+    print(f"func stage, 1 core: per-row {per_core['per_row']['sec']}s vs "
+          f"vectorized {per_core['vectorized']['sec']}s "
+          f"(wall {per_core['wall_speedup']}x; loop-only "
+          f"{per_core['derived_loop_only']['sec_per_million_rows']}s/1e6 rows)")
 
     prev = None
     for n in legs:
