@@ -621,3 +621,43 @@ def test_run_vectorized_matches_per_row(spark, calc_dir):
                 calc_dir=os.path.join(calc_dir, "y"),
                 func_pandas=fp, **kw,
             )
+
+
+def test_rehash_projection_only_no_exchange(spark, calc_dir):
+    """VERDICT r7 item 2 plan contract: the schema-widening rehash —
+    NULL-extend history, recompute every _pset_hash over the widened
+    pset column set — is a PROJECTION, never a shuffle.  Both the
+    public helper (util.df_update_pset_cols) and the exact plan shape
+    Database.append builds for the rewrite (widen → unionByName →
+    hash withColumn) must contain zero exchanges; at 100 TB the
+    rewrite is scan → project → write."""
+    from psweep_spark import plans
+    from psweep_spark.hashing import df_hash_expr
+    from psweep_spark.util import df_update_pset_cols, df_update_pset_hash
+
+    params = pgrid([plist("a", list(range(32))), plist("b", [0, 1])])
+    db_df = run(spark, func_a, params, calc_dir=calc_dir)
+
+    # public helper: widen + rehash
+    widened = df_update_pset_cols(db_df, ["a", "b", "c"])
+    assert plans.count_exchanges(widened) == 0, plans.formatted_plan(widened)
+    # bare rehash
+    rehashed = df_update_pset_hash(db_df)
+    assert plans.count_exchanges(rehashed) == 0
+
+    # the append-path rewrite shape: widened history ∪ staged new rows,
+    # hash recomputed over the union schema
+    staged = run(
+        spark, func_a,
+        pgrid([plist("a", [100]), plist("b", [0]), plist("c", [1, 2])]),
+        calc_dir=os.path.join(calc_dir, "w2"), save=False,
+    )
+    hist = db_df.withColumn("c", F.lit(None).cast("long"))
+    all_df = hist.unionByName(staged, allowMissingColumns=True)
+    all_df = all_df.withColumn("_pset_hash", df_hash_expr(all_df.schema))
+    assert plans.count_exchanges(all_df) == 0, plans.formatted_plan(all_df)
+    # and the values are right: spot-check one widened-history hash
+    from psweep_spark.hashing import pset_hash
+
+    row = all_df.filter((F.col("a") == 3) & (F.col("b") == 1)).first()
+    assert row["_pset_hash"] == pset_hash({"a": 3, "b": 1, "c": None})
