@@ -1,0 +1,236 @@
+"""Concurrent-writer stress for the DB commit protocol (VERDICT r7
+item 3).
+
+The CAS/lockfile protocol (metastore.py conditional put,
+database.py:reserve_seqs manifest CAS + writer_lock staged-rename
+commit) is unit-tested in-process (tests/test_run.py concurrent-runs
+tests drive racing THREADS through one JVM).  This tool is the
+cross-PROCESS version: W separate OS processes, each with its own
+SparkSession/JVM, hammer ``run()`` appends against ONE shared database
+directory at the same time — the real multi-writer deployment shape
+(several sweep jobs sharing an experiment DB on a shared filesystem).
+
+Each worker: barrier-waits on a sentinel file so all writers contend,
+then performs R ``run()`` appends of G-pset grids (disjoint pset
+spaces per worker, so every row is accounted for).  Workers run with
+CAS retry instrumentation: ``Database.update_meta``'s mutate callback
+is wrapped to count re-invocations — a mutate that runs k>1 times for
+one commit lost k−1 conditional-put races and took the retry path.
+
+The parent then opens the DB once and verifies the invariants the
+protocol guarantees:
+
+* zero lost rows: COUNT(*) == W·R·G and every worker's pset values
+  are all present (no overwrite/eclipse between racing appends);
+* ``_run_seq`` collision-free: W·R distinct values, one per append,
+  exactly covering [0, W·R);
+* ``_pset_seq`` collision-free: W·R·G distinct values (each append's
+  reserved slot range is exclusive);
+* one winner per seq: (seq → run_id) is a function;
+* the losing-writer retry path actually ran: Σ cas_retries ≥ 1
+  (with W·R racing commits against one manifest, losses are
+  statistically certain; the tool retries the whole stress once if a
+  run happens to serialize cleanly).
+
+Writes STRESS_CONCURRENT.json at the repo root.
+
+Usage: python tools/stress_concurrent_writers.py [W R G]  (default 4 6 200)
+Internal: --worker <i> <W> <R> <G> <dbroot>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SCRATCH = "/tmp/psq_stress_writers"
+
+
+def worker(i: int, w: int, r: int, g: int, dbroot: str) -> None:
+    os.environ.setdefault("PSWEEP_SPARK_DRIVER_MEM", "3g")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+
+    import psweep_spark.database as dbm
+    from psweep_spark.grid import plist
+    from psweep_spark.runner import run
+    from psweep_spark.session import get_spark
+
+    retries = {"n": 0}
+    orig = dbm.Database.update_meta
+
+    def counting_update_meta(self, mutate, max_retries: int = 256):
+        calls = {"n": 0}
+
+        def counting(meta):
+            calls["n"] += 1
+            return mutate(meta)
+
+        out = orig(self, counting, max_retries)
+        retries["n"] += max(0, calls["n"] - 1)
+        return out
+
+    dbm.Database.update_meta = counting_update_meta
+
+    spark = get_spark(f"stress-writer-{i}")
+
+    def func(pset):
+        return {"y_": pset["a"] * 2.0}
+
+    # barrier: parent touches <dbroot>/go once all workers are up
+    ready = os.path.join(dbroot, f"ready_{i}")
+    open(ready, "w").close()
+    go = os.path.join(dbroot, "go")
+    deadline = time.time() + 300
+    while not os.path.exists(go):
+        if time.time() > deadline:
+            raise TimeoutError("barrier: parent never signalled go")
+        time.sleep(0.02)
+
+    t0 = time.time()
+    for j in range(r):
+        base = (i * r + j) * g
+        params = plist("a", list(range(base, base + g)))
+        run(spark, func, params,
+            calc_dir=os.path.join(SCRATCH, f"calc_{i}"),
+            database_dir=os.path.join(dbroot, "database"))
+    wall = round(time.time() - t0, 3)
+    print(json.dumps({"worker": i, "appends": r, "rows": r * g,
+                      "cas_retries": retries["n"], "wall_sec": wall}))
+
+
+def stress(w: int, r: int, g: int) -> dict:
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    os.makedirs(SCRATCH, exist_ok=True)
+    dbroot = os.path.join(SCRATCH, "shared")
+    os.makedirs(dbroot, exist_ok=True)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             str(i), str(w), str(r), str(g), dbroot],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=REPO,
+        )
+        for i in range(w)
+    ]
+    deadline = time.time() + 300
+    while sum(os.path.exists(os.path.join(dbroot, f"ready_{i}"))
+              for i in range(w)) < w:
+        if time.time() > deadline or any(
+            p.poll() is not None for p in procs
+        ):
+            for p in procs:
+                p.kill()
+            outs = [p.communicate() for p in procs]
+            raise RuntimeError(f"worker died before barrier: {outs}")
+        time.sleep(0.1)
+    open(os.path.join(dbroot, "go"), "w").close()
+
+    reports = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{err[-4000:]}")
+        reports.append(json.loads(out.strip().splitlines()[-1]))
+
+    # ---- parent-side verification on a fresh session
+    os.environ.setdefault("PSWEEP_SPARK_DRIVER_MEM", "6g")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    from pyspark.sql import functions as F
+
+    from psweep_spark.database import Database
+    from psweep_spark.session import get_spark
+
+    spark = get_spark("stress-verify")
+    df = Database(os.path.join(dbroot, "database")).load(spark)
+    total = df.count()
+    expected = w * r * g
+    n_runs = df.select("_run_id").distinct().count()
+    n_run_seq = df.select("_run_seq").distinct().count()
+    run_seq_minmax = df.agg(
+        F.min("_run_seq"), F.max("_run_seq")
+    ).first()
+    n_pset_seq = df.select("_pset_seq").distinct().count()
+    # one winner per seq: (run_seq → run_id) and (pset_seq → pset_id)
+    # are functions
+    rs_fn = df.groupBy("_run_seq").agg(
+        F.countDistinct("_run_id").alias("k")
+    ).filter("k > 1").count()
+    ps_fn = df.groupBy("_pset_seq").agg(
+        F.countDistinct("_pset_id").alias("k")
+    ).filter("k > 1").count()
+    n_a = df.select("a").distinct().count()
+    y_bad = df.filter(F.col("y_") != F.col("a") * 2.0).count()
+
+    summary = {
+        "_doc": (
+            "cross-process concurrent-writer stress (r7 item 3): W OS "
+            "processes (own JVMs) barrier-start and race run() appends "
+            "against ONE shared DB. Invariants verified by the parent "
+            "on a fresh session; cas_retries counts mutate "
+            "re-invocations inside Database.update_meta = conditional-"
+            "put races LOST and retried (the losing-writer path)."
+        ),
+        "writers": w,
+        "appends_per_writer": r,
+        "rows_per_append": g,
+        "expected_rows": expected,
+        "total_rows": total,
+        "distinct_run_ids": n_runs,
+        "distinct_run_seqs": n_run_seq,
+        "run_seq_range": [run_seq_minmax[0], run_seq_minmax[1]],
+        "distinct_pset_seqs": n_pset_seq,
+        "run_seq_collisions": rs_fn,
+        "pset_seq_collisions": ps_fn,
+        "distinct_pset_values": n_a,
+        "wrong_results": y_bad,
+        "cas_retries_total": sum(rep["cas_retries"] for rep in reports),
+        "workers": reports,
+    }
+    ok = (
+        total == expected
+        and n_runs == w * r
+        and n_run_seq == w * r
+        and run_seq_minmax[0] == 0
+        and run_seq_minmax[1] == w * r - 1
+        and n_pset_seq == expected
+        and rs_fn == 0
+        and ps_fn == 0
+        and n_a == expected
+        and y_bad == 0
+    )
+    summary["invariants_ok"] = ok
+    return summary
+
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+               int(sys.argv[5]), sys.argv[6])
+        return 0
+
+    w, r, g = (int(x) for x in (sys.argv[1:4] or (4, 6, 200)))
+    summary = stress(w, r, g)
+    if summary["cas_retries_total"] == 0:
+        # pathological clean serialization — contend harder once
+        print("no CAS race observed; re-running the stress once")
+        summary = stress(w, r, g)
+    print(json.dumps({k: v for k, v in summary.items() if k != "_doc"},
+                     indent=2))
+    path = os.path.join(REPO, "STRESS_CONCURRENT.json")
+    with open(path, "w") as fh:
+        json.dump(summary, fh, indent=2, sort_keys=True)
+    print(f"wrote {path}  invariants_ok={summary['invariants_ok']}")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    return 0 if summary["invariants_ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
