@@ -162,6 +162,10 @@ HEADLINE = [
     "stream_cms_freq",
     "corpus_overlap_kmv",
     "docs_lang_overlap_matrix",
+    # r8: the sketch-only production path (no exact twin in the timed
+    # region — VERDICT r7 item 5) and the multi-shard rollup identity
+    "corpus_overlap_kmv_sketch",
+    "corpus_kmv_rollup",
 ]
 
 
