@@ -109,6 +109,22 @@ def main() -> int:
             f"|∪|≈{r['est_union']:.0f}"
         )
 
+    # 7. Daily-rollup shape: fold the per-shard sketches into ONE
+    #    corpus sketch (kmv_merge is exact — bit-identical to a
+    #    from-scratch pass; history never rescanned).
+    from psweep_spark.operators.sketch import kmv_distinct_estimate, kmv_merge
+
+    shard_sketches = [
+        sk.filter(F.col("lang") == r["lang"]).select("hv")
+        for r in sk.select("lang").distinct().collect()
+    ]
+    rolled = shard_sketches[0]
+    for nxt in shard_sketches[1:]:
+        rolled = kmv_merge(rolled, nxt, k=256)
+    est = kmv_distinct_estimate(rolled, 256).collect()[0]
+    print(f"kmv rollup: corpus distinct≈{est['est_distinct']:.0f} "
+          f"(exact={est['is_exact']})")
+
     assert n_sample > 0 and sum(per_shard.values()) == n_sample
     spark.stop()
     return 0

@@ -1042,6 +1042,7 @@ def cluster_cosine_pairs(
     cluster_col: str = "cluster_id",
     id_col: str = "vec_id",
     vec_col: str = "e",
+    block_rows: int | None = None,
 ) -> DataFrame:
     """Within-cluster cosine near-dup pairs — the SemDeDup pair stage
     as ONE BLAS matmul per cluster.
@@ -1051,13 +1052,19 @@ def cluster_cosine_pairs(
     rounded to 6 dp (stable under BLAS-vs-sequential summation order).
 
     Scale shape: one shuffle on the cluster id, then each cluster's
-    full pair matrix is a single ``A @ A.T`` inside ``applyInPandas``
-    (Arrow columnar transfer, vectorized BLAS) — ~100× the throughput
-    of a per-pair interpreted fold, and the per-task working set is one
-    cluster's matrix.  With SemDeDup's k≈√N sizing the expected
-    cluster is √N rows ⇒ N total pair-work stays ~linear; an oversized
-    cluster is the hot-LSH-bucket case — cap or re-cluster upstream
-    (same guardrail as ``minhash_dedup``'s ``max_bucket_size``).
+    pair matrix is computed in ROW BLOCKS of ``A @ A.T`` inside
+    ``applyInPandas`` (Arrow columnar transfer, vectorized BLAS) —
+    ~100× the throughput of a per-pair interpreted fold, with the
+    per-task working set bounded at ``block × |cluster|`` doubles
+    (~512 MB) instead of the full ``|cluster|²`` cosine matrix (a 50k
+    cluster would otherwise materialize 3×20 GB intermediates per task
+    — measured killing the sf10 run; r8 fix).  With SemDeDup's k≈√N
+    sizing the expected cluster is √N rows ⇒ N total pair-work stays
+    ~linear; an oversized cluster is the hot-LSH-bucket case — cap or
+    re-cluster upstream (same guardrail as ``minhash_dedup``'s
+    ``max_bucket_size``).  Block boundaries cannot change values: each
+    (i, j) cosine is the same dot product, rounded the same way
+    (pinned by ``test_cluster_cosine_pairs_blocked_identity``).
     """
     sel = assigned.select(
         F.col(cluster_col).alias("__cl"),
@@ -1076,23 +1083,41 @@ def cluster_cosine_pairs(
             return empty
         pdf = pdf.sort_values("__id")  # triu ⇒ id_a < id_b, order-free
         ids = pdf["__id"].to_numpy()
+        n = len(ids)
         M = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(M, axis=1)
         nrm[nrm == 0.0] = 1.0  # zero vectors: cosine 0, never ≥ τ > 0
-        cos = np.round((M @ M.T) / np.outer(nrm, nrm), 6)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        mask = cos[ia, ib] >= threshold
-        ia, ib = ia[mask], ib[mask]
-        if not len(ia):
-            return empty
-        return pd.DataFrame(
-            {
-                "cluster_id": int(key[0]),
-                "id_a": ids[ia],
-                "id_b": ids[ib],
-                "cosine": cos[ia, ib],
-            }
+        # row-block size: ~2 block × n double intermediates ≈ 512 MB
+        # (block_rows overrides — tests force multi-block on small
+        # clusters to pin block-boundary identity)
+        blk = block_rows or max(
+            256, min(n, (256 * 1024 * 1024) // (8 * max(n, 1)))
         )
+        outs = []
+        for i0 in range(0, n - 1, blk):
+            i1 = min(i0 + blk, n)
+            # same arithmetic form as the (pre-r8) full-matrix version
+            # and the DuckDB oracle: dot / (|a|·|b|), THEN round
+            cos = np.round(
+                (M[i0:i1] @ M.T) / np.outer(nrm[i0:i1], nrm), 6
+            )
+            ia, ib = np.nonzero(cos >= threshold)
+            keep = ib > (ia + i0)  # strict upper triangle, global index
+            ia, ib = ia[keep], ib[keep]
+            if len(ia):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "cluster_id": int(key[0]),
+                            "id_a": ids[ia + i0],
+                            "id_b": ids[ib],
+                            "cosine": cos[ia, ib],
+                        }
+                    )
+                )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
 
     return sel.groupBy("__cl").applyInPandas(
         _pairs, "cluster_id int, id_a bigint, id_b bigint, cosine double"

@@ -407,25 +407,16 @@ def _semdedup_kmeans_oracle() -> str:
     )
 
 
-@_q("semdedup_kmeans", _semdedup_kmeans_oracle())
-def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over REAL k-means centroids — the production
-    composition (`embed_kmeans_lloyd`'s Lloyd loop feeding
-    `embed_semdedup`'s pair stage), not the first-k-vectors stand-in.
-
-    Pipeline: ×1000 integer-quantized embeddings → {ITERS} Lloyd
-    rounds (k={K}, floored integer centroids — exact cross-engine, the
-    kmeans query's arithmetic) → `assign_nearest_centroid` under the
-    final centroids → `cluster_cosine_pairs` BLAS pair stage within
-    clusters, cosine ≥ τ rounded to 6 dp.
-
-    Scale shape: each Lloyd round is one map-side assignment + one
-    partially-aggregated shuffle with only k·d ints collected; the
-    pair stage shuffles once on cluster_id and runs one matmul per
-    cluster.  Nothing driver-side ever holds more than the codebook."""
+def sdk_lloyd_state(spark: SparkSession, sf_dir: str):
+    """The Lloyd stage of :func:`semdedup_kmeans`, exposed for the sf10
+    property gate (tools/check_sf10_constructed.py): returns
+    ``(v, cents)`` where ``v`` is the (vec_id, e double[], q ×1000-
+    quantized long[]) relation and ``cents`` the final integer
+    centroids after ``_SDK_ITERS`` exact Lloyd rounds from the
+    first-``_SDK_K``-vectors init — the same state the catalog query
+    feeds to assignment + the pair stage."""
     import math
 
-    from psweep_spark.operators.dedup import cluster_cosine_pairs
     from psweep_spark.operators.similarity import assign_nearest_centroid
 
     emb = _ld(spark, sf_dir, "embeddings")
@@ -462,6 +453,32 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cid, [math.floor(s / ns[cid]) for s in sums])
             for cid, sums in by_cid.items()
         )
+    return v, cents
+
+
+@_q("semdedup_kmeans", _semdedup_kmeans_oracle())
+def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over REAL k-means centroids — the production
+    composition (`embed_kmeans_lloyd`'s Lloyd loop feeding
+    `embed_semdedup`'s pair stage), not the first-k-vectors stand-in.
+
+    Pipeline: ×1000 integer-quantized embeddings → {ITERS} Lloyd
+    rounds (k={K}, floored integer centroids — exact cross-engine, the
+    kmeans query's arithmetic) → `assign_nearest_centroid` under the
+    final centroids → `cluster_cosine_pairs` BLAS pair stage within
+    clusters, cosine ≥ τ rounded to 6 dp.
+
+    Scale shape: each Lloyd round is one map-side assignment + one
+    partially-aggregated shuffle with only k·d ints collected; the
+    pair stage shuffles once on cluster_id and runs blocked matmuls
+    per cluster.  Nothing driver-side ever holds more than the
+    codebook.  The Lloyd stage is factored as :func:`sdk_lloyd_state`
+    so the sf10 property gate verifies the exact state this query
+    runs under."""
+    from psweep_spark.operators.dedup import cluster_cosine_pairs
+    from psweep_spark.operators.similarity import assign_nearest_centroid
+
+    v, cents = sdk_lloyd_state(spark, sf_dir)
     final = assign_nearest_centroid(
         v.select("vec_id", "e", "q"), cents, q_col="q", out_col="cluster_id"
     )

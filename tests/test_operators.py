@@ -1295,3 +1295,57 @@ def test_session_cache_policy(spark):
     assert n >= 2
     assert registered_caches() == []
     assert not df.storageLevel.useMemory
+
+
+def test_cluster_cosine_pairs_blocked_identity(spark):
+    """The r8 row-blocked pair stage (bounded per-task memory) emits
+    EXACTLY the pairs of a naive full-matrix reference — same ids, same
+    6-dp cosines — across block boundaries (cluster sizes chosen above
+    and below the min block size of 256)."""
+    import numpy as np
+
+    from psweep_spark.operators.dedup import cluster_cosine_pairs
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for cl, sz in ((0, 700), (1, 30), (2, 2), (3, 1)):
+        base = rng.normal(size=8)
+        for i in range(sz):
+            # near-dups of a base vector + noise → a mix above/below τ
+            v = base + rng.normal(scale=rng.choice([0.05, 1.0]), size=8)
+            rows.append((cl, cl * 10_000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "cluster_id int, vec_id long, e array<double>"
+    ).repartition(7)
+    tau = 0.8
+    got = {
+        (r["cluster_id"], r["id_a"], r["id_b"]): r["cosine"]
+        for r in cluster_cosine_pairs(df, tau, block_rows=100).collect()
+    }
+    # default (single-block at these sizes) must agree with forced
+    # multi-block — block boundaries cannot change values
+    got_default = {
+        (r["cluster_id"], r["id_a"], r["id_b"]): r["cosine"]
+        for r in cluster_cosine_pairs(df, tau).collect()
+    }
+    assert got == got_default
+    # naive reference
+    want = {}
+    by_cl = {}
+    for cl, vid, v in rows:
+        by_cl.setdefault(cl, []).append((vid, np.array(v)))
+    for cl, members in by_cl.items():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (ia, va), (ib, vb) = members[i], members[j]
+                c = round(
+                    float(
+                        va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+                    ),
+                    6,
+                )
+                if c >= tau:
+                    want[(cl, ia, ib)] = c
+    assert got == want
+    assert len(want) > 100  # the fixture genuinely exercises pairs

@@ -36,19 +36,43 @@ output bit-for-bit before it is trusted at sf10):
   max-count pair (ties → lexicographically smallest), left-greedy
   non-overlapping application — the oracle's list_reduce fold exactly.
 
+* ``semdedup_kmeans`` (NEW r8, VERDICT r7 item 4) — closed by a
+  PROPERTY oracle.  The full pair relation's truth is quadratic
+  (the exact reason it was excluded), but every CLAIM the query makes
+  decomposes into linearly-checkable parts, each verified against an
+  independent DuckDB recomputation:
+
+  1. centroid identity — DuckDB re-runs the 3 exact integer Lloyd
+     rounds (the linear CTE chain the sf1 oracle uses) and the final
+     centroids must match the engine's bit-for-bit;
+  2. assignment identity — the full (vec_id → cid) relation under
+     those centroids, value-hash compared;
+  3. inertia monotone — Σ min-dist non-increasing over the rounds
+     (the Lloyd descent property, on the quantized integers);
+  4. pair soundness — EVERY emitted pair re-checked in DuckDB:
+     endpoints in the claimed cluster, cosine recomputed and equal at
+     6 dp, ≥ τ, ids ordered, no duplicates (linear in |pairs|);
+  5. probe completeness — for a deterministic ~0.1% probe set
+     (vec_id % 997 == 0) DuckDB computes ALL incident pairs
+     exhaustively (|probes|·|cluster| dot products, linear) and the
+     engine's pairs restricted to probes must equal them exactly —
+     any systematic omission is caught.
+
+  The property harness itself is VALIDATED at sf1 first: it must pass
+  there on the same engine output that the true quadratic oracle
+  already gates (full-gate artifact), before it is trusted at sf10.
+
 Still excluded at sf10, with reasons (not budget):
 * embedding_near_dup / embed_semdedup — the truth is pairwise cosine
   over 500k×64 vectors (2.5e11 dot products); the corpus does NOT
   tile-decompose because replicas are cyclic rotations and 100 replicas
   share only 64 distinct shifts, so cross-tile near-dup pairs exist and
   depend on all-shift cosine structure.
-* semdedup_kmeans — Lloyd iterations over the same 500k×64 relation;
-  an exact replica would be the engine itself, not an oracle.
 * multimodal_binaryfile_ingest — provisioning writes one blob file per
   doc (500k files): a local-filesystem landing artifact, not plan cost.
 
 Usage: python tools/check_sf10_constructed.py [--validate-only]
-Writes CORRECTNESS_SF10_CONSTRUCTED_r7.json.
+Writes CORRECTNESS_SF10_CONSTRUCTED_r8.json.
 """
 
 from __future__ import annotations
@@ -168,6 +192,178 @@ def bpe_expected(con: duckdb.DuckDBPyConnection, rounds: int) -> pd.DataFrame:
     )
 
 
+def semdedup_property_check(
+    spark, con, sf_dir: str, queries, results: dict, label: str
+) -> bool:
+    """The semdedup_kmeans PROPERTY oracle (module docstring item list):
+    centroid identity, assignment identity, inertia monotonicity, pair
+    soundness, probe completeness — each linear, each against an
+    independent DuckDB recomputation.  Returns overall ok."""
+    from psweep_spark import queries_pipeline as qp
+    from psweep_spark.operators.similarity import assign_nearest_centroid
+    from psweep_spark.queries_scale import _kmeans_cte_parts
+
+    k, iters, dim, tau = qp._SDK_K, qp._SDK_ITERS, qp._SDK_DIM, qp._SEM_TAU
+    with_cte = "WITH " + ",".join(_kmeans_cte_parts(k, iters, dim))
+    checks: dict[str, dict] = {}
+    ok = True
+
+    def record(name: str, passed: bool, detail: str) -> None:
+        nonlocal ok
+        ok &= passed
+        checks[name] = {"ok": bool(passed), "detail": detail}
+        print(f"{'ok   ' if passed else 'FAIL '} {label} {name}: {detail}")
+
+    # -- 1. centroid identity (exact integers)
+    t0 = time.time()
+    duck_cents = con.sql(
+        with_cte + f" SELECT cid, num FROM c{iters} ORDER BY cid"
+    ).fetchall()
+    duck_cents = [(int(c), [int(x) for x in num]) for c, num in duck_cents]
+    v, cents = qp.sdk_lloyd_state(spark, sf_dir)
+    record(
+        "centroids_exact",
+        cents == duck_cents,
+        f"{len(cents)} centroids x {dim} dims, {time.time() - t0:.1f}s",
+    )
+
+    # -- 2. assignment identity (full relation, value-hash)
+    t0 = time.time()
+    af_sql = (
+        with_cte
+        + f""", dfin AS (
+          SELECT v.vec_id, c.cid,
+                 list_sum(list_transform(range(1, {dim + 1}),
+                      i -> (v.q[i] - c.num[i]) * (v.q[i] - c.num[i])))
+                   AS dist
+          FROM qv v CROSS JOIN c{iters} c
+        ),
+        af AS (
+          SELECT vec_id, cid FROM dfin
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) = 1
+        )"""
+    )
+    duck_af = con.sql(af_sql + " SELECT vec_id, cid FROM af").df()
+    spark_af = (
+        assign_nearest_centroid(
+            v.select("vec_id", "q"), cents, q_col="q", out_col="cid"
+        )
+        .select("vec_id", "cid")
+        .toPandas()
+    )
+    same = (
+        len(duck_af) == len(spark_af)
+        and frame_hash(duck_af) == frame_hash(spark_af)
+    )
+    record(
+        "assignments_exact",
+        same,
+        f"{len(spark_af)} assignments, {time.time() - t0:.1f}s",
+    )
+
+    # -- 3. inertia monotone over the Lloyd rounds (quantized ints)
+    t0 = time.time()
+    inertias = []
+    for t in range(1, iters + 1):
+        (j,) = con.sql(
+            with_cte
+            + f""" SELECT CAST(SUM(dist) AS DOUBLE) FROM (
+                 SELECT vec_id, MIN(dist) AS dist FROM d{t} GROUP BY vec_id
+               )"""
+        ).fetchone()
+        inertias.append(float(j))
+    record(
+        "inertia_monotone",
+        all(b <= a for a, b in zip(inertias, inertias[1:])),
+        f"J per round: {inertias} ({time.time() - t0:.1f}s)",
+    )
+
+    # -- engine pairs (THE expensive side at sf10 — one run, reused by
+    # both remaining checks)
+    t0 = time.time()
+    got = queries["semdedup_kmeans"](spark, sf_dir).toPandas()
+    print(f"engine semdedup_kmeans@{label}: {len(got)} pairs "
+          f"({time.time() - t0:.1f}s)")
+    con.register("got_pairs", got)
+
+    # -- 4. pair soundness: every emitted pair independently re-derived
+    t0 = time.time()
+    (n_sound,) = con.sql(
+        af_sql
+        + f""", ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings)
+        SELECT COUNT(*) FROM got_pairs p
+        JOIN af a ON a.vec_id = p.id_a
+        JOIN af b ON b.vec_id = p.id_b
+        JOIN ve ea ON ea.vec_id = p.id_a
+        JOIN ve eb ON eb.vec_id = p.id_b
+        WHERE a.cid = p.cluster_id AND b.cid = p.cluster_id
+          AND p.id_a < p.id_b
+          AND round(list_dot_product(ea.e, eb.e)
+                / (sqrt(list_dot_product(ea.e, ea.e))
+                   * sqrt(list_dot_product(eb.e, eb.e))), 6) = p.cosine
+          AND p.cosine >= {tau}
+        """
+    ).fetchone()
+    (n_dup,) = con.sql(
+        "SELECT COUNT(*) - COUNT(DISTINCT (id_a, id_b)) FROM got_pairs"
+    ).fetchone()
+    record(
+        "pairs_sound",
+        int(n_sound) == len(got) and int(n_dup) == 0,
+        f"{n_sound}/{len(got)} re-derived, {n_dup} dups, "
+        f"{time.time() - t0:.1f}s",
+    )
+
+    # -- 5. probe completeness: exhaustive truth for vec_id % 997 == 0
+    t0 = time.time()
+    probe_true = con.sql(
+        af_sql
+        + f""", ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+        afe AS (SELECT af.vec_id, af.cid, ve.e FROM af
+                JOIN ve ON ve.vec_id = af.vec_id),
+        probes AS (SELECT * FROM afe WHERE vec_id % 997 = 0),
+        incid AS (
+          SELECT p.cid AS cluster_id,
+                 LEAST(p.vec_id, m.vec_id) AS id_a,
+                 GREATEST(p.vec_id, m.vec_id) AS id_b,
+                 round(list_dot_product(p.e, m.e)
+                   / (sqrt(list_dot_product(p.e, p.e))
+                      * sqrt(list_dot_product(m.e, m.e))), 6) AS cosine
+          FROM probes p JOIN afe m
+            ON m.cid = p.cid AND m.vec_id <> p.vec_id
+        )
+        SELECT DISTINCT cluster_id, id_a, id_b, cosine
+        FROM incid WHERE cosine >= {tau}
+        """
+    ).df()
+    got_probe = con.sql(
+        """SELECT DISTINCT cluster_id, id_a, id_b, cosine FROM got_pairs
+           WHERE id_a % 997 = 0 OR id_b % 997 = 0"""
+    ).df()
+    same = (
+        len(probe_true) == len(got_probe)
+        and frame_hash(probe_true) == frame_hash(got_probe)
+    )
+    record(
+        "probe_complete",
+        same,
+        f"{len(got_probe)}/{len(probe_true)} probe-incident pairs, "
+        f"{time.time() - t0:.1f}s",
+    )
+    con.unregister("got_pairs")
+
+    results[f"{label}:semdedup_kmeans_property"] = {
+        "status": "ok" if ok else "FAIL",
+        "method": "property oracle (5 linear checks)",
+        "checks": checks,
+        "engine_pairs": len(got),
+    }
+    return ok
+
+
 # --------------------------------------------------------------------------
 # compare harness
 # --------------------------------------------------------------------------
@@ -234,6 +430,13 @@ def main() -> int:
         results["validate@sf1:dedup_clusters"],
         note="same expected relation as dedup_clusters",
     )
+    # semdedup_kmeans property harness: validate at sf1, where the same
+    # engine output is ALSO gated by the true quadratic oracle (full
+    # gate artifact) — the property check must agree before sf10
+    spark = get_spark("sf10-constructed")
+    ok &= semdedup_property_check(
+        spark, con1, SF1, queries, results, "validate@sf1"
+    )
     if not ok:
         print("construction INVALID at sf1 — refusing to gate sf10 with it")
         _write(results)
@@ -243,7 +446,6 @@ def main() -> int:
         return 0
 
     # ---- step 2: constructed expectations at sf10, compared to Spark
-    spark = get_spark("sf10-constructed")
     con10 = connect(SF10)
 
     t0 = time.time()
@@ -272,12 +474,18 @@ def main() -> int:
         print(f"spark {name}@sf10: {len(got)} rows ({time.time() - t0:.1f}s)")
         compare(f"sf10 {name}", expected, got, results, methods[name])
         results[name] = results.pop(f"sf10 {name}")
+
+    # semdedup_kmeans at sf10 via the (sf1-validated) property oracle
+    semdedup_property_check(
+        spark, con10, SF10, queries, results, "sf10"
+    )
+    results["semdedup_kmeans"] = results.pop("sf10:semdedup_kmeans_property")
     _write(results)
     return 0
 
 
 def _write(results: dict) -> None:
-    path = os.path.join(REPO, "CORRECTNESS_SF10_CONSTRUCTED_r7.json")
+    path = os.path.join(REPO, "CORRECTNESS_SF10_CONSTRUCTED_r8.json")
     with open(path, "w") as fh:
         json.dump(results, fh, indent=2, sort_keys=True)
     print(f"wrote {path}")
