@@ -1018,20 +1018,39 @@ def embedding_near_dup_pairs(
         Mb = np.stack(B["v"].to_numpy())
         na = np.linalg.norm(Ma, axis=1)
         nb = np.linalg.norm(Mb, axis=1)
-        cos = np.round((Ma @ Mb.T) / np.outer(na, nb), 6)
-        ia, ib = np.where(cos >= threshold)
-        xa, xb, c = ida[ia], idb[ib], cos[ia, ib]
-        if pa == pb:
-            # A and B are the same block: keep each unordered pair once
-            keep = xa < xb
-            xa, xb, c = xa[keep], xb[keep], c[keep]
-        else:
-            # distinct blocks: every unordered pair appears exactly once;
-            # emit it in (min, max) order
-            lo = np.minimum(xa, xb)
-            hi = np.maximum(xa, xb)
-            xa, xb = lo, hi
-        return pd.DataFrame({"id_a": xa, "id_b": xb, "cosine": c})
+        # row-blocked matmul: ~2 blk × |B| double intermediates ≈
+        # 512 MB per task instead of the full |A|×|B| cosine matrix
+        # (25k-row sf10 blocks needed ~3×5 GB per task pre-r8) — same
+        # dot/outer-norm arithmetic, rounded at 6 dp, block-invariant
+        nb_rows = len(idb)
+        blk = max(256, min(len(ida),
+                           (256 * 1024 * 1024) // (8 * max(nb_rows, 1))))
+        outs = []
+        for i0 in range(0, len(ida), blk):
+            i1 = min(i0 + blk, len(ida))
+            cos = np.round(
+                (Ma[i0:i1] @ Mb.T) / np.outer(na[i0:i1], nb), 6
+            )
+            ia, ib = np.where(cos >= threshold)
+            xa, xb, c = ida[ia + i0], idb[ib], cos[ia, ib]
+            if pa == pb:
+                # A and B are the same block: keep each unordered pair
+                # once
+                keep = xa < xb
+                xa, xb, c = xa[keep], xb[keep], c[keep]
+            else:
+                # distinct blocks: every unordered pair appears exactly
+                # once; emit it in (min, max) order
+                lo = np.minimum(xa, xb)
+                hi = np.maximum(xa, xb)
+                xa, xb = lo, hi
+            if len(xa):
+                outs.append(
+                    pd.DataFrame({"id_a": xa, "id_b": xb, "cosine": c})
+                )
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return pd.concat(outs, ignore_index=True)
 
     return both.groupBy("pa", "pb").applyInPandas(_cross, out_schema)
 

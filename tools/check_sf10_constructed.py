@@ -62,12 +62,15 @@ output bit-for-bit before it is trusted at sf10):
   there on the same engine output that the true quadratic oracle
   already gates (full-gate artifact), before it is trusted at sf10.
 
+* ``embedding_near_dup`` / ``embed_semdedup`` (NEW r8) — closed by
+  the same property decomposition (their truth — pairwise cosine over
+  200k×64 vectors, which neither tiles nor shrinks — stays quadratic,
+  but soundness is linear in |pairs| and probe completeness is linear
+  in |probes|·N; embed_semdedup additionally gets full assignment
+  identity, linear in N·k).  Both engine sides run at sf10 thanks to
+  the r8 row-blocked matmuls in operators/dedup.py.
+
 Still excluded at sf10, with reasons (not budget):
-* embedding_near_dup / embed_semdedup — the truth is pairwise cosine
-  over 500k×64 vectors (2.5e11 dot products); the corpus does NOT
-  tile-decompose because replicas are cyclic rotations and 100 replicas
-  share only 64 distinct shifts, so cross-tile near-dup pairs exist and
-  depend on all-shift cosine structure.
 * multimodal_binaryfile_ingest — provisioning writes one blob file per
   doc (500k files): a local-filesystem landing artifact, not plan cost.
 
@@ -364,6 +367,239 @@ def semdedup_property_check(
     return ok
 
 
+def _cos_sql(a: str, b: str) -> str:
+    return (f"round(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) "
+            f"* sqrt(list_dot_product({b}, {b}))), 6)")
+
+
+def near_dup_property_check(
+    spark, con, sf_dir: str, queries, results: dict, label: str
+) -> bool:
+    """embedding_near_dup property oracle (r8): the truth is all-pairs
+    cosine (quadratic — the sf10 exclusion), but both halves of the
+    claim decompose linearly:
+
+    * SOUNDNESS — every emitted pair re-derived in DuckDB (6-dp cosine
+      equality, >= tau, id_a < id_b, no duplicates): linear in |pairs|;
+    * PROBE COMPLETENESS — for the deterministic vec_id % 997 probe set
+      DuckDB computes cosine against EVERY vector (|probes| x N dots,
+      linear) and the engine's probe-incident pairs must equal that
+      exhaustive truth exactly.
+    """
+    tau = 0.45  # queries_catalog.embedding_near_dup
+    checks: dict[str, dict] = {}
+    ok = True
+
+    def record(name: str, passed: bool, detail: str) -> None:
+        nonlocal ok
+        ok &= passed
+        checks[name] = {"ok": bool(passed), "detail": detail}
+        print(f"{'ok   ' if passed else 'FAIL '} {label} {name}: {detail}")
+
+    t0 = time.time()
+    got = queries["embedding_near_dup"](spark, sf_dir).toPandas()
+    print(f"engine embedding_near_dup@{label}: {len(got)} pairs "
+          f"({time.time() - t0:.1f}s)")
+    con.register("nd_pairs", got)
+
+    t0 = time.time()
+    cos = _cos_sql("a.e", "b.e")
+    (n_sound,) = con.sql(
+        f"""WITH ve AS (SELECT vec_id,
+                               CAST(embedding AS DOUBLE[]) AS e
+                        FROM embeddings)
+        SELECT COUNT(*) FROM nd_pairs p
+        JOIN ve a ON a.vec_id = p.id_a
+        JOIN ve b ON b.vec_id = p.id_b
+        WHERE p.id_a < p.id_b AND {cos} = p.cosine AND p.cosine >= {tau}
+        """
+    ).fetchone()
+    (n_dup,) = con.sql(
+        "SELECT COUNT(*) - COUNT(DISTINCT (id_a, id_b)) FROM nd_pairs"
+    ).fetchone()
+    record(
+        "pairs_sound",
+        int(n_sound) == len(got) and int(n_dup) == 0,
+        f"{n_sound}/{len(got)} re-derived, {n_dup} dups, "
+        f"{time.time() - t0:.1f}s",
+    )
+
+    t0 = time.time()
+    pm_cos = _cos_sql("p.e", "m.e")
+    probe_true = con.sql(
+        f"""WITH ve AS (SELECT vec_id,
+                               CAST(embedding AS DOUBLE[]) AS e
+                        FROM embeddings),
+        probes AS (SELECT * FROM ve WHERE vec_id % 997 = 0),
+        incid AS (
+          SELECT LEAST(p.vec_id, m.vec_id) AS id_a,
+                 GREATEST(p.vec_id, m.vec_id) AS id_b,
+                 {pm_cos} AS cosine
+          FROM probes p JOIN ve m ON m.vec_id <> p.vec_id
+        )
+        SELECT DISTINCT id_a, id_b, cosine FROM incid
+        WHERE cosine >= {tau}
+        """
+    ).df()
+    got_probe = con.sql(
+        """SELECT DISTINCT id_a, id_b, cosine FROM nd_pairs
+           WHERE id_a % 997 = 0 OR id_b % 997 = 0"""
+    ).df()
+    record(
+        "probe_complete",
+        len(probe_true) == len(got_probe)
+        and frame_hash(probe_true) == frame_hash(got_probe),
+        f"{len(got_probe)}/{len(probe_true)} probe-incident pairs, "
+        f"{time.time() - t0:.1f}s",
+    )
+    con.unregister("nd_pairs")
+
+    results[f"{label}:embedding_near_dup_property"] = {
+        "status": "ok" if ok else "FAIL",
+        "method": "property oracle (soundness + probe completeness)",
+        "checks": checks,
+        "engine_pairs": len(got),
+    }
+    return ok
+
+
+def embed_semdedup_property_check(
+    spark, con, sf_dir: str, queries, results: dict, label: str
+) -> bool:
+    """embed_semdedup property oracle (r8): same decomposition as
+    semdedup_kmeans minus the Lloyd stage (the codebook is the first
+    _SEM_K quantized vectors by construction): assignment identity
+    (full relation vs DuckDB's independent nearest-centroid argmin,
+    linear N·k), pair soundness (cluster membership + cosine re-derived
+    per emitted pair), probe completeness (exhaustive within-cluster
+    truth for the vec_id % 997 probes)."""
+    from psweep_spark import queries_pipeline as qp
+    from psweep_spark.operators.similarity import assign_nearest_centroid
+    from pyspark.sql import functions as F
+
+    k, tau = qp._SEM_K, qp._SEM_TAU
+    checks: dict[str, dict] = {}
+    ok = True
+
+    def record(name: str, passed: bool, detail: str) -> None:
+        nonlocal ok
+        ok &= passed
+        checks[name] = {"ok": bool(passed), "detail": detail}
+        print(f"{'ok   ' if passed else 'FAIL '} {label} {name}: {detail}")
+
+    af_sql = f"""WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < {k}),
+    d AS (
+      SELECT v.vec_id, v.e, c.cid,
+             list_sum(list_transform(range(1, 65),
+                  i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))) AS dist
+      FROM v CROSS JOIN cents c
+    ),
+    af AS (
+      SELECT vec_id, e, cid FROM d
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) = 1
+    )"""
+
+    # -- assignment identity
+    t0 = time.time()
+    duck_af = con.sql(af_sql + " SELECT vec_id, cid FROM af").df()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qx = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    v = emb.select("vec_id", qx.alias("q"))
+    cent_rows = v.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    cents = [(int(r["vec_id"]), [int(x) for x in r["q"]]) for r in cent_rows]
+    spark_af = (
+        assign_nearest_centroid(v, cents, q_col="q", out_col="cid")
+        .select("vec_id", "cid")
+        .toPandas()
+    )
+    record(
+        "assignments_exact",
+        len(duck_af) == len(spark_af)
+        and frame_hash(duck_af) == frame_hash(spark_af),
+        f"{len(spark_af)} assignments, {time.time() - t0:.1f}s",
+    )
+
+    # -- engine pairs
+    t0 = time.time()
+    got = queries["embed_semdedup"](spark, sf_dir).toPandas()
+    print(f"engine embed_semdedup@{label}: {len(got)} pairs "
+          f"({time.time() - t0:.1f}s)")
+    con.register("sd_pairs", got)
+
+    t0 = time.time()
+    cos = _cos_sql("ea.e", "eb.e")
+    (n_sound,) = con.sql(
+        af_sql
+        + f"""
+        SELECT COUNT(*) FROM sd_pairs p
+        JOIN af a ON a.vec_id = p.id_a
+        JOIN af b ON b.vec_id = p.id_b
+        JOIN af ea ON ea.vec_id = p.id_a
+        JOIN af eb ON eb.vec_id = p.id_b
+        WHERE a.cid = p.cluster_id AND b.cid = p.cluster_id
+          AND p.id_a < p.id_b AND {cos} = p.cosine AND p.cosine >= {tau}
+        """
+    ).fetchone()
+    (n_dup,) = con.sql(
+        "SELECT COUNT(*) - COUNT(DISTINCT (id_a, id_b)) FROM sd_pairs"
+    ).fetchone()
+    record(
+        "pairs_sound",
+        int(n_sound) == len(got) and int(n_dup) == 0,
+        f"{n_sound}/{len(got)} re-derived, {n_dup} dups, "
+        f"{time.time() - t0:.1f}s",
+    )
+
+    t0 = time.time()
+    pm_cos = _cos_sql("p.e", "m.e")
+    probe_true = con.sql(
+        af_sql
+        + f""", probes AS (SELECT * FROM af WHERE vec_id % 997 = 0),
+        incid AS (
+          SELECT p.cid AS cluster_id,
+                 LEAST(p.vec_id, m.vec_id) AS id_a,
+                 GREATEST(p.vec_id, m.vec_id) AS id_b,
+                 {pm_cos} AS cosine
+          FROM probes p JOIN af m
+            ON m.cid = p.cid AND m.vec_id <> p.vec_id
+        )
+        SELECT DISTINCT cluster_id, id_a, id_b, cosine FROM incid
+        WHERE cosine >= {tau}
+        """
+    ).df()
+    got_probe = con.sql(
+        """SELECT DISTINCT cluster_id, id_a, id_b, cosine FROM sd_pairs
+           WHERE id_a % 997 = 0 OR id_b % 997 = 0"""
+    ).df()
+    record(
+        "probe_complete",
+        len(probe_true) == len(got_probe)
+        and frame_hash(probe_true) == frame_hash(got_probe),
+        f"{len(got_probe)}/{len(probe_true)} probe-incident pairs, "
+        f"{time.time() - t0:.1f}s",
+    )
+    con.unregister("sd_pairs")
+
+    results[f"{label}:embed_semdedup_property"] = {
+        "status": "ok" if ok else "FAIL",
+        "method": "property oracle (assignment + soundness + probes)",
+        "checks": checks,
+        "engine_pairs": len(got),
+    }
+    return ok
+
+
 # --------------------------------------------------------------------------
 # compare harness
 # --------------------------------------------------------------------------
@@ -437,6 +673,12 @@ def main() -> int:
     ok &= semdedup_property_check(
         spark, con1, SF1, queries, results, "validate@sf1"
     )
+    ok &= near_dup_property_check(
+        spark, con1, SF1, queries, results, "validate@sf1"
+    )
+    ok &= embed_semdedup_property_check(
+        spark, con1, SF1, queries, results, "validate@sf1"
+    )
     if not ok:
         print("construction INVALID at sf1 — refusing to gate sf10 with it")
         _write(results)
@@ -475,11 +717,18 @@ def main() -> int:
         compare(f"sf10 {name}", expected, got, results, methods[name])
         results[name] = results.pop(f"sf10 {name}")
 
-    # semdedup_kmeans at sf10 via the (sf1-validated) property oracle
-    semdedup_property_check(
+    # the three quadratic-truth queries at sf10 via their
+    # (sf1-validated) property oracles
+    semdedup_property_check(spark, con10, SF10, queries, results, "sf10")
+    results["semdedup_kmeans"] = results.pop("sf10:semdedup_kmeans_property")
+    near_dup_property_check(spark, con10, SF10, queries, results, "sf10")
+    results["embedding_near_dup"] = results.pop(
+        "sf10:embedding_near_dup_property"
+    )
+    embed_semdedup_property_check(
         spark, con10, SF10, queries, results, "sf10"
     )
-    results["semdedup_kmeans"] = results.pop("sf10:semdedup_kmeans_property")
+    results["embed_semdedup"] = results.pop("sf10:embed_semdedup_property")
     _write(results)
     return 0
 
