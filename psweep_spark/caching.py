@@ -24,6 +24,8 @@ Policy:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
@@ -34,8 +36,13 @@ __all__ = [
 
 #: (tag, DataFrame) for every live session-lifetime persist, in
 #: registration order.  Module-level on purpose: the registry's scope
-#: IS the Python session, same as the caches it tracks.
+#: IS the Python session, same as the caches it tracks.  Guarded by
+#: ``_LOCK`` so concurrent builders can register safely; drains are
+#: scoped to the caller's SparkSession (see :func:`clear_query_caches`)
+#: so one session's between-queries drain cannot unpersist another
+#: session's in-flight relation.
 _REGISTRY: list[tuple[str, DataFrame]] = []
+_LOCK = threading.Lock()
 
 
 def persisted_for_session(df: DataFrame, tag: str) -> DataFrame:
@@ -44,18 +51,28 @@ def persisted_for_session(df: DataFrame, tag: str) -> DataFrame:
     outlive the builder (the returned plan is lazy and re-reads the
     relation on every action)."""
     df = df.persist()
-    _REGISTRY.append((tag, df))
+    with _LOCK:
+        _REGISTRY.append((tag, df))
     return df
 
 
 def registered_caches() -> list[str]:
     """Tags of the currently-registered session-lifetime persists."""
-    return [tag for tag, _ in _REGISTRY]
+    with _LOCK:
+        return [tag for tag, _ in _REGISTRY]
 
 
 def clear_query_caches(spark: SparkSession | None = None, gc: bool = False) -> int:
-    """Drain every registered session-lifetime persist (and, with a
-    ``spark`` handle, ALL cached relations + leaked RDD blocks).
+    """Drain the registered session-lifetime persists (and, with a
+    ``spark`` handle, ALL of that session's cached relations + leaked
+    RDD blocks).
+
+    Ownership scope: with a ``spark`` handle, ONLY persists registered
+    against that SparkSession are drained — a drain in one session
+    cannot unpersist another session's in-flight relation.  With
+    ``spark=None`` every registered persist is drained (the
+    whole-process teardown shape); only call that form when no other
+    query is concurrently executing in this process.
 
     This is the between-queries drain bench.py runs after each timed
     query: ``unpersist(blocking=True)`` so the release cannot land
@@ -67,13 +84,25 @@ def clear_query_caches(spark: SparkSession | None = None, gc: bool = False) -> i
     shingle-heavy dedups swing 4 s ↔ 39 s without it).
 
     Returns the number of registered relations drained."""
-    n = len(_REGISTRY)
-    for _tag, df in _REGISTRY:
+    with _LOCK:
+        if spark is None:
+            drained = list(_REGISTRY)
+            _REGISTRY.clear()
+        else:
+            drained, kept = [], []
+            for entry in _REGISTRY:
+                try:
+                    mine = entry[1].sparkSession is spark
+                except Exception:  # noqa: BLE001  (session already gone)
+                    mine = True
+                (drained if mine else kept).append(entry)
+            _REGISTRY[:] = kept
+    n = len(drained)
+    for _tag, df in drained:
         try:
             df.unpersist(blocking=True)
         except Exception:  # noqa: BLE001  (session may already be gone)
             pass
-    _REGISTRY.clear()
     if spark is not None:
         spark.catalog.clearCache()
         jsc = spark.sparkContext._jsc  # noqa: SLF001

@@ -323,9 +323,24 @@ def _make_mapper(
                             "positionally with the input batch"
                         )
                     res = res.reset_index(drop=True)
+                    clobber = [
+                        c
+                        for c in res.columns
+                        if c in pdf.columns
+                        or c in ("_time_utc", "_exec_host", "_pset_runtime")
+                    ]
+                    if clobber:
+                        raise ValueError(
+                            f"func_pandas result columns {clobber} collide "
+                            "with pset/meta columns; results must use new "
+                            "names (the per-row contract's pset.update() "
+                            "overwrite has no vectorized counterpart)"
+                        )
                     for c in res.columns:
                         out[c] = res[c]
-                out["_time_utc"] = _dt.datetime.utcfromtimestamp(int(t0))
+                out["_time_utc"] = _dt.datetime.fromtimestamp(
+                    int(t0), _dt.timezone.utc
+                ).replace(tzinfo=None)
                 out["_exec_host"] = host
                 out["_pset_runtime"] = dt / n if n else 0.0
                 for c in out_names:
@@ -362,7 +377,9 @@ def _make_mapper(
                 # framed pickled cells → live objects for the user's func
                 pset = {k: maybe_unpickle(_pyval(v)) for k, v in rec.items()}
                 t0 = time.time()
-                pset["_time_utc"] = _dt.datetime.utcfromtimestamp(int(t0))
+                pset["_time_utc"] = _dt.datetime.fromtimestamp(
+                    int(t0), _dt.timezone.utc
+                ).replace(tzinfo=None)
                 pset["_exec_host"] = host
                 if simulate:
                     result: dict = {}

@@ -585,13 +585,18 @@ def test_run_vectorized_matches_per_row(spark, calc_dir):
     assert all(r["_time_utc"] is not None for r in got_rows)
     assert all(r["_exec_host"] for r in got_rows)
     assert all(r["_pset_runtime"] >= 0.0 for r in got_rows)
-    per_host_times = {}
-    for r in got_rows:
-        per_host_times.setdefault(
-            (r["_exec_host"], r["_time_utc"]), set()
-        ).add(r["_pset_runtime"])
-    # rows sharing a batch share the amortized runtime
-    assert all(len(v) <= 48 for v in per_host_times.values())
+    # rows sharing a batch share (host, time, runtime); with 48 rows
+    # over ≤32 partitions at least one batch holds ≥2 rows, so the
+    # number of distinct batch stamps must be STRICTLY below the row
+    # count — this actually fails if runtimes were stamped per-row
+    batch_stamps = {
+        (r["_exec_host"], r["_time_utc"], r["_pset_runtime"])
+        for r in got_rows
+    }
+    assert len(batch_stamps) < len(got_rows), (
+        f"{len(batch_stamps)} distinct (host,time,runtime) stamps for "
+        f"{len(got_rows)} rows — runtimes look per-row, not amortized"
+    )
 
     # both funcs: per-row func probes the schema, func_pandas executes
     d_both = run(
@@ -610,6 +615,19 @@ def test_run_vectorized_matches_per_row(spark, calc_dir):
         run(
             spark, None, params, calc_dir=os.path.join(calc_dir, "x"),
             func_pandas=bad,
+            result_schema=d_row.select("y_").schema,
+        ).collect()
+
+    # result columns must not shadow pset/meta columns (ADVICE r8):
+    # a result named 'a' or '_pset_hash' would silently overwrite the
+    # stamped value — the mapper raises instead
+    def shadow(pdf):
+        return pd.DataFrame({"a": pdf.a * 2, "y_": pdf.b.astype(float)})
+
+    with pytest.raises(Exception, match="collide"):
+        run(
+            spark, None, params, calc_dir=os.path.join(calc_dir, "x2"),
+            func_pandas=shadow,
             result_schema=d_row.select("y_").schema,
         ).collect()
 

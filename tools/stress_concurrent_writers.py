@@ -216,7 +216,8 @@ def main() -> int:
                int(sys.argv[5]), sys.argv[6])
         return 0
 
-    w, r, g = (int(x) for x in (sys.argv[1:4] or (4, 6, 200)))
+    vals = [int(x) for x in sys.argv[1:4]]
+    w, r, g = vals + [4, 6, 200][len(vals):]
     summary = stress(w, r, g)
     if summary["cas_retries_total"] == 0:
         # pathological clean serialization — contend harder once
