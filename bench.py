@@ -10,6 +10,11 @@ Runs the headline queries from ``__spark_entry__.queries()`` at
 Each query is forced with a full materialization (``collect`` of the
 result — results are small aggregates by design; we never collect a fact
 table).  Timing includes plan + execution, excludes session startup.
+
+Queries at or above 0.5 s are timed median-of-3 (raw reps published as
+``query_reps`` for dispersion); sub-0.5 s queries keep a single rep to
+stay inside the per-round bench budget.  ``queries`` carries the median,
+so round-over-round comparison stays a plain per-query diff.
 """
 
 from __future__ import annotations
@@ -262,40 +267,59 @@ def main() -> int:
         clear_query_caches(spark, gc=True)
         time.sleep(3)
 
+    # Median-of-3 timing (VERDICT r8 item 4): single-shot numbers made
+    # two consecutive rounds' adjudication hinge on host-noise forensics
+    # (uniform 1.24x shifts, 2-6x per-query spikes on identical code).
+    # Each query >= REP_MIN_SEC is timed 3x with the standard drain
+    # between reps; the recorded time is the MEDIAN and the raw reps are
+    # published as dispersion.  Sub-REP_MIN_SEC queries keep one rep —
+    # their absolute noise is bounded by the threshold itself.
+    REP_MIN_SEC = 0.5
+    from psweep_spark.caching import clear_query_caches
+
+    def drain() -> None:
+        # the shared session-cache policy (psweep_spark/caching.py):
+        # unpersist every registered session-lifetime relation (builders
+        # return lazy plans so they can't unpersist themselves), clear
+        # the cache, and force a synchronous driver GC so the async
+        # ContextCleaner reclaims finished queries' broadcasts NOW
+        # instead of taxing whichever later rep hits an allocation wall
+        # (measured: shingle-heavy dedups swing 4 s <-> 39 s without it).
+        clear_query_caches(spark, gc=True)
+        time.sleep(0.8)
+
     timings: dict[str, float] = {}
+    query_reps: dict[str, list[float]] = {}
     shuffle_mb: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
         before = stage_totals()
-        t0 = time.perf_counter()
+        reps: list[float] = []
         try:
-            fn(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 4)
-            after = stage_totals()
-            if before and after:
-                shuffle_mb[name] = round(
-                    (after["shuffle_write"] - before["shuffle_write"])
-                    / 1048576, 3
-                )
+            while len(reps) < 3:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                reps.append(round(time.perf_counter() - t0, 4))
+                if len(reps) == 1:
+                    after = stage_totals()
+                    if before and after:
+                        # shuffle volume is rep-invariant; record rep 1's
+                        shuffle_mb[name] = round(
+                            (after["shuffle_write"]
+                             - before["shuffle_write"]) / 1048576, 3
+                        )
+                    if reps[0] < REP_MIN_SEC:
+                        break
+                if len(reps) < 3:
+                    drain()
+            timings[name] = sorted(reps)[len(reps) // 2]
+            query_reps[name] = reps
         except Exception as e:  # noqa: BLE001
             print(f"# bench error {name}: {str(e)[:200]}", file=sys.stderr)
             timings[name] = -1.0
-        # untimed per-query drain — the shared session-cache policy
-        # (psweep_spark/caching.py): unpersist every registered
-        # session-lifetime relation (resample counts, PMI unigrams,
-        # heavy-hitter candidates, KMV sketches — builders return lazy
-        # plans so they can't unpersist themselves), clear the cache,
-        # and force a synchronous driver GC so the async ContextCleaner
-        # reclaims the finished query's broadcasts NOW instead of
-        # taxing whichever later query hits an allocation wall
-        # (measured: the shingle-heavy dedups swing 4 s ↔ 39 s without
-        # this; erratic +1-3 s spikes with an async drain).
-        from psweep_spark.caching import clear_query_caches
-
-        clear_query_caches(spark, gc=True)
-        time.sleep(0.8)
+        drain()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 4)
@@ -321,6 +345,7 @@ def main() -> int:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "query_reps": query_reps,
             "shuffle_write_mb": shuffle_mb,
             "sf": sf_val,
         }

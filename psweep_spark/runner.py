@@ -45,9 +45,19 @@ columns, no per-row Python).  Semantics differences, by design:
 * pickled-object cells arrive as raw framed ``bytes`` (no per-row
   unpickling — that would reintroduce the loop); result columns must
   be Arrow-typeable (frame objects with ``objects.obj_to_bytes``).
-* ``safe`` / ``capture_logs`` / ``tmpsave`` are per-pset contracts and
-  are rejected in vectorized mode — a batch raise aborts the batch,
-  not one pset.
+* ``safe=True`` is supported via BATCH BISECTION (VERDICT r8 item 5):
+  the whole batch is tried first; on an exception the batch is split
+  in half recursively (log₂ isolation) until the failing psets are
+  single rows — those get ``_failed=true`` + ``_exc_txt`` (null result
+  columns), every other row gets its real result and
+  ``_failed=false``.  Worst case (all rows fail) costs ~2N func calls;
+  the no-failure fast path stays ONE call per Arrow batch.
+  ``_pset_runtime`` amortizes the whole batch wall INCLUDING the
+  isolation retries.  A result-column collision
+  (:class:`VectorizedContractError`) is never converted to
+  ``_failed`` — it is a caller bug that would corrupt stored rows.
+* ``capture_logs`` / ``tmpsave`` remain per-pset contracts and are
+  rejected in vectorized mode.
 
 Output equality with the per-row path (same values, stamps aside) is
 pinned by tests/test_run.py::test_run_vectorized_matches_per_row.
@@ -82,7 +92,15 @@ __all__ = [
     "uuid5_expr",
     "infer_schema",
     "skip_dups_anti_join",
+    "VectorizedContractError",
 ]
+
+
+class VectorizedContractError(ValueError):
+    """``func_pandas`` violated the batch contract (a result column
+    collides with a pset/meta column).  Never converted to
+    ``_failed`` rows by safe mode: the overwrite would corrupt stored
+    values rather than fail a pset, so it must stay loud."""
 
 
 # ---------------------------------------------------------------------------
@@ -299,45 +317,112 @@ def _make_mapper(
     double_cols = {
         f.name for f in out_schema.fields if isinstance(f.dataType, T.DoubleType)
     }
+    int_cols = {
+        f.name
+        for f in out_schema.fields
+        if isinstance(
+            f.dataType,
+            (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+        )
+    }
     pkl_cols = pickled_cols(out_schema)
 
     if func_pandas is not None and not simulate:
         # vectorized fast path: one func_pandas call per Arrow batch,
-        # zero per-row Python (module docstring: "Vectorized mode")
+        # zero per-row Python (module docstring: "Vectorized mode");
+        # safe=True adds the batch-bisection failure isolation
         def vmapper(batches):
             import pandas as pd
+
+            stamp_names = ("_time_utc", "_exec_host", "_pset_runtime")
+
+            def _call(chunk: "pd.DataFrame") -> "pd.DataFrame":
+                # one func_pandas application + contract checks; the
+                # collision check raises VectorizedContractError so
+                # safe mode can re-raise it (corruption, not failure)
+                res = func_pandas(chunk)
+                if res is None:
+                    return pd.DataFrame(index=pd.RangeIndex(len(chunk)))
+                if len(res) != len(chunk):
+                    raise ValueError(
+                        f"func_pandas returned {len(res)} rows for a "
+                        f"{len(chunk)}-row batch; results must align "
+                        "positionally with the input batch"
+                    )
+                res = res.reset_index(drop=True)
+                clobber = [
+                    c
+                    for c in res.columns
+                    if c in chunk.columns
+                    or c in stamp_names
+                    or c in ("_failed", "_exc_txt")
+                ]
+                if clobber:
+                    raise VectorizedContractError(
+                        f"func_pandas result columns {clobber} collide "
+                        "with pset/meta columns; results must use new "
+                        "names (the per-row contract's pset.update() "
+                        "overwrite has no vectorized counterpart)"
+                    )
+                return res
+
+            def _safe_apply(chunk: "pd.DataFrame"):
+                # returns (res, failed, exc_txts) aligned with chunk.
+                # Fast path: one call for the whole chunk.  On an
+                # exception, bisect — log₂(n) extra calls isolate each
+                # failing pset to a single row, mirroring the per-row
+                # safe contract (manual.md:891-944 semantics).
+                n = len(chunk)
+                try:
+                    res = _call(chunk)
+                except VectorizedContractError:
+                    raise
+                except Exception:  # noqa: BLE001  (user func failure)
+                    if n <= 1:
+                        exc = traceback.format_exc()
+                        return (
+                            pd.DataFrame(index=pd.RangeIndex(n)),
+                            [True] * n,
+                            [exc] * n,
+                        )
+                    mid = n // 2
+                    r1, f1, e1 = _safe_apply(
+                        chunk.iloc[:mid].reset_index(drop=True)
+                    )
+                    r2, f2, e2 = _safe_apply(
+                        chunk.iloc[mid:].reset_index(drop=True)
+                    )
+                    # failed halves carry no result columns; concat
+                    # aligns by name and NaN-fills — NaNs are swapped
+                    # for None below so Arrow sees typed nulls
+                    return (
+                        pd.concat([r1, r2], ignore_index=True),
+                        f1 + f2,
+                        e1 + e2,
+                    )
+                return res, [False] * n, [None] * n
 
             host = socket.gethostname()
             for pdf in batches:
                 n = len(pdf)
                 pdf = pdf.reset_index(drop=True)
                 t0 = time.time()
-                res = func_pandas(pdf) if n else None
+                failed: list = []
+                excs: list = []
+                if not n:
+                    res = None
+                elif safe:
+                    res, failed, excs = _safe_apply(pdf)
+                else:
+                    res = _call(pdf)
                 dt = time.time() - t0
                 out = pdf
                 if res is not None:
-                    if len(res) != n:
-                        raise ValueError(
-                            f"func_pandas returned {len(res)} rows for a "
-                            f"{n}-row batch; results must align "
-                            "positionally with the input batch"
-                        )
-                    res = res.reset_index(drop=True)
-                    clobber = [
-                        c
-                        for c in res.columns
-                        if c in pdf.columns
-                        or c in ("_time_utc", "_exec_host", "_pset_runtime")
-                    ]
-                    if clobber:
-                        raise ValueError(
-                            f"func_pandas result columns {clobber} collide "
-                            "with pset/meta columns; results must use new "
-                            "names (the per-row contract's pset.update() "
-                            "overwrite has no vectorized counterpart)"
-                        )
                     for c in res.columns:
                         out[c] = res[c]
+                if safe:
+                    out["_failed"] = pd.array(failed, dtype="boolean")
+                    out["_exc_txt"] = pd.array(excs, dtype="string")
                 out["_time_utc"] = _dt.datetime.fromtimestamp(
                     int(t0), _dt.timezone.utc
                 ).replace(tzinfo=None)
@@ -350,6 +435,20 @@ def _make_mapper(
                 for c in double_cols:
                     if out[c].dtype == object:
                         out[c] = pd.to_numeric(out[c], errors="coerce")
+                if safe:
+                    # bisected batches leave NaN holes in failed rows'
+                    # result cells; Arrow needs typed nulls, not float
+                    # NaN, in non-double columns
+                    for c in out.columns:
+                        col = out[c]
+                        if c not in double_cols and col.dtype == object:
+                            out[c] = col.where(pd.notna(col), None)
+                        elif c in int_cols and col.dtype.kind == "f":
+                            # concat promoted an int result column to
+                            # float64 to hold the holes — back to a
+                            # NULLABLE integer so the Arrow cast to the
+                            # declared long/int type is lossless
+                            out[c] = pd.array(col, dtype="Int64")
                 yield out
 
         return vmapper
@@ -521,11 +620,12 @@ def run(
     """
     if capture_logs not in (None, "db", "file", "db+file"):
         raise ValueError(f"capture_logs must be db|file|db+file, got {capture_logs!r}")
-    if func_pandas is not None and (safe or capture_logs or tmpsave):
+    if func_pandas is not None and (capture_logs or tmpsave):
         raise ValueError(
-            "func_pandas is the vectorized batch contract; safe/"
+            "func_pandas is the vectorized batch contract; "
             "capture_logs/tmpsave are per-pset contracts — use the "
-            "per-pset func for those (module docstring: Vectorized mode)"
+            "per-pset func for those (module docstring: Vectorized "
+            "mode; safe=True IS supported, via batch bisection)"
         )
 
     git_enter(git, git_dir)
@@ -628,29 +728,52 @@ def run(
     elif result_schema is not None:
         res_fields = list(result_schema.fields)
     elif func is None and func_pandas is not None:
-        # vectorized-only schema probe: one driver-side func_pandas
-        # call on a single-row batch shaped exactly like the executor
-        # batches (stamped columns included, pickled cells raw)
+        # vectorized-only schema probe: driver-side func_pandas calls
+        # on single-row batches shaped exactly like the executor
+        # batches (stamped columns included, pickled cells raw).
+        # safe mode must tolerate a failing first pset, mirroring the
+        # per-row probe: try a bounded prefix, infer from the first
+        # success
         import pandas as pd
 
-        probe_rec = {
-            k: _pyval(v)
-            for k, v in first_rows[0].asDict(recursive=True).items()
-        }
-        probe_rec.update(
-            _run_id=run_id,
-            _pset_id="00000000-0000-5000-8000-000000000000",
-            _run_seq=run_seq,
-            _pset_seq=pset_base + 1,
-            _pset_hash="",
-            _calc_dir=os.path.abspath(calc_dir),
+        vec_probe_rows = (
+            params_df.select(*pset_cols).take(8) if safe else first_rows
         )
-        res_pdf = func_pandas(pd.DataFrame([probe_rec]))
-        probe_res = (
-            {}
-            if res_pdf is None
-            else {c: _pyval(res_pdf[c].iloc[0]) for c in res_pdf.columns}
-        )
+        probe_res: dict | None = None
+        for probe_row in vec_probe_rows:
+            probe_rec = {
+                k: _pyval(v)
+                for k, v in probe_row.asDict(recursive=True).items()
+            }
+            probe_rec.update(
+                _run_id=run_id,
+                _pset_id="00000000-0000-5000-8000-000000000000",
+                _run_seq=run_seq,
+                _pset_seq=pset_base + 1,
+                _pset_hash="",
+                _calc_dir=os.path.abspath(calc_dir),
+            )
+            try:
+                res_pdf = func_pandas(pd.DataFrame([probe_rec]))
+                probe_res = (
+                    {}
+                    if res_pdf is None
+                    else {
+                        c: _pyval(res_pdf[c].iloc[0])
+                        for c in res_pdf.columns
+                    }
+                )
+                break
+            except Exception:
+                if not safe:
+                    raise
+        if probe_res is None:
+            if len(vec_probe_rows) == 8:
+                raise ValueError(
+                    "schema probe: the first 8 psets all failed under "
+                    "safe=True; pass result_schema= explicitly"
+                )
+            probe_res = {}
         res_fields = list(
             infer_schema([probe_res], pickle_objects=pickle_objects).fields
         )
@@ -674,7 +797,9 @@ def run(
                 _run_seq=run_seq,
                 _pset_seq=pset_base + 1,
                 _calc_dir=os.path.abspath(calc_dir),
-                _time_utc=_dt.datetime.utcnow(),
+                _time_utc=_dt.datetime.now(_dt.timezone.utc).replace(
+                    tzinfo=None
+                ),
                 _exec_host=socket.gethostname(),
             )
             try:

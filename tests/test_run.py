@@ -631,14 +631,80 @@ def test_run_vectorized_matches_per_row(spark, calc_dir):
             result_schema=d_row.select("y_").schema,
         ).collect()
 
-    # per-pset contracts rejected
-    for kw in ({"safe": True}, {"capture_logs": "db"}, {"tmpsave": True}):
-        with pytest.raises(ValueError, match="vectorized"):
+    # per-pset contracts rejected (safe is now supported — bisection)
+    for kw in ({"capture_logs": "db"}, {"tmpsave": True}):
+        with pytest.raises(ValueError, match="vectorized|Vectorized"):
             run(
                 spark, None, params,
                 calc_dir=os.path.join(calc_dir, "y"),
                 func_pandas=fp, **kw,
             )
+
+
+def test_run_vectorized_safe_bisect(spark, calc_dir):
+    """Vectorized safe mode (VERDICT r8 item 5) mirrors the per-row
+    safe contract: failing psets get _failed=true/_exc_txt with null
+    result columns, passing psets in the SAME batch get real results;
+    the repeat-failed pattern works; collisions stay loud (never
+    converted to _failed); a batch where EVERY pset fails still emits
+    per-row rows."""
+    import pandas as pd
+
+    from psweep_spark.query import failed_psets, latest_per_pset
+    from psweep_spark.runner import run
+
+    params = pgrid([plist("a", [1, 2, 3, 4, 5, 6, 7])])
+
+    def flaky(pdf: pd.DataFrame) -> pd.DataFrame:
+        if (pdf.a % 2 == 0).any():
+            raise RuntimeError(f"boom {sorted(pdf.a.tolist())}")
+        return pd.DataFrame({"result_": pdf.a.astype(float)})
+
+    df = run(spark, None, params, calc_dir=calc_dir, safe=True,
+             func_pandas=flaky)
+    rows = {r["a"]: r for r in df.collect()}
+    assert {a for a, r in rows.items() if r["_failed"]} == {2, 4, 6}
+    assert all("boom" in rows[a]["_exc_txt"] for a in (2, 4, 6))
+    assert all(rows[a]["_exc_txt"] is None for a in (1, 3, 5, 7))
+    # passing rows in the same batch keep REAL results, failed get null
+    assert all(rows[a]["result_"] == float(a) for a in (1, 3, 5, 7))
+    assert all(rows[a]["result_"] is None for a in (2, 4, 6))
+
+    # repeat-failed pattern (reference examples/repeat_failed.py)
+    redo = [{"a": r["a"]} for r in failed_psets(df).select("a").collect()]
+
+    def fixed(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"result_": pdf.a.astype(float)})
+
+    df2 = run(spark, None, redo, calc_dir=calc_dir, safe=True,
+              func_pandas=fixed)
+    assert latest_per_pset(df2).filter(F.col("_failed")).count() == 0
+
+    # all-fail batch: every row rowed out as failed (and the schema
+    # probe falls through 8 rows -> explicit result_schema required)
+    def always(pdf: pd.DataFrame) -> pd.DataFrame:
+        raise RuntimeError("nope")
+
+    with pytest.raises(ValueError, match="result_schema"):
+        run(spark, None, pgrid([plist("a", list(range(10)))]),
+            calc_dir=os.path.join(calc_dir, "af"), safe=True,
+            func_pandas=always)
+    df3 = run(
+        spark, None, pgrid([plist("a", list(range(10)))]),
+        calc_dir=os.path.join(calc_dir, "af2"), safe=True,
+        func_pandas=always,
+        result_schema=df.select("result_").schema,
+    )
+    assert df3.filter(F.col("_failed")).count() == 10
+
+    # collision is corruption, not failure: loud even under safe=True
+    def shadow(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": pdf.a * 2})
+
+    with pytest.raises(Exception, match="collide"):
+        run(spark, None, params, calc_dir=os.path.join(calc_dir, "cl"),
+            safe=True, func_pandas=shadow,
+            result_schema=df.select("result_").schema).collect()
 
 
 def test_rehash_projection_only_no_exchange(spark, calc_dir):
