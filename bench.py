@@ -136,6 +136,7 @@ HEADLINE = [
     "docs_source_quota",
     "embed_semdedup",
     "semdedup_kmeans",
+    "semdedup_kmeans_scaled",
     "docs_mixture_epochs",
     "docs_pii_scrub",
     "pipeline_prepare_corpus",

@@ -372,11 +372,20 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SDK_K, _SDK_ITERS, _SDK_DIM = 4, 3, 64
 
+#: SemDeDup's own sizing, as SQL: k = ⌈√N⌉ over the embeddings corpus —
+#: the same value sdk_lloyd_state(k=None) computes engine-side.  N below
+#: 2⁵² keeps ceil(sqrt(double)) exact at every non-square (and squares
+#: of ints < 2²⁶ have exact double roots), so both engines agree.
+_SDK_SCALED_K_SQL = (
+    "(SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)"
+    " FROM embeddings)"
+)
 
-def _semdedup_kmeans_oracle() -> str:
+
+def _semdedup_kmeans_oracle(k: "int | str" = _SDK_K) -> str:
     from psweep_spark.queries_scale import _kmeans_cte_parts
 
-    parts = _kmeans_cte_parts(_SDK_K, _SDK_ITERS, _SDK_DIM)
+    parts = _kmeans_cte_parts(k, _SDK_ITERS, _SDK_DIM)
     cos = (
         "round(list_dot_product(a.e, b.e) /"
         " (sqrt(list_dot_product(a.e, a.e))"
@@ -407,17 +416,38 @@ def _semdedup_kmeans_oracle() -> str:
     )
 
 
-def sdk_lloyd_state(spark: SparkSession, sf_dir: str):
-    """The Lloyd stage of :func:`semdedup_kmeans`, exposed for the sf10
-    property gate (tools/check_sf10_constructed.py): returns
-    ``(v, cents)`` where ``v`` is the (vec_id, e double[], q ×1000-
-    quantized long[]) relation and ``cents`` the final integer
-    centroids after ``_SDK_ITERS`` exact Lloyd rounds from the
-    first-``_SDK_K``-vectors init — the same state the catalog query
-    feeds to assignment + the pair stage."""
+def scaled_semdedup_k(n: int) -> int:
+    """SemDeDup's own k sizing: ⌈√N⌉, exact in integers (the SQL twin
+    is :data:`_SDK_SCALED_K_SQL`)."""
     import math
 
-    from psweep_spark.operators.similarity import assign_nearest_centroid
+    r = math.isqrt(n)
+    return r if r * r == n else r + 1
+
+
+def sdk_lloyd_state(
+    spark: SparkSession,
+    sf_dir: str,
+    k: "int | None" = _SDK_K,
+    blas: bool = False,
+):
+    """The Lloyd stage of :func:`semdedup_kmeans` /
+    :func:`semdedup_kmeans_scaled`, exposed for the sf10 property gate
+    (tools/check_sf10_constructed.py): returns ``(v, cents)`` where
+    ``v`` is the (vec_id, e double[], q ×1000-quantized long[])
+    relation and ``cents`` the final integer centroids after
+    ``_SDK_ITERS`` exact Lloyd rounds from the first-k-vectors init —
+    the same state the catalog queries feed to assignment + the pair
+    stage.  ``k=None`` → SemDeDup's own ⌈√N⌉ sizing
+    (:func:`scaled_semdedup_k`); ``blas=True`` routes every assignment
+    through :func:`assign_nearest_centroid_blas` (the large-k scale
+    path, bit-identical by contract)."""
+    import math
+
+    from psweep_spark.operators.similarity import (
+        assign_nearest_centroid,
+        assign_nearest_centroid_blas,
+    )
 
     emb = _ld(spark, sf_dir, "embeddings")
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -427,10 +457,14 @@ def sdk_lloyd_state(spark: SparkSession, sf_dir: str):
     )
     v = emb.select("vec_id", e.alias("e"), qx.alias("q"))
 
-    init = v.select("vec_id", "q").orderBy("vec_id").limit(_SDK_K).collect()
+    if k is None:
+        k = scaled_semdedup_k(v.count())
+    assign = assign_nearest_centroid_blas if blas else assign_nearest_centroid
+
+    init = v.select("vec_id", "q").orderBy("vec_id").limit(k).collect()
     cents = [(i, [int(x) for x in r["q"]]) for i, r in enumerate(init)]
     for _ in range(_SDK_ITERS):
-        assigned = assign_nearest_centroid(
+        assigned = assign(
             v.select("vec_id", "q"), cents, q_col="q", out_col="cid"
         )
         # posexplode + (cid, pos) groupBy: same exact integer sums as 64
@@ -480,6 +514,42 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v, cents = sdk_lloyd_state(spark, sf_dir)
     final = assign_nearest_centroid(
+        v.select("vec_id", "e", "q"), cents, q_col="q", out_col="cluster_id"
+    )
+    return cluster_cosine_pairs(
+        final, _SEM_TAU, cluster_col="cluster_id",
+        id_col="vec_id", vec_col="e",
+    ).select("cluster_id", "id_a", "id_b", "cosine")
+
+
+@_q("semdedup_kmeans_scaled", _semdedup_kmeans_oracle(_SDK_SCALED_K_SQL))
+def semdedup_kmeans_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`semdedup_kmeans` at SemDeDup's OWN k≈√N sizing (VERDICT
+    r8 item 1) — the production shape.  ``semdedup_kmeans`` (fixed
+    k=4) stays in the catalog as the small-k oracle twin; ITS pair
+    stage is ~N²/k by construction and is not the scale path.
+
+    k = ⌈√N⌉ is computed from the corpus row count on BOTH sides
+    (engine: :func:`scaled_semdedup_k`; oracle: the same ceil(sqrt)
+    as a scalar subquery), so the entry stays fully deterministic and
+    oracle-gated at every SF while k grows with the data: 15 @ sf0.01,
+    45 @ sf0.1, 142 @ sf1, 448 @ sf10.
+
+    Scale shape — why this clears the fixed-k superlinear flag: with
+    k≈√N, E|cluster| ≈ √N, so the pair stage's Σ|cluster|² candidate
+    work is ~N^1.5 FLOPs — but those are blocked-BLAS flops (~10⁸ at
+    sf10, milliseconds), so measured wall tracks the LINEAR stages
+    (scan, Arrow transfer, one shuffle on cluster_id).  Assignment
+    uses :func:`assign_nearest_centroid_blas`: one exact float64
+    matmul per Arrow batch (N·k·d = 5.7e9 flops at sf10 — BLAS
+    territory, where the literal expression tree and the interpreted
+    broadcast-join fold both stop scaling).  Lloyd's centroid update
+    collects only k·d ints per round."""
+    from psweep_spark.operators.dedup import cluster_cosine_pairs
+    from psweep_spark.operators.similarity import assign_nearest_centroid_blas
+
+    v, cents = sdk_lloyd_state(spark, sf_dir, k=None, blas=True)
+    final = assign_nearest_centroid_blas(
         v.select("vec_id", "e", "q"), cents, q_col="q", out_col="cluster_id"
     )
     return cluster_cosine_pairs(

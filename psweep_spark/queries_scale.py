@@ -2311,9 +2311,13 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_cte_parts(k: int = 4, iters: int = 3, dim: int = 64) -> list[str]:
+def _kmeans_cte_parts(
+    k: "int | str" = 4, iters: int = 3, dim: int = 64
+) -> list[str]:
     """The unrolled Lloyd CTE chain (qv, c0, d1..c{iters}) shared by the
-    k-means oracle and the semdedup∘kmeans composition oracle."""
+    k-means oracle and the semdedup∘kmeans composition oracles.  ``k``
+    may be a SQL scalar expression (string) — the scaled SemDeDup
+    oracle passes ``ceil(sqrt(count(*)))`` so k tracks the corpus."""
     parts = [
         f"""
     qv AS (

@@ -695,7 +695,42 @@ def test_assign_nearest_centroid_broadcast_path_at_large_k(spark):
     assert got_big == got_lit and len(got_big) == n
 
 
-def test_mg_survival_guarantee(spark):
+def test_assign_nearest_centroid_blas_identity(spark):
+    """The BLAS assignment (one float64 matmul per Arrow batch — the
+    k≈√N SemDeDup scale path) is bit-identical to the expression
+    paths: same argmin, same tie → lowest-cid rule.  Includes a
+    CONSTRUCTED exact tie (a vector equidistant from two centroids)
+    and multi-partition input."""
+    import random
+
+    from psweep_spark.operators.similarity import (
+        assign_nearest_centroid,
+        assign_nearest_centroid_blas,
+    )
+
+    rng = random.Random(11)
+    dim, k, n = 16, 96, 400
+    cents = [(c, [rng.randrange(-3000, 3000) for _ in range(dim)])
+             for c in range(k)]
+    rows = [(i, [rng.randrange(-3000, 3000) for _ in range(dim)])
+            for i in range(n)]
+    # exact tie: centroids k and k+1 mirror each other around row n —
+    # dist(row, c_k) == dist(row, c_{k+1}), so BOTH paths must pick c_k
+    base = [rng.randrange(-3000, 3000) for _ in range(dim)]
+    cents.append((k, [b + 7 for b in base]))
+    cents.append((k + 1, [b - 7 for b in base]))
+    rows.append((n, base))
+    v = spark.createDataFrame(
+        rows, "vec_id long, q array<bigint>"
+    ).repartition(8)
+
+    expr = assign_nearest_centroid(v, cents, q_col="q", out_col="cid")
+    blas = assign_nearest_centroid_blas(v, cents, q_col="q", out_col="cid")
+    got_expr = {r["vec_id"]: r["cid"] for r in expr.collect()}
+    got_blas = {r["vec_id"]: r["cid"] for r in blas.collect()}
+    assert got_blas == got_expr and len(got_blas) == n + 1
+    # the tie row resolved to the LOWER cid on both paths
+    assert got_blas[n] == k
     """Misra-Gries survival contract (operators/sketch.py): any item
     with global count > N/(k+1) appears in the candidate union — under
     REAL eviction pressure (k=16 counters, 210 distinct items, Zipfian
