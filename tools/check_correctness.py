@@ -60,6 +60,14 @@ def main() -> int:
         i = args.index("--json")
         json_path = args[i + 1]
         args = args[:i] + args[i + 2:]
+    excluded: dict[str, str] = {}
+    if "--exclude" in args:
+        # everything after --exclude is name[=reason] pairs
+        i = args.index("--exclude")
+        for tok in args[i + 1:]:
+            name, _, why = tok.partition("=")
+            excluded[name] = why or "excluded by caller"
+        args = args[:i]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     results: dict[str, dict] = {}
@@ -83,6 +91,9 @@ def main() -> int:
     n_pass = n_fail = n_weak = 0
     for name, fn in queries.items():
         if only and name not in only:
+            continue
+        if name in excluded:
+            print(f"skip  {name}: {excluded[name]}")
             continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -142,6 +153,7 @@ def main() -> int:
                     "n_ok": n_pass,
                     "n_weak": n_weak,
                     "n_fail": n_fail,
+                    "excluded": excluded,
                     "queries": results,
                 },
                 fh, indent=2, sort_keys=True,

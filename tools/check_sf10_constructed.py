@@ -70,12 +70,27 @@ output bit-for-bit before it is trusted at sf10):
   identity, linear in N·k).  Both engine sides run at sf10 thanks to
   the r8 row-blocked matmuls in operators/dedup.py.
 
-Still excluded at sf10, with reasons (not budget):
-* multimodal_binaryfile_ingest — provisioning writes one blob file per
-  doc (500k files): a local-filesystem landing artifact, not plan cost.
+* ``semdedup_kmeans_scaled`` (NEW r9, VERDICT r8 item 1) — same five
+  properties as ``semdedup_kmeans``, but at k=⌈√N⌉ (448 at sf10) the
+  DuckDB Lloyd CTE is itself a 3×(N·k) cross join (~90 min at sf10),
+  so the independent recomputation is a pure-NUMPY exact integer
+  Lloyd instead (float64 arithmetic on ×1000-quantized ints is exact
+  below 2⁵³; ``‖c‖²−2a·c`` argmin with first-minimum tie rule — the
+  same exactness argument as ``assign_nearest_centroid_blas``'s
+  docstring, but a from-scratch reimplementation over a direct
+  parquet read, sharing no code with the engine path).  At sf1 the
+  numpy Lloyd is ADDITIONALLY cross-checked bit-for-bit against
+  DuckDB's independent CTE Lloyd at k=142 (feasible there), and the
+  whole entry is separately gated by its true direct oracle in the
+  sf1 full gate.
+
+(``multimodal_binaryfile_ingest``, excluded through r8 as a 500k-file
+landing artifact, is closed in r9 by simply RUNNING the direct gate at
+sf10 — see CORRECTNESS_SF10_BINARYFILE_r9.json; no construction
+needed.)
 
 Usage: python tools/check_sf10_constructed.py [--validate-only]
-Writes CORRECTNESS_SF10_CONSTRUCTED_r8.json.
+Writes CORRECTNESS_SF10_CONSTRUCTED_r9.json.
 """
 
 from __future__ import annotations
@@ -363,6 +378,237 @@ def semdedup_property_check(
         "method": "property oracle (5 linear checks)",
         "checks": checks,
         "engine_pairs": len(got),
+    }
+    return ok
+
+
+def _load_q_numpy(con):
+    """(ids, Q) — vec_id-sorted ×1000-quantized int64 matrix, read
+    straight off the parquet (DuckDB used only as a reader; no shared
+    code with the engine's Spark-side quantization)."""
+    import numpy as np
+
+    df = con.sql(
+        """SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                    AS q
+           FROM embeddings ORDER BY vec_id"""
+    ).df()
+    ids = df["vec_id"].to_numpy(dtype="int64")
+    Q = np.stack(df["q"].to_numpy()).astype("int64")
+    return ids, Q
+
+
+def _np_argmin_pos(Q, C):
+    """Exact integer argmin of ‖q−c‖² via ‖c‖²−2q·c in float64 (all
+    intermediates < 2⁵³ on ×1000-quantized data, so the matmul is
+    exact); np.argmin's first-minimum rule = tie → lowest position
+    (= lowest cid over a cid-sorted codebook)."""
+    import numpy as np
+
+    Qf = Q.astype(np.float64)
+    Cf = C.astype(np.float64)
+    score = (Cf * Cf).sum(axis=1)[None, :] - 2.0 * (Qf @ Cf.T)
+    return np.argmin(score, axis=1)
+
+
+def numpy_lloyd(ids, Q, k: int, iters: int):
+    """Independent exact integer Lloyd: first-k-by-vec_id init,
+    floored-mean updates (int64 floor division == the engine's
+    math.floor(s/n): with |s| ≤ 2e8 ≪ 2⁵³ and the true quotient
+    never within an ulp of a wrong integer, both are the exact floor),
+    empty clusters dropped.  Returns (cents, inertias) with cents in
+    the engine's [(cid, [ints])] shape."""
+    import numpy as np
+
+    n, dim = Q.shape
+    present = np.arange(k, dtype=np.int64)  # init = first k rows
+    C = Q[:k].copy()
+    inertias = []
+    for _ in range(iters):
+        pos = _np_argmin_pos(Q, C)
+        # inertia BEFORE the update (distance to the entering round's
+        # centroids — same J the Lloyd-descent property bounds)
+        Qf = Q.astype(np.float64)
+        Cf = C.astype(np.float64)
+        d_min = (
+            (Qf * Qf).sum(axis=1)
+            + (Cf * Cf).sum(axis=1)[pos]
+            - 2.0 * np.einsum("ij,ij->i", Qf, Cf[pos])
+        )
+        inertias.append(float(d_min.sum()))
+        sums = np.zeros((len(present), dim), dtype=np.int64)
+        np.add.at(sums, pos, Q)
+        counts = np.bincount(pos, minlength=len(present))
+        keep = counts > 0
+        C = sums[keep] // counts[keep, None]
+        present = present[keep]
+    cents = [(int(c), [int(x) for x in row]) for c, row in zip(present, C)]
+    return cents, inertias
+
+
+def semdedup_scaled_property_check(
+    spark, con, sf_dir: str, queries, results: dict, label: str,
+    duckdb_cross: bool = False,
+) -> bool:
+    """semdedup_kmeans_scaled property oracle (r9; module docstring):
+    the same five-check decomposition as semdedup_kmeans, with the
+    independent Lloyd recomputation in pure numpy (the DuckDB CTE at
+    k=⌈√N⌉ is itself quadratic-cost).  ``duckdb_cross=True`` (sf1
+    validation) additionally cross-checks the numpy Lloyd against
+    DuckDB's CTE Lloyd bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from psweep_spark import queries_pipeline as qp
+    from psweep_spark.operators.similarity import assign_nearest_centroid_blas
+    from psweep_spark.queries_scale import _kmeans_cte_parts
+
+    iters, dim, tau = qp._SDK_ITERS, qp._SDK_DIM, qp._SEM_TAU
+    checks: dict[str, dict] = {}
+    ok = True
+
+    def record(name: str, passed: bool, detail: str) -> None:
+        nonlocal ok
+        ok &= passed
+        checks[name] = {"ok": bool(passed), "detail": detail}
+        print(f"{'ok   ' if passed else 'FAIL '} {label} {name}: {detail}")
+
+    ids, Q = _load_q_numpy(con)
+    k = qp.scaled_semdedup_k(len(ids))
+
+    # -- 1. centroid identity: engine Lloyd vs independent numpy Lloyd
+    t0 = time.time()
+    np_cents, np_inertias = numpy_lloyd(ids, Q, k, iters)
+    v, cents = qp.sdk_lloyd_state(spark, sf_dir, k=None, blas=True)
+    record(
+        "centroids_exact",
+        cents == np_cents,
+        f"k={k}, {len(cents)} centroids x {dim} dims, "
+        f"{time.time() - t0:.1f}s",
+    )
+
+    # -- 1b. (sf1 only) numpy Lloyd vs DuckDB's independent CTE Lloyd
+    if duckdb_cross:
+        t0 = time.time()
+        with_cte = "WITH " + ",".join(_kmeans_cte_parts(k, iters, dim))
+        duck_cents = con.sql(
+            with_cte + f" SELECT cid, num FROM c{iters} ORDER BY cid"
+        ).fetchall()
+        duck_cents = [
+            (int(c), [int(x) for x in num]) for c, num in duck_cents
+        ]
+        record(
+            "numpy_vs_duckdb_cte",
+            np_cents == duck_cents,
+            f"k={k} CTE Lloyd, {time.time() - t0:.1f}s",
+        )
+
+    # -- 2. assignment identity under the final centroids
+    t0 = time.time()
+    cid_arr = np.asarray([c for c, _ in np_cents], dtype=np.int64)
+    C = np.asarray([cq for _, cq in np_cents], dtype=np.int64)
+    np_af = pd.DataFrame(
+        {"vec_id": ids, "cid": cid_arr[_np_argmin_pos(Q, C)]}
+    )
+    spark_af = (
+        assign_nearest_centroid_blas(
+            v.select("vec_id", "q"), cents, q_col="q", out_col="cid"
+        )
+        .select("vec_id", "cid")
+        .toPandas()
+    )
+    record(
+        "assignments_exact",
+        len(np_af) == len(spark_af)
+        and frame_hash(np_af) == frame_hash(spark_af),
+        f"{len(spark_af)} assignments, {time.time() - t0:.1f}s",
+    )
+
+    # -- 3. inertia monotone (numpy rounds)
+    record(
+        "inertia_monotone",
+        all(b <= a for a, b in zip(np_inertias, np_inertias[1:])),
+        f"J per round: {[round(j) for j in np_inertias]}",
+    )
+
+    # -- engine pairs (reused by the two remaining checks)
+    t0 = time.time()
+    got = queries["semdedup_kmeans_scaled"](spark, sf_dir).toPandas()
+    print(f"engine semdedup_kmeans_scaled@{label}: {len(got)} pairs "
+          f"({time.time() - t0:.1f}s)")
+    con.register("skc_pairs", got)
+    con.register("skc_af", np_af)
+
+    # -- 4. pair soundness: membership (vs the independent assignment)
+    # + cosine re-derived per emitted pair
+    t0 = time.time()
+    cos = _cos_sql("ea.e", "eb.e")
+    (n_sound,) = con.sql(
+        f"""WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                        FROM embeddings)
+        SELECT COUNT(*) FROM skc_pairs p
+        JOIN skc_af a ON a.vec_id = p.id_a
+        JOIN skc_af b ON b.vec_id = p.id_b
+        JOIN ve ea ON ea.vec_id = p.id_a
+        JOIN ve eb ON eb.vec_id = p.id_b
+        WHERE a.cid = p.cluster_id AND b.cid = p.cluster_id
+          AND p.id_a < p.id_b AND {cos} = p.cosine AND p.cosine >= {tau}
+        """
+    ).fetchone()
+    (n_dup,) = con.sql(
+        "SELECT COUNT(*) - COUNT(DISTINCT (id_a, id_b)) FROM skc_pairs"
+    ).fetchone()
+    record(
+        "pairs_sound",
+        int(n_sound) == len(got) and int(n_dup) == 0,
+        f"{n_sound}/{len(got)} re-derived, {n_dup} dups, "
+        f"{time.time() - t0:.1f}s",
+    )
+
+    # -- 5. probe completeness: exhaustive within-cluster truth for the
+    # vec_id % 997 probes under the independent assignment
+    t0 = time.time()
+    pm_cos = _cos_sql("p.e", "m.e")
+    probe_true = con.sql(
+        f"""WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                        FROM embeddings),
+        afe AS (SELECT s.vec_id, s.cid, ve.e
+                FROM skc_af s JOIN ve ON ve.vec_id = s.vec_id),
+        probes AS (SELECT * FROM afe WHERE vec_id % 997 = 0),
+        incid AS (
+          SELECT p.cid AS cluster_id,
+                 LEAST(p.vec_id, m.vec_id) AS id_a,
+                 GREATEST(p.vec_id, m.vec_id) AS id_b,
+                 {pm_cos} AS cosine
+          FROM probes p JOIN afe m
+            ON m.cid = p.cid AND m.vec_id <> p.vec_id
+        )
+        SELECT DISTINCT cluster_id, id_a, id_b, cosine FROM incid
+        WHERE cosine >= {tau}
+        """
+    ).df()
+    got_probe = con.sql(
+        """SELECT DISTINCT cluster_id, id_a, id_b, cosine FROM skc_pairs
+           WHERE id_a % 997 = 0 OR id_b % 997 = 0"""
+    ).df()
+    record(
+        "probe_complete",
+        len(probe_true) == len(got_probe)
+        and frame_hash(probe_true) == frame_hash(got_probe),
+        f"{len(got_probe)}/{len(probe_true)} probe-incident pairs, "
+        f"{time.time() - t0:.1f}s",
+    )
+    con.unregister("skc_pairs")
+    con.unregister("skc_af")
+
+    results[f"{label}:semdedup_kmeans_scaled_property"] = {
+        "status": "ok" if ok else "FAIL",
+        "method": "property oracle (numpy Lloyd + 5 linear checks)",
+        "checks": checks,
+        "engine_pairs": len(got),
+        "k": k,
     }
     return ok
 
@@ -679,6 +925,10 @@ def main() -> int:
     ok &= embed_semdedup_property_check(
         spark, con1, SF1, queries, results, "validate@sf1"
     )
+    ok &= semdedup_scaled_property_check(
+        spark, con1, SF1, queries, results, "validate@sf1",
+        duckdb_cross=True,
+    )
     if not ok:
         print("construction INVALID at sf1 — refusing to gate sf10 with it")
         _write(results)
@@ -729,12 +979,18 @@ def main() -> int:
         spark, con10, SF10, queries, results, "sf10"
     )
     results["embed_semdedup"] = results.pop("sf10:embed_semdedup_property")
+    semdedup_scaled_property_check(
+        spark, con10, SF10, queries, results, "sf10"
+    )
+    results["semdedup_kmeans_scaled"] = results.pop(
+        "sf10:semdedup_kmeans_scaled_property"
+    )
     _write(results)
     return 0
 
 
 def _write(results: dict) -> None:
-    path = os.path.join(REPO, "CORRECTNESS_SF10_CONSTRUCTED_r8.json")
+    path = os.path.join(REPO, "CORRECTNESS_SF10_CONSTRUCTED_r9.json")
     with open(path, "w") as fh:
         json.dump(results, fh, indent=2, sort_keys=True)
     print(f"wrote {path}")

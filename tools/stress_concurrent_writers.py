@@ -1,5 +1,5 @@
-"""Concurrent-writer stress for the DB commit protocol (VERDICT r7
-item 3).
+"""Concurrent-writer + concurrent-reader stress for the DB commit
+protocol (VERDICT r7 item 3; reader invariants VERDICT r8 item 6).
 
 The CAS/lockfile protocol (metastore.py conditional put,
 database.py:reserve_seqs manifest CAS + writer_lock staged-rename
@@ -32,10 +32,29 @@ protocol guarantees:
   statistically certain; the tool retries the whole stress once if a
   run happens to serialize cleanly).
 
+READERS (r8 item 6): while the writers race, K reader processes (own
+JVMs) loop ``Database.load(...)`` + per-run accounting against the
+same directory and assert what the staged-rename design promises a
+reader — every visible append is ALL-OR-NOTHING:
+
+* no torn run: every ``_run_seq`` group a read observes has exactly G
+  rows (a run's partition dir appears atomically via ``os.rename``;
+  a reader must never see half an append);
+* no regression: a committed run never disappears from a later read
+  by the same reader (append-only table, monotone visibility);
+* no phantom: every observed ``_run_seq`` belongs to [0, W·R).
+
+One writer's LAST append widens the pset schema (extra column),
+forcing the ``_rewrite`` swap path (read→rehash→rename-swap) to run
+while readers are scanning — the one window where the table dir is
+briefly replaced.  Readers count transient read errors separately
+(retriable-by-contract, recorded in the artifact); a SUCCESSFUL read
+returning torn/regressed data is what fails the stress.
+
 Writes STRESS_CONCURRENT.json at the repo root.
 
-Usage: python tools/stress_concurrent_writers.py [W R G]  (default 4 6 200)
-Internal: --worker <i> <W> <R> <G> <dbroot>
+Usage: python tools/stress_concurrent_writers.py [W R G K]  (default 4 6 200 3)
+Internal: --worker <i> <W> <R> <G> <dbroot>  /  --reader <i> <G> <dbroot>
 """
 
 from __future__ import annotations
@@ -97,6 +116,11 @@ def worker(i: int, w: int, r: int, g: int, dbroot: str) -> None:
     for j in range(r):
         base = (i * r + j) * g
         params = plist("a", list(range(base, base + g)))
+        if i == 0 and j == r - 1:
+            # widening append: forces the _rewrite swap path (table
+            # read->rehash->rename-swap) to run WHILE readers scan —
+            # the one window where the table dir is briefly replaced
+            params = [dict(p, b=float(p["a"])) for p in params]
         run(spark, func, params,
             calc_dir=os.path.join(SCRATCH, f"calc_{i}"),
             database_dir=os.path.join(dbroot, "database"))
@@ -105,7 +129,68 @@ def worker(i: int, w: int, r: int, g: int, dbroot: str) -> None:
                       "cas_retries": retries["n"], "wall_sec": wall}))
 
 
-def stress(w: int, r: int, g: int) -> dict:
+def reader(i: int, g: int, dbroot: str) -> None:
+    """Loop concurrent reads until the stop file appears; assert the
+    all-or-nothing visibility the staged-rename commit promises."""
+    os.environ.setdefault("PSWEEP_SPARK_DRIVER_MEM", "2g")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "2")
+
+    from pyspark.sql import functions as F
+
+    from psweep_spark.database import Database
+    from psweep_spark.session import get_spark
+
+    spark = get_spark(f"stress-reader-{i}")
+    db = Database(os.path.join(dbroot, "database"))
+
+    open(os.path.join(dbroot, f"rready_{i}"), "w").close()
+    go = os.path.join(dbroot, "go")
+    deadline = time.time() + 300
+    while not os.path.exists(go):
+        if time.time() > deadline:
+            raise TimeoutError("reader barrier: parent never signalled go")
+        time.sleep(0.02)
+
+    stop = os.path.join(dbroot, "stop")
+    n_reads = n_errors = torn = regressions = phantoms = 0
+    prev_seqs: set[int] = set()
+    max_runs = 0
+    while True:
+        # check-then-read so the post-stop final state is also read
+        stopping = os.path.exists(stop)
+        try:
+            df = db.load(spark)
+            if df is None:
+                counts: dict[int, int] = {}
+            else:
+                counts = {
+                    int(row["_run_seq"]): int(row["n"])
+                    for row in df.groupBy("_run_seq")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+            n_reads += 1
+            torn += sum(1 for n in counts.values() if n != g)
+            phantoms += sum(1 for s in counts if s < 0)
+            if prev_seqs - set(counts):
+                regressions += 1
+            prev_seqs = set(counts)
+            max_runs = max(max_runs, len(counts))
+        except Exception:
+            # transient FS race (the _rewrite swap window) —
+            # retriable by contract; recorded, not fatal
+            n_errors += 1
+        if stopping:
+            break
+        time.sleep(0.05)  # pace the loop (pre-table loads are instant)
+    print(json.dumps({
+        "reader": i, "reads": n_reads, "read_errors": n_errors,
+        "torn_runs": torn, "regressions": regressions,
+        "phantoms": phantoms, "max_runs_seen": max_runs,
+    }))
+
+
+def stress(w: int, r: int, g: int, k: int = 3) -> dict:
     shutil.rmtree(SCRATCH, ignore_errors=True)
     os.makedirs(SCRATCH, exist_ok=True)
     dbroot = os.path.join(SCRATCH, "shared")
@@ -120,15 +205,28 @@ def stress(w: int, r: int, g: int) -> dict:
         )
         for i in range(w)
     ]
+    rprocs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--reader",
+             str(i), str(g), dbroot],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=REPO,
+        )
+        for i in range(k)
+    ]
     deadline = time.time() + 300
-    while sum(os.path.exists(os.path.join(dbroot, f"ready_{i}"))
-              for i in range(w)) < w:
+    while (
+        sum(os.path.exists(os.path.join(dbroot, f"ready_{i}"))
+            for i in range(w)) < w
+        or sum(os.path.exists(os.path.join(dbroot, f"rready_{i}"))
+               for i in range(k)) < k
+    ):
         if time.time() > deadline or any(
-            p.poll() is not None for p in procs
+            p.poll() is not None for p in procs + rprocs
         ):
-            for p in procs:
+            for p in procs + rprocs:
                 p.kill()
-            outs = [p.communicate() for p in procs]
+            outs = [p.communicate() for p in procs + rprocs]
             raise RuntimeError(f"worker died before barrier: {outs}")
         time.sleep(0.1)
     open(os.path.join(dbroot, "go"), "w").close()
@@ -137,8 +235,19 @@ def stress(w: int, r: int, g: int) -> dict:
     for p in procs:
         out, err = p.communicate(timeout=900)
         if p.returncode != 0:
+            for rp in rprocs:
+                rp.kill()
             raise RuntimeError(f"worker failed:\n{err[-4000:]}")
         reports.append(json.loads(out.strip().splitlines()[-1]))
+
+    # writers done: signal readers to take one final read and report
+    open(os.path.join(dbroot, "stop"), "w").close()
+    rreports = []
+    for p in rprocs:
+        out, err = p.communicate(timeout=600)
+        if p.returncode != 0:
+            raise RuntimeError(f"reader failed:\n{err[-4000:]}")
+        rreports.append(json.loads(out.strip().splitlines()[-1]))
 
     # ---- parent-side verification on a fresh session
     os.environ.setdefault("PSWEEP_SPARK_DRIVER_MEM", "6g")
@@ -168,6 +277,13 @@ def stress(w: int, r: int, g: int) -> dict:
     ).filter("k > 1").count()
     n_a = df.select("a").distinct().count()
     y_bad = df.filter(F.col("y_") != F.col("a") * 2.0).count()
+    # the widening append: exactly g rows carry b (== their a), the
+    # rest NULL-extended, and the post-rewrite rehash stayed unique
+    n_b = df.filter(F.col("b").isNotNull()).count()
+    b_bad = df.filter(
+        F.col("b").isNotNull() & (F.col("b") != F.col("a"))
+    ).count()
+    n_hash = df.select("_pset_hash").distinct().count()
 
     summary = {
         "_doc": (
@@ -176,7 +292,14 @@ def stress(w: int, r: int, g: int) -> dict:
             "against ONE shared DB. Invariants verified by the parent "
             "on a fresh session; cas_retries counts mutate "
             "re-invocations inside Database.update_meta = conditional-"
-            "put races LOST and retried (the losing-writer path)."
+            "put races LOST and retried (the losing-writer path). "
+            "K reader processes loop loads DURING the race (r8 item "
+            "6): a successful read must never observe a torn run "
+            "(_run_seq group != G rows), a regression (committed run "
+            "vanishing), or a phantom seq; one writer's last append "
+            "widens the pset schema so the _rewrite swap window is "
+            "exercised under the readers (transient read errors there "
+            "are retriable-by-contract and recorded, not failures)."
         ),
         "writers": w,
         "appends_per_writer": r,
@@ -191,9 +314,22 @@ def stress(w: int, r: int, g: int) -> dict:
         "pset_seq_collisions": ps_fn,
         "distinct_pset_values": n_a,
         "wrong_results": y_bad,
+        "widened_rows": n_b,
+        "widened_wrong": b_bad,
+        "distinct_pset_hashes": n_hash,
         "cas_retries_total": sum(rep["cas_retries"] for rep in reports),
         "workers": reports,
+        "readers": rreports,
+        "reader_reads_total": sum(rep["reads"] for rep in rreports),
+        "reader_errors_total": sum(rep["read_errors"] for rep in rreports),
     }
+    readers_ok = all(
+        rep["torn_runs"] == 0
+        and rep["regressions"] == 0
+        and rep["phantoms"] == 0
+        and rep["reads"] >= 3
+        for rep in rreports
+    )
     ok = (
         total == expected
         and n_runs == w * r
@@ -205,8 +341,13 @@ def stress(w: int, r: int, g: int) -> dict:
         and ps_fn == 0
         and n_a == expected
         and y_bad == 0
+        and n_b == g
+        and b_bad == 0
+        and n_hash == expected
+        and readers_ok
     )
     summary["invariants_ok"] = ok
+    summary["reader_invariants_ok"] = readers_ok
     return summary
 
 
@@ -215,14 +356,17 @@ def main() -> int:
         worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
                int(sys.argv[5]), sys.argv[6])
         return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--reader":
+        reader(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        return 0
 
-    vals = [int(x) for x in sys.argv[1:4]]
-    w, r, g = vals + [4, 6, 200][len(vals):]
-    summary = stress(w, r, g)
+    vals = [int(x) for x in sys.argv[1:5]]
+    w, r, g, k = vals + [4, 6, 200, 3][len(vals):]
+    summary = stress(w, r, g, k)
     if summary["cas_retries_total"] == 0:
         # pathological clean serialization — contend harder once
         print("no CAS race observed; re-running the stress once")
-        summary = stress(w, r, g)
+        summary = stress(w, r, g, k)
     print(json.dumps({k: v for k, v in summary.items() if k != "_doc"},
                      indent=2))
     path = os.path.join(REPO, "STRESS_CONCURRENT.json")
