@@ -342,7 +342,16 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside applyInPandas (~100× a per-pair interpreted fold).
     Balanced clusters bound the per-task pair expansion; an oversized
     cluster is handled like any hot LSH bucket (cap or recursive
-    re-cluster — same guardrail as minhash_dedup's max_bucket_size)."""
+    re-cluster — same guardrail as minhash_dedup's max_bucket_size).
+
+    TWIN STATUS (VERDICT r8): with the codebook FIXED at {K}=32
+    entries, E|cluster| grows ~N/32, so this entry's pair stage is
+    ~N²/32 by construction — it is the deterministic small-codebook
+    ORACLE TWIN, kept because its direct DuckDB oracle stays feasible
+    at every SF.  The production-shaped path — the same pair stage
+    under SemDeDup's own k=⌈√N⌉ sizing, where Σ|cluster|² ≈ N^1.5
+    blocked-BLAS flops and wall tracks the linear stages — is
+    :func:`semdedup_kmeans_scaled`; BENCH_SCALE carries both."""
     from psweep_spark.operators.dedup import cluster_cosine_pairs
     from psweep_spark.operators.similarity import assign_nearest_centroid
 

@@ -222,6 +222,45 @@ def test_database_compact_reduces_files(spark, tmp_path):
     assert db.load(spark).select("_pset_hash").distinct().count() == 20
 
 
+def test_database_vacuum_debris_only(spark, tmp_path):
+    """vacuum() removes aged transaction debris (crashed-append
+    staging dirs, interrupted-rewrite .old) and NEVER live data; young
+    debris survives the age cutoff."""
+    import os
+    import time as _time
+
+    from psweep_spark import plist, run
+    from psweep_spark.database import Database
+
+    calc = str(tmp_path / "calc")
+    run(
+        spark,
+        lambda p: {"y_": p["a"] * 2},
+        plist("a", [1, 2, 3]),
+        calc_dir=calc,
+    )
+    db = Database(calc + "/database")
+    data = db.data_path
+    # simulate a writer that died between stage and commit, an
+    # interrupted rewrite swap, and a FRESH in-flight staging dir
+    old_staging = data + ".staging-deadbeef0000"
+    old_swap = data + ".old"
+    young_staging = data + ".staging-cafecafe1111"
+    for p in (old_staging, old_swap, young_staging):
+        os.makedirs(p)
+    aged = _time.time() - 48 * 3600
+    os.utime(old_staging, (aged, aged))
+    os.utime(old_swap, (aged, aged))
+
+    removed = db.vacuum(max_age_s=24 * 3600)
+    assert sorted(removed) == sorted([old_staging, old_swap])
+    assert not os.path.exists(old_staging)
+    assert not os.path.exists(old_swap)
+    # the young writer's staging dir and the live table are untouched
+    assert os.path.isdir(young_staging)
+    assert db.load(spark).count() == 3
+
+
 def test_zorder_value_no_global_sort(spark):
     """VERDICT r01 #7 plan contract: the z-value projection must be
     map-side — no window, no single-partition exchange, no global sort

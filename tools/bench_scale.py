@@ -69,6 +69,7 @@ DEFAULT_QUERIES = [
     "embedding_near_dup",
     "embed_kmeans_lloyd",
     "semdedup_kmeans",
+    "semdedup_kmeans_scaled",
     "sim_lsh_recall",
     "sim_ivfpq_ann",
     "pq_kmeans_codes",
