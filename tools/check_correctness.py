@@ -89,6 +89,12 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_weak = 0
+    def session_alive() -> bool:
+        try:
+            return spark.range(1).count() == 1
+        except Exception:  # noqa: BLE001
+            return False
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -101,6 +107,20 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {str(e)[:200]}")
             results[name] = {"status": "FAIL", "error": str(e)[:200]}
             n_fail += 1
+            # a dead driver JVM (e.g. an OOM kill) turns every later
+            # query into a phantom 'Connection refused' FAIL — restart
+            # the session so one casualty doesn't cascade
+            if not session_alive():
+                print(f"# session dead after {name}; restarting JVM")
+                try:
+                    spark.stop()
+                except Exception:  # noqa: BLE001
+                    pass
+                from pyspark.sql import SparkSession
+
+                SparkSession._instantiatedSession = None  # noqa: SLF001
+                SparkSession._activeSession = None  # noqa: SLF001
+                spark = get_spark("correctness-check-restarted")
             continue
         if name not in oracles:
             print(f"weak  {name}: rows={len(sdf)} (no oracle, rows-only)")
