@@ -1397,6 +1397,149 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _leakage_safe_split_oracle() -> str:
+    from psweep_spark.queries_catalog import _minhash_lsh_oracle
+
+    b8 = (
+        "CAST('0x' || substring(md5(CAST({c} AS VARCHAR)), 1, 8)"
+        " AS BIGINT) % 100"
+    )
+    case = (
+        "CASE WHEN {b} < 80 THEN 'train' WHEN {b} < 90 THEN 'val'"
+        " ELSE 'test' END"
+    )
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cc AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+           FROM reach GROUP BY src),
+    fulla AS (
+      SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+    ),
+    asg AS (
+      SELECT doc_id, cluster_id,
+             {case.format(b=b8.format(c='cluster_id'))} AS split
+      FROM fulla
+    ),
+    naive AS (
+      SELECT doc_id, {case.format(b=b8.format(c='doc_id'))} AS split
+      FROM documents
+    ),
+    leak_safe AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs p
+      JOIN asg a ON a.doc_id = p.id_a
+      JOIN asg b ON b.doc_id = p.id_b
+      WHERE a.split <> b.split
+    ),
+    leak_naive AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs p
+      JOIN naive a ON a.doc_id = p.id_a
+      JOIN naive b ON b.doc_id = p.id_b
+      WHERE a.split <> b.split
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           (SELECT n FROM leak_safe) AS leaked_pairs,
+           (SELECT n FROM leak_naive) AS leaked_pairs_naive
+    FROM asg GROUP BY split
+    """
+
+
+@_q("docs_leakage_safe_split", _leakage_safe_split_oracle())
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: assignment is by NEAR-DUP
+    CLUSTER, not by document.  ``docs_train_val_test_split``'s
+    per-doc hash split is reproducible but LEAKS — two near-duplicate
+    documents hash independently, so one can land in train and its
+    twin in test, inflating eval.  Here the LSH near-dup clusters
+    (``minhash_dedup`` → ``connected_components``, the dedup_clusters
+    machinery) move as a UNIT: every doc adopts its cluster
+    representative's md5 bucket (singletons keep cluster_id = doc_id,
+    so un-clustered docs get exactly the naive assignment — the two
+    splits agree everywhere dedup found nothing).
+
+    Output is the data-card audit: per split, doc and cluster counts,
+    plus two in-plan leakage counters over the SAME pair set —
+    ``leaked_pairs`` (cluster split: provably 0, but COMPUTED, not
+    assumed) and ``leaked_pairs_naive`` (what the per-doc split would
+    have leaked — the number this operator exists to drive to zero).
+
+    Scale shape: the pair relation is tiny relative to the corpus
+    (bucket-bounded LSH candidates) and is persisted once via the
+    session cache policy, then feeds the CC stage and both leak
+    audits; assignment is a zero-shuffle hash projection; the rollup
+    groups on 3 splits; the 1-row audit legs broadcast-cross-join onto
+    it.  At 100 TB the split column would be written alongside the
+    shards (docs_global_shuffle_shards), never recomputed."""
+    from psweep_spark.caching import persisted_for_session
+    from psweep_spark.operators.cluster import connected_components
+    from psweep_spark.operators.dedup import minhash_dedup
+
+    docs = _ld(spark, sf_dir, "documents").select("doc_id")
+    pairs = persisted_for_session(
+        minhash_dedup(
+            _ld(spark, sf_dir, "documents"), num_hashes=12, bands=4,
+            threshold=0.5, max_bucket_size=None,
+        ).select("id_a", "id_b"),
+        "leakage_split_pairs",
+    )
+    cc = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    full = docs.join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+
+    def bucket(col):
+        return (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100
+        )
+
+    def split_of(b):
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+
+    asg = full.withColumn("split", split_of(bucket(F.col("cluster_id"))))
+    naive = docs.select(
+        "doc_id", split_of(bucket(F.col("doc_id"))).alias("split")
+    )
+
+    def leak(assign, out_name):
+        return (
+            pairs
+            .join(
+                assign.select(F.col("doc_id").alias("id_a"),
+                              F.col("split").alias("sa")),
+                "id_a",
+            )
+            .join(
+                assign.select(F.col("doc_id").alias("id_b"),
+                              F.col("split").alias("sb")),
+                "id_b",
+            )
+            .filter(F.col("sa") != F.col("sb"))
+            .agg(F.count(F.lit(1)).cast("long").alias(out_name))
+        )
+
+    return (
+        asg.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(leak(asg.select("doc_id", "split"), "leaked_pairs"))
+        .crossJoin(leak(naive, "leaked_pairs_naive"))
+    )
+
+
 def _feed_compaction_oracle() -> str:
     """The symmetric MinHash-LSH oracle restricted to the FEED subset
     (doc_id % 2 == 0 — a bigger landed window than the gate demo's 10%
