@@ -137,6 +137,7 @@ HEADLINE = [
     "embed_semdedup",
     "semdedup_kmeans",
     "semdedup_kmeans_scaled",
+    "docs_leakage_safe_split",
     "docs_mixture_epochs",
     "docs_pii_scrub",
     "pipeline_prepare_corpus",

@@ -168,6 +168,54 @@ def closure(pairs: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
 
 
+def leakage_split_expected(
+    con: duckdb.DuckDBPyConnection, lsh_pairs: pd.DataFrame
+) -> pd.DataFrame:
+    """docs_leakage_safe_split expected relation (r9): union-find
+    closure over the materialized LSH pair set (same as
+    dedup_clusters' construction) → singleton-completed cluster map →
+    md5-bucket split per cluster → the 3-row audit summary with both
+    leak counters recomputed in pure python.  Linear in N + |pairs|."""
+    import hashlib
+
+    cl = closure(lsh_pairs)
+    cmap = dict(zip(cl["doc_id"].astype(int), cl["cluster_id"].astype(int)))
+    docs = con.sql("SELECT doc_id FROM documents").df()["doc_id"].astype(int)
+
+    def bucket(v: int) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 100
+
+    def split_of(b: int) -> str:
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    cluster = docs.map(lambda d: cmap.get(d, d))
+    split = cluster.map(lambda c: split_of(bucket(c)))
+    naive = docs.map(lambda d: split_of(bucket(d)))
+
+    safe_by_doc = dict(zip(docs, split))
+    naive_by_doc = dict(zip(docs, naive))
+    leak_safe = sum(
+        1
+        for a, b in zip(lsh_pairs["id_a"], lsh_pairs["id_b"])
+        if safe_by_doc[int(a)] != safe_by_doc[int(b)]
+    )
+    leak_naive = sum(
+        1
+        for a, b in zip(lsh_pairs["id_a"], lsh_pairs["id_b"])
+        if naive_by_doc[int(a)] != naive_by_doc[int(b)]
+    )
+    df = pd.DataFrame({"split": split, "cluster_id": cluster})
+    out = (
+        df.groupby("split", as_index=False)
+        .agg(n_docs=("cluster_id", "size"), n_clusters=("cluster_id", "nunique"))
+    )
+    out["leaked_pairs"] = leak_safe
+    out["leaked_pairs_naive"] = leak_naive
+    for c in ("n_docs", "n_clusters", "leaked_pairs", "leaked_pairs_naive"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def bpe_expected(con: duckdb.DuckDBPyConnection, rounds: int) -> pd.DataFrame:
     """Classic BPE over the word-frequency dict, replicating the engine
     (bpe_train batch_m=1) / oracle semantics exactly: winner = max
@@ -891,13 +939,13 @@ def main() -> int:
     print(f"sf0.1 exact pair set: {len(base_pairs)} pairs "
           f"({time.time() - t0:.1f}s)")
 
+    lsh_pairs_1 = con1.sql(oracles["dedup_minhash_lsh"]).df()
     checks = {
         "dedup_ngram_jaccard": replicate_pairs(base_pairs, 10),
         "dedup_clusters_exact": closure(replicate_pairs(base_pairs, 10)),
-        "dedup_clusters": closure(
-            con1.sql(oracles["dedup_minhash_lsh"]).df()
-        ),
+        "dedup_clusters": closure(lsh_pairs_1),
         "corpus_bpe_merges": bpe_expected(con1, BPE_ROUNDS),
+        "docs_leakage_safe_split": leakage_split_expected(con1, lsh_pairs_1),
     }
     ok = True
     for name, constructed in checks.items():
@@ -952,6 +1000,9 @@ def main() -> int:
         "dedup_clusters": lsh_closure_10,
         "dedup_clusters_star": lsh_closure_10,
         "corpus_bpe_merges": bpe_expected(con10, BPE_ROUNDS),
+        "docs_leakage_safe_split": leakage_split_expected(
+            con10, lsh_pairs_10
+        ),
     }
     methods = {
         "dedup_ngram_jaccard": "tile-replicated sf0.1 oracle",
@@ -959,6 +1010,10 @@ def main() -> int:
         "dedup_clusters": "union-find over DuckDB-materialized LSH pairs",
         "dedup_clusters_star": "union-find over DuckDB-materialized LSH pairs",
         "corpus_bpe_merges": "pure-python BPE over DuckDB word counts",
+        "docs_leakage_safe_split": (
+            "union-find + python md5 split audit over DuckDB-"
+            "materialized LSH pairs"
+        ),
     }
     for name, expected in expected10.items():
         t0 = time.time()
