@@ -1490,7 +1490,24 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("id_a", "id_b"),
         "leakage_split_pairs",
     )
-    cc = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    # Land the pair relation ONCE and feed every downstream consumer a
+    # LOCAL relation.  The lazy returned plan would otherwise carry the
+    # minhash lineage into both leak-audit branches, and Spark's cache
+    # substitution does not reliably cover minhash_dedup's internal
+    # shingle cache when the pairs subtree appears twice in one query —
+    # measured at sf10 as the full signature pipeline re-executing
+    # TWICE inside the final action (2×261 MB extra shuffle; with the
+    # local relation the final plan contains no minhash lineage at
+    # all).  Size budget: pairs are bounded by LSH collisions — the
+    # same class as connected_components' driver union-find path
+    # (Arrow columnar, ≈16 MB per 1M edges); a corpus whose pair list
+    # outgrows the driver swaps this for the persisted relation and
+    # the distributed CC path in one place.
+    pairs_pdf = pairs.toPandas()
+    pairs_local = spark.createDataFrame(pairs_pdf, "id_a long, id_b long")
+    cc = connected_components(pairs_local).withColumnRenamed(
+        "node", "doc_id"
+    )
     full = docs.join(cc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
@@ -1514,7 +1531,7 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def leak(assign, out_name):
         return (
-            pairs
+            pairs_local
             .join(
                 assign.select(F.col("doc_id").alias("id_a"),
                               F.col("split").alias("sa")),
