@@ -783,9 +783,19 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the metric that decides num_planes/multiprobe in production; the
     exact side runs only over the (small) query set, so the measurement
     stays cheap even on a large corpus."""
+    from psweep_spark.caching import materialized_for_reuse
     from psweep_spark.queries_catalog import QUERIES as _CAT
 
-    exact = _CAT["sim_cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
+    # the exact top-k relation is consumed TWICE below (the hit join
+    # and the per-query denominator); left lazy, the brute-force
+    # corpus scan pipeline would execute twice in one action (measured:
+    # 6 embeddings scans in the final plan, 4 of them this subtree).
+    # It is n_queries × k rows — land it once (same nested-cache
+    # hazard class as docs_leakage_safe_split; VERDICT r9 #2).
+    exact = materialized_for_reuse(
+        _CAT["sim_cosine_topk"](spark, sf_dir).select("query_id", "vec_id"),
+        "lsh_recall_exact_topk",
+    )
     ann = (
         _CAT["sim_lsh_ann"](spark, sf_dir)
         .select(F.col("query_id").alias("q2"), F.col("vec_id").alias("v2"))
@@ -1453,7 +1463,9 @@ def _leakage_safe_split_oracle() -> str:
 
 
 @_q("docs_leakage_safe_split", _leakage_safe_split_oracle())
-def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_leakage_safe_split(
+    spark: SparkSession, sf_dir: str, driver_threshold: int = 1_000_000
+) -> DataFrame:
     """LEAKAGE-SAFE train/val/test split: assignment is by NEAR-DUP
     CLUSTER, not by document.  ``docs_train_val_test_split``'s
     per-doc hash split is reproducible but LEAKS — two near-duplicate
@@ -1472,42 +1484,45 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     have leaked — the number this operator exists to drive to zero).
 
     Scale shape: the pair relation is tiny relative to the corpus
-    (bucket-bounded LSH candidates) and is persisted once via the
-    session cache policy, then feeds the CC stage and both leak
-    audits; assignment is a zero-shuffle hash projection; the rollup
-    groups on 3 splits; the 1-row audit legs broadcast-cross-join onto
-    it.  At 100 TB the split column would be written alongside the
-    shards (docs_global_shuffle_shards), never recomputed."""
-    from psweep_spark.caching import persisted_for_session
+    (bucket-bounded LSH candidates) and is executed exactly once via
+    ``materialized_for_reuse`` — landed on the driver below the 1M-edge
+    threshold, localCheckpoint-ed (distributed, lineage-free) above it,
+    with the same threshold selecting connected_components' distributed
+    star-contraction — then feeds the CC stage and both leak audits;
+    assignment is a zero-shuffle hash projection; the rollup groups on
+    3 splits; the 1-row audit legs broadcast-cross-join onto it.  At
+    100 TB the split column would be written alongside the shards
+    (docs_global_shuffle_shards), never recomputed."""
+    from psweep_spark.caching import materialized_for_reuse
     from psweep_spark.operators.cluster import connected_components
     from psweep_spark.operators.dedup import minhash_dedup
 
     docs = _ld(spark, sf_dir, "documents").select("doc_id")
-    pairs = persisted_for_session(
+    # Materialize the pair relation ONCE and feed every downstream
+    # consumer a lineage-free relation.  The lazy returned plan would
+    # otherwise carry the minhash lineage into both leak-audit
+    # branches, and Spark's cache substitution does not reliably cover
+    # minhash_dedup's internal shingle cache when the pairs subtree
+    # appears twice in one query — measured at sf10 as the full
+    # signature pipeline re-executing TWICE inside the final action
+    # (2×261 MB extra shuffle; truncated, the final plan contains no
+    # minhash lineage at all).  materialized_for_reuse is
+    # SIZE-ADAPTIVE (VERDICT r9 #1): ≤1M pairs land on the driver as a
+    # LocalRelation (broadcast-table budget); a boilerplate-heavy
+    # corpus whose pair list outgrows that stays distributed via
+    # localCheckpoint, and the SAME threshold below pushes
+    # connected_components onto its distributed star-contraction path.
+    pairs_local = materialized_for_reuse(
         minhash_dedup(
             _ld(spark, sf_dir, "documents"), num_hashes=12, bands=4,
             threshold=0.5, max_bucket_size=None,
         ).select("id_a", "id_b"),
         "leakage_split_pairs",
+        driver_threshold=driver_threshold,
     )
-    # Land the pair relation ONCE and feed every downstream consumer a
-    # LOCAL relation.  The lazy returned plan would otherwise carry the
-    # minhash lineage into both leak-audit branches, and Spark's cache
-    # substitution does not reliably cover minhash_dedup's internal
-    # shingle cache when the pairs subtree appears twice in one query —
-    # measured at sf10 as the full signature pipeline re-executing
-    # TWICE inside the final action (2×261 MB extra shuffle; with the
-    # local relation the final plan contains no minhash lineage at
-    # all).  Size budget: pairs are bounded by LSH collisions — the
-    # same class as connected_components' driver union-find path
-    # (Arrow columnar, ≈16 MB per 1M edges); a corpus whose pair list
-    # outgrows the driver swaps this for the persisted relation and
-    # the distributed CC path in one place.
-    pairs_pdf = pairs.toPandas()
-    pairs_local = spark.createDataFrame(pairs_pdf, "id_a long, id_b long")
-    cc = connected_components(pairs_local).withColumnRenamed(
-        "node", "doc_id"
-    )
+    cc = connected_components(
+        pairs_local, driver_threshold=driver_threshold
+    ).withColumnRenamed("node", "doc_id")
     full = docs.join(cc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
@@ -1525,26 +1540,34 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     asg = full.withColumn("split", split_of(bucket(F.col("cluster_id"))))
-    naive = docs.select(
-        "doc_id", split_of(bucket(F.col("doc_id"))).alias("split")
-    )
 
-    def leak(assign, out_name):
-        return (
+    # Both leak audits are functions of the PAIR ENDPOINTS only — and
+    # every pair endpoint is in ``cc`` by construction (CC covers every
+    # node appearing in pairs), so the audits join the two
+    # already-materialized lineage-free relations and never touch the
+    # corpus.  (The previous shape joined each audit back to the
+    # corpus-wide assignment: 4 extra full-table scans at 100 TB for
+    # numbers derivable from the tiny pair set.)  The split of a pair
+    # endpoint is a pure hash of its cluster id (safe) / doc id
+    # (naive) — recomputing a md5 per endpoint is free next to a scan.
+    def leak(split_for, out_name):
+        ends = (
             pairs_local
-            .join(
-                assign.select(F.col("doc_id").alias("id_a"),
-                              F.col("split").alias("sa")),
-                "id_a",
-            )
-            .join(
-                assign.select(F.col("doc_id").alias("id_b"),
-                              F.col("split").alias("sb")),
-                "id_b",
-            )
-            .filter(F.col("sa") != F.col("sb"))
-            .agg(F.count(F.lit(1)).cast("long").alias(out_name))
+            .join(cc.withColumnRenamed("doc_id", "id_a")
+                    .withColumnRenamed("cluster_id", "ca"), "id_a")
+            .join(cc.withColumnRenamed("doc_id", "id_b")
+                    .withColumnRenamed("cluster_id", "cb"), "id_b")
         )
+        sa, sb = split_for("id_a", "ca"), split_for("id_b", "cb")
+        return ends.filter(sa != sb).agg(
+            F.count(F.lit(1)).cast("long").alias(out_name)
+        )
+
+    def safe_split(_id, cluster):
+        return split_of(bucket(F.col(cluster)))
+
+    def naive_split(_id, _cluster):
+        return split_of(bucket(F.col(_id)))
 
     return (
         asg.groupBy("split")
@@ -1552,8 +1575,8 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
         )
-        .crossJoin(leak(asg.select("doc_id", "split"), "leaked_pairs"))
-        .crossJoin(leak(naive, "leaked_pairs_naive"))
+        .crossJoin(leak(safe_split, "leaked_pairs"))
+        .crossJoin(leak(naive_split, "leaked_pairs_naive"))
     )
 
 

@@ -1332,6 +1332,37 @@ def test_session_cache_policy(spark):
     assert not df.storageLevel.useMemory
 
 
+def test_materialized_for_reuse_paths(spark):
+    """caching.materialized_for_reuse (VERDICT r9 #1/#2): below the
+    threshold the relation comes back as a lineage-free LocalRelation;
+    above it (forced with threshold=0) as a localCheckpoint scan —
+    both value-identical to the input, with the temporary upstream
+    persist deregistered either way so the between-queries drain has
+    nothing extra to hold."""
+    from psweep_spark.caching import (
+        materialized_for_reuse,
+        registered_caches,
+    )
+
+    src = spark.range(50).select(
+        F.col("id").alias("id_a"), (F.col("id") * 2).alias("id_b")
+    )
+    want = sorted((r.id_a, r.id_b) for r in src.collect())
+
+    landed = materialized_for_reuse(src, "t_reuse_small")
+    assert "t_reuse_small" not in registered_caches()
+    assert sorted((r.id_a, r.id_b) for r in landed.collect()) == want
+    plan = landed._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan, plan[:400]
+
+    chk = materialized_for_reuse(src, "t_reuse_big", driver_threshold=0)
+    assert "t_reuse_big" not in registered_caches()
+    assert sorted((r.id_a, r.id_b) for r in chk.collect()) == want
+    plan = chk._jdf.queryExecution().executedPlan().toString()
+    # checkpointed RDD scan — no Range lineage left to re-execute
+    assert "ExistingRDD" in plan and "Range" not in plan, plan[:400]
+
+
 def test_cluster_cosine_pairs_blocked_identity(spark):
     """The r8 row-blocked pair stage (bounded per-task memory) emits
     EXACTLY the pairs of a naive full-matrix reference — same ids, same

@@ -486,3 +486,66 @@ def test_bpe_merges_job_count_pinned(spark):
     fn(spark, SF_DIR).collect()  # warm: codegen + vocab persist path
     _, n = plans.jobs_run(spark, lambda: fn(spark, SF_DIR).collect())
     assert n <= 20, f"BPE round loop scheduled {n} driver jobs (budget 20)"
+
+
+# --------------------------------------------------------------------------
+# nested-cache / reused-subtree hazard as a CLASS contract (VERDICT r9
+# what's-wrong #1/#2): every catalog entry that consumes an expensive
+# relation in >= 2 branches of one returned plan must materialize it via
+# caching.materialized_for_reuse (lineage TRUNCATION — Spark's
+# InMemoryRelation substitution does not reliably cover nested caches,
+# measured at sf10 as the MinHash signature pipeline executing twice in
+# one action).  The contract is plan-shaped: the FINAL plan contains
+# exactly the corpus scans the query's floor requires and zero signature
+# lineage, so reverting any landed-pairs fix turns these red.
+# --------------------------------------------------------------------------
+
+_MINHASH_MARKERS = ("band_idx", "mh_0", "shingle")
+
+# entry -> {table file: max scans in the final plan}
+_REUSE_SCAN_BUDGET = {
+    # assignment rollup is the single corpus scan; pairs + CC + both
+    # leak audits are landed/checkpointed relations
+    "docs_leakage_safe_split": {"documents.parquet": 1},
+    # ann pipeline's query + corpus scans; the exact top-k side is
+    # landed once (was 6 scans: the brute-force subtree executed twice)
+    "sim_lsh_recall": {"embeddings.parquet": 2},
+    # single lineage by construction — pinned so it stays that way
+    "dedup_cluster_size_hist": {"documents.parquet": 1},
+}
+
+
+def test_reused_subtrees_execute_once(spark):
+    from collections import Counter
+
+    for name, budget in _REUSE_SCAN_BUDGET.items():
+        df = QUERIES[name](spark, SF_DIR)
+        scans = Counter(
+            loc.split("/")[-1] for loc in plans.file_scan_locations(df)
+        )
+        for table, max_scans in budget.items():
+            assert scans.get(table, 0) <= max_scans, (
+                f"{name}: {scans.get(table, 0)} final-plan scans of "
+                f"{table} (budget {max_scans}) — a reused subtree is "
+                f"re-executing; materialize it via "
+                f"caching.materialized_for_reuse"
+            )
+        plan = plans.formatted_plan(df)
+        for marker in _MINHASH_MARKERS:
+            assert marker not in plan, (
+                f"{name}: MinHash lineage ('{marker}') leaked into the "
+                f"final plan — the pair relation is no longer truncated"
+            )
+
+
+def test_leakage_split_distributed_branch_identical(spark):
+    """VERDICT r9 #1 done-criterion: force the above-threshold branch
+    (landed pairs -> localCheckpoint + distributed star-contraction CC)
+    and require byte-identical output to the driver-landing default."""
+    from psweep_spark.queries_pipeline import docs_leakage_safe_split
+
+    default = docs_leakage_safe_split(spark, SF_DIR).orderBy("split")
+    forced = docs_leakage_safe_split(
+        spark, SF_DIR, driver_threshold=0
+    ).orderBy("split")
+    assert default.collect() == forced.collect()

@@ -68,6 +68,14 @@ def tile(spark, src: str, dst: str, mult: int) -> None:
         if t in COPY_AS_IS:
             out = df
         else:
+            if mult >= 100:
+                # a 10-MB source parquet reads as ~1-4 splits; at
+                # mult=1000 the crossJoin inherits that, leaving 28+
+                # cores idle while 4 tasks each expand and write 150M
+                # rows.  Spread the SOURCE (cheap — megabytes) so the
+                # expansion itself is parallel; row content is
+                # partition-invariant.
+                df = df.repartition(32)
             rep = df.crossJoin(
                 spark.range(mult).select(F.col("id").cast("int").alias("__r"))
             )
@@ -111,6 +119,25 @@ def tile(spark, src: str, dst: str, mult: int) -> None:
                             F.slice(col, F.lit(1), F.col("__r") % n),
                         )
                     )
+                    # mult beyond the embedding dim (64) would repeat
+                    # rotations — replica 64 has replica 0's direction.
+                    # Replicas >= 100 (i.e. only the sf100 tier; sf1 and
+                    # sf10 stay bit-identical to the r4-r9 artifacts) get
+                    # a deterministic per-replica Rademacher sign flip on
+                    # top of the rotation: norm still exact, direction
+                    # distinct per replica with overwhelming probability.
+                    col = F.when(F.col("__r") < 100, col).otherwise(
+                        F.zip_with(
+                            col,
+                            F.sequence(F.lit(0), n - 1),
+                            lambda x, j: x * F.when(
+                                F.pmod(
+                                    F.hash(F.col("__r"), j), F.lit(2)
+                                ) == 0,
+                                F.lit(1.0),
+                            ).otherwise(F.lit(-1.0)),
+                        )
+                    )
                 cols.append(col.alias(c))
             out = rep
             if t == "documents":
@@ -132,7 +159,11 @@ def tile(spark, src: str, dst: str, mult: int) -> None:
         out.coalesce(max(1, mult // 2)).write.mode("overwrite").parquet(
             out_path
         )
-        print(f"{t}: {out.count()} rows -> {out_path}")
+        # count from the WRITTEN files — re-running `out` would execute
+        # the whole expansion a second time (2x generation cost at
+        # mult=1000)
+        n_rows = spark.read.parquet(out_path).count()
+        print(f"{t}: {n_rows} rows -> {out_path}", flush=True)
 
 
 if __name__ == "__main__":
