@@ -848,7 +848,13 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs ≥ 0.5 — the correctness oracle for
     the LSH path.  All-pairs-ish (shingle self-join); at 100 TB this is
-    the *verification* stage only, candidates come from LSH."""
+    the *verification* stage only, candidates come from LSH.
+    SKEW-EXCLUDED BY CONTRACT: on the skew corpus (boilerplate clique —
+    thousands of docs sharing shingles) the exact intersection
+    materializes ~1e8 rows in ANY engine, by construction; the gate
+    excludes this entry there permanently (recorded in-artifact every
+    round since r8) — the production path is ``dedup_minhash_lsh``,
+    which IS skew-gated."""
     from .operators.dedup import jaccard_pairs
 
     return jaccard_pairs(

@@ -490,7 +490,12 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_clusters`` in r6 (VERDICT r5 item 3) so the headline name
     users reach for is the path that scales; run this one only to
     validate the LSH pair set at oracle-able sizes.  Oracle: DuckDB
-    recursive-CTE transitive closure over the same exact pairs."""
+    recursive-CTE transitive closure over the same exact pairs.
+    SKEW-EXCLUDED BY CONTRACT: like ``dedup_ngram_jaccard`` (its pair
+    stage), the skew corpus's boilerplate clique makes the exact
+    intersection ~1e8 rows in any engine — permanently excluded from
+    the skew gate, recorded in-artifact; the skew-gated cluster path is
+    ``dedup_clusters``."""
     from psweep_spark.operators.cluster import connected_components
     from psweep_spark.operators.dedup import jaccard_pairs
 

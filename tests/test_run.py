@@ -546,8 +546,9 @@ def test_run_vectorized_matches_per_row(spark, calc_dir):
     produces the SAME values as the per-pset dict loop — pset cols,
     result cols, hashes, seqs — with the documented batch-level stamp
     semantics (_time_utc = batch start shared across the batch,
-    _pset_runtime = amortized batch wall / rows); per-pset contracts
-    (safe/capture_logs/tmpsave) are rejected in vectorized mode."""
+    _pset_runtime = amortized batch wall / rows); tmpsave keeps the
+    per-pset pickle layout and capture_logs records per-BATCH text
+    (VERDICT r9 item 7 — documented granularity contract)."""
     import pandas as pd
 
     from psweep_spark.runner import run
@@ -631,14 +632,35 @@ def test_run_vectorized_matches_per_row(spark, calc_dir):
             result_schema=d_row.select("y_").schema,
         ).collect()
 
-    # per-pset contracts rejected (safe is now supported — bisection)
-    for kw in ({"capture_logs": "db"}, {"tmpsave": True}):
-        with pytest.raises(ValueError, match="vectorized|Vectorized"):
-            run(
-                spark, None, params,
-                calc_dir=os.path.join(calc_dir, "y"),
-                func_pandas=fp, **kw,
-            )
+    # vectorized capture_logs (per-batch text) + tmpsave (per-pset
+    # pickle layout, same as the per-row contract)
+    import glob
+    import pickle as _pk
+
+    def fp_noisy(pdf: pd.DataFrame) -> pd.DataFrame:
+        print(f"vbatch[{len(pdf)}]")
+        return pd.DataFrame({"y_": (pdf.a * 10 + pdf.b).astype(float)})
+
+    cap_dir = os.path.join(calc_dir, "y")
+    d_cap = run(
+        spark, None, params, calc_dir=cap_dir,
+        func_pandas=fp_noisy, capture_logs="db+file", tmpsave=True,
+    )
+    cap_rows = d_cap.collect()
+    assert len(cap_rows) == 48
+    # every row's _logs is its invocation's text and names that
+    # invocation's batch size (per-batch granularity, by contract)
+    assert all(r["_logs"].startswith("vbatch[") for r in cap_rows)
+    # file mode keeps the reference layout: calc_dir/<pset_id>/logs.txt
+    log_files = glob.glob(os.path.join(cap_dir, "*", "logs.txt"))
+    assert len(log_files) == 48
+    with open(log_files[0]) as fh:
+        assert fh.read().startswith("vbatch[")
+    # tmpsave: one completed-pset pickle per pset
+    pk_files = glob.glob(os.path.join(cap_dir, "tmpsave", "*", "*.pk"))
+    assert len(pk_files) == 48
+    rec = _pk.load(open(pk_files[0], "rb"))
+    assert "y_" in rec and "_pset_id" in rec and "a" in rec
 
 
 def test_run_vectorized_safe_bisect(spark, calc_dir):

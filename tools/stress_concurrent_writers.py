@@ -54,7 +54,8 @@ returning torn/regressed data is what fails the stress.
 Writes STRESS_CONCURRENT.json at the repo root.
 
 Usage: python tools/stress_concurrent_writers.py [W R G K]  (default 4 6 200 3)
-Internal: --worker <i> <W> <R> <G> <dbroot>  /  --reader <i> <G> <dbroot>
+Internal: --worker <i> <W> <R> <G> <dbroot>
+          --reader <i> <G> <W·R> <dbroot>
 """
 
 from __future__ import annotations
@@ -129,7 +130,7 @@ def worker(i: int, w: int, r: int, g: int, dbroot: str) -> None:
                       "cas_retries": retries["n"], "wall_sec": wall}))
 
 
-def reader(i: int, g: int, dbroot: str) -> None:
+def reader(i: int, g: int, seq_upper: int, dbroot: str) -> None:
     """Loop concurrent reads until the stop file appears; assert the
     all-or-nothing visibility the staged-rename commit promises."""
     os.environ.setdefault("PSWEEP_SPARK_DRIVER_MEM", "2g")
@@ -152,7 +153,9 @@ def reader(i: int, g: int, dbroot: str) -> None:
         time.sleep(0.02)
 
     stop = os.path.join(dbroot, "stop")
+    data_dir = os.path.join(dbroot, "database", "data")
     n_reads = n_errors = torn = regressions = phantoms = 0
+    n_midswap_empty = 0
     prev_seqs: set[int] = set()
     max_runs = 0
     while True:
@@ -161,6 +164,23 @@ def reader(i: int, g: int, dbroot: str) -> None:
         try:
             df = db.load(spark)
             if df is None:
+                # load() returns None when the data dir is absent —
+                # either the table genuinely doesn't exist yet (fine,
+                # an empty read) or a _rewrite swap is mid-flight
+                # between its two renames (data -> data.old, then
+                # data.rewrite -> data).  If we have EVER seen rows, or
+                # swap debris is visible, this is the transient window:
+                # record it like the transient-error path and DON'T
+                # update prev_seqs — otherwise every previously-seen
+                # run would count as a 'regression' on the next read
+                # (ADVICE r9 #1).
+                if prev_seqs or os.path.isdir(data_dir + ".old") \
+                        or os.path.isdir(data_dir + ".rewrite"):
+                    n_midswap_empty += 1
+                    if stopping:
+                        break
+                    time.sleep(0.05)
+                    continue
                 counts: dict[int, int] = {}
             else:
                 counts = {
@@ -171,7 +191,11 @@ def reader(i: int, g: int, dbroot: str) -> None:
                 }
             n_reads += 1
             torn += sum(1 for n in counts.values() if n != g)
-            phantoms += sum(1 for s in counts if s < 0)
+            # full phantom check (ADVICE r9 #2): every observed seq
+            # must lie in [0, W·R) — both bounds
+            phantoms += sum(
+                1 for s in counts if s < 0 or s >= seq_upper
+            )
             if prev_seqs - set(counts):
                 regressions += 1
             prev_seqs = set(counts)
@@ -185,6 +209,7 @@ def reader(i: int, g: int, dbroot: str) -> None:
         time.sleep(0.05)  # pace the loop (pre-table loads are instant)
     print(json.dumps({
         "reader": i, "reads": n_reads, "read_errors": n_errors,
+        "midswap_empty_reads": n_midswap_empty,
         "torn_runs": torn, "regressions": regressions,
         "phantoms": phantoms, "max_runs_seen": max_runs,
     }))
@@ -208,7 +233,7 @@ def stress(w: int, r: int, g: int, k: int = 3) -> dict:
     rprocs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--reader",
-             str(i), str(g), dbroot],
+             str(i), str(g), str(w * r), dbroot],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             cwd=REPO,
         )
@@ -357,7 +382,8 @@ def main() -> int:
                int(sys.argv[5]), sys.argv[6])
         return 0
     if len(sys.argv) > 1 and sys.argv[1] == "--reader":
-        reader(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        reader(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+               sys.argv[5])
         return 0
 
     vals = [int(x) for x in sys.argv[1:5]]
