@@ -187,34 +187,59 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from psweep_spark.session import get_spark
 
-    # Opt-in shuffle instrumentation (SPARK_GRAFT_BENCH_METRICS=1): the
-    # UI's REST endpoint supplies per-stage shuffle volume, but the UI
-    # event pipeline + polling costs ~15% wall, so the default timing
-    # run keeps it off.
-    with_metrics = os.environ.get("SPARK_GRAFT_BENCH_METRICS") == "1"
-    spark = get_spark(
-        "psweep-spark-bench",
-        extra_conf={"spark.ui.enabled": "true"} if with_metrics else None,
-    )
+    # Per-query shuffle instrumentation (VERDICT r9 item 3) — always on.
+    # Earlier rounds gated this behind SPARK_GRAFT_BENCH_METRICS because
+    # the UI REST endpoint required spark.ui.enabled=true (~15% wall for
+    # the UI event pipeline).  The AppStatusStore behind that endpoint
+    # exists UI-or-not (SparkContext always runs AppStatusListener), so
+    # reading it directly costs one py4j traversal per query and zero
+    # timed-region overhead.  Stages are keyed by their monotonically
+    # increasing stage id, so "bytes of stages created by THIS query"
+    # is eviction-proof (summing a cumulative total would silently drop
+    # stages once spark.ui.retainedStages evicts old ones mid-run).
+    spark = get_spark("psweep-spark-bench")
     queries = entrymod.queries()
 
-    def stage_totals() -> dict[str, int]:
-        if not with_metrics:
-            return {}
-        import json as _json
-        import urllib.request
+    _gw = spark.sparkContext._gateway  # noqa: SLF001
+    _store = spark.sparkContext._jsc.sc().statusStore()  # noqa: SLF001
 
-        sc = spark.sparkContext
+    def _stages():
+        empty = _gw.jvm.java.util.ArrayList()
+        seq = _store.stageList(
+            empty, False, False, _gw.new_array(_gw.jvm.double, 0), empty
+        )
+        it = seq.iterator()
+        while it.hasNext():
+            yield it.next()
+
+    def max_stage_id() -> int:
         try:
-            url = (f"{sc.uiWebUrl}/api/v1/applications/"
-                   f"{sc.applicationId}/stages?status=complete")
-            stages = _json.load(urllib.request.urlopen(url, timeout=10))
-            return {
-                "shuffle_write": sum(s["shuffleWriteBytes"] for s in stages),
-                "input": sum(s["inputBytes"] for s in stages),
-            }
+            return max((s.stageId() for s in _stages()), default=-1)
         except Exception:  # noqa: BLE001  (metrics are best-effort)
-            return {}
+            return -1
+
+    def shuffle_since(stage_floor: int) -> float | None:
+        """MB shuffled by stages with id > stage_floor.  The listener
+        bus is async — settle until no stage of this query is still
+        ACTIVE (bounded wait; collect() already returned)."""
+        try:
+            for _ in range(20):
+                pending = any(
+                    s.stageId() > stage_floor
+                    and str(s.status()) == "ACTIVE"
+                    for s in _stages()
+                )
+                if not pending:
+                    break
+                time.sleep(0.05)
+            total = sum(
+                s.shuffleWriteBytes()
+                for s in _stages()
+                if s.stageId() > stage_floor
+            )
+            return round(total / 1048576, 3)
+        except Exception:  # noqa: BLE001
+            return None
 
     # Untimed warmup: pay one-time JVM/codegen/Arrow-worker init once so
     # per-query numbers measure steady-state throughput (the 100 TB
@@ -297,7 +322,7 @@ def main() -> int:
         fn = queries.get(name)
         if fn is None:
             continue
-        before = stage_totals()
+        stage_floor = max_stage_id()
         reps: list[float] = []
         try:
             while len(reps) < 3:
@@ -305,13 +330,11 @@ def main() -> int:
                 fn(spark, sf_dir).collect()
                 reps.append(round(time.perf_counter() - t0, 4))
                 if len(reps) == 1:
-                    after = stage_totals()
-                    if before and after:
-                        # shuffle volume is rep-invariant; record rep 1's
-                        shuffle_mb[name] = round(
-                            (after["shuffle_write"]
-                             - before["shuffle_write"]) / 1048576, 3
-                        )
+                    # shuffle volume is rep-invariant; record rep 1's
+                    # (read AFTER the timer stops — zero timed cost)
+                    mb = shuffle_since(stage_floor)
+                    if mb is not None:
+                        shuffle_mb[name] = mb
                     if reps[0] < REP_MIN_SEC:
                         break
                 if len(reps) < 3:

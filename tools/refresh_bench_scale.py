@@ -9,7 +9,12 @@ through tools/bench_scale.py for each leg (sf0.1->sf1 and sf1->sf10)
 and merges the results back into the leg structure, leaving untouched
 queries' r5 numbers in place.
 
-Usage: python tools/refresh_bench_scale.py [query ...]
+round 10: a third decade (VERDICT r9 item 1) — the ``sf10_to_sf100``
+leg runs the scale-critical queries at sf10 vs sf100 (5M docs / 600M
+lineitem rows, tools/gen_scale_data.py mult=1000).
+
+Usage: python tools/refresh_bench_scale.py [--legs a,b] [query ...]
+  --legs: comma-separated leg keys to refresh (default: all legs).
 """
 
 from __future__ import annotations
@@ -38,17 +43,26 @@ LEGS = [
      os.path.join(REPO, "scale_data", "sf1")),
     ("sf1_to_sf10", os.path.join(REPO, "scale_data", "sf1"),
      os.path.join(REPO, "scale_data", "sf10")),
+    ("sf10_to_sf100", os.path.join(REPO, "scale_data", "sf10"),
+     os.path.join(REPO, "scale_data", "sf100")),
 ]
 
 
 def main() -> int:
-    queries = sys.argv[1:] or DEFAULT
+    args = sys.argv[1:]
+    legs = None
+    if args and args[0] == "--legs":
+        legs = set(args[1].split(","))
+        args = args[2:]
+    queries = args or DEFAULT
     with open(PATH) as fh:
         doc = json.load(fh)
     backup = PATH + ".pre_refresh"
     shutil.copy(PATH, backup)
 
     for leg, small, big in LEGS:
+        if legs is not None and leg not in legs:
+            continue
         # bench_scale.py writes flat {query: {sf0.1_*, sf1_*}} into
         # BENCH_SCALE.json; run it against a scratch copy and remap.
         scratch = PATH + ".scratch"
