@@ -348,16 +348,22 @@ def _stacked_buckets(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.cast("int").alias("band_idx"),
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.element_at(
-                                    s, b * F.lit(rows_per_band) + F.lit(r + 1)
-                                ).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
+                    # bucket = xxhash64 of the band's min-hash LONGS —
+                    # equality-preserving vs the md5-hex string the
+                    # oracle uses (same band values ⟺ same bucket) at
+                    # 8 bytes instead of a 32-char string: the banding
+                    # groupBy is the candidate stage's only corpus-sized
+                    # shuffle, measured 874 MB of the sf100 leg before
+                    # this change.  A 64-bit bucket collision can only
+                    # ADD a candidate pair, which exact verification
+                    # then filters — never drops one.
+                    F.xxhash64(
+                        *[
+                            F.element_at(
+                                s, b * F.lit(rows_per_band) + F.lit(r + 1)
+                            )
+                            for r in range(rows_per_band)
+                        ]
                     ).alias("bucket"),
                 ),
             ),
@@ -379,14 +385,14 @@ def _bands_of_sig(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[
-                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
+        # same xxhash64-of-longs bucket as _stacked_buckets — the two
+        # builders MUST agree bit-for-bit (the incremental path joins
+        # batch bands against a stored corpus index)
+        F.xxhash64(
+            *[
+                F.col(f"mh_{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ]
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
@@ -560,8 +566,25 @@ def minhash_dedup(
         shingled(df, n=n, id_col=id_col, text_col=text_col)
         .join(F.broadcast(cand_ids), "id", "left_semi")
         # coalesce keeps the array provably non-nullable so no inferred
-        # isnotnull(<full shingle expr>) filter sinks below the scan
-        .select("id", F.coalesce(F.col("__sh"), F.array()).alias("__sh"))
+        # isnotnull(<full shingle expr>) filter sinks below the scan.
+        # Verification runs in 64-BIT HASH SPACE: the pair joins below
+        # go sort-merge once the candidate relation outgrows the 64 MB
+        # broadcast threshold (measured at the r10 sf100 leg: 29% of a
+        # template-heavy corpus is an LSH candidate), and an
+        # array<string> of word 3-grams is ~3× the bytes of the
+        # xxhash64 array — hashing cuts the verify-join shuffle by
+        # that factor forever.  Intersection/size COUNTS (and hence
+        # every jaccard value) are unchanged unless two distinct
+        # shingles of one pair's union collide in 64 bits
+        # (~k²/2⁶⁴ ≈ 1e-16 per pair at k≈50) — the same hash-space
+        # verification trade BFF/Dolma-class dedup tooling makes.
+        .select(
+            "id",
+            F.transform(
+                F.coalesce(F.col("__sh"), F.array()),
+                lambda s: F.xxhash64(s),
+            ).alias("__sh"),
+        )
         # candidate-doc-cardinality relation whose subtree is a corpus
         # scan + shingling: BOTH pair-join sides read it, so persist —
         # one shingling pass, not two (the cache is bounded by the
@@ -711,8 +734,19 @@ def read_dedup_index(spark, path: str):
     """
     p = path.rstrip("/")
     params = _read_meta_json(spark, p + "/meta.json")
+    banding = spark.read.parquet(p + "/banding")
+    # format guard: r10 changed the bucket encoding to xxhash64 LONG
+    # (was md5 hex string) — probing a stale string-bucket index with
+    # long-bucket batch bands would silently match nothing
+    bt = dict(banding.dtypes).get("bucket")
+    if bt != "bigint":
+        raise ValueError(
+            f"dedup index at {path} has bucket type {bt!r}; this "
+            "engine writes bigint (xxhash64) buckets — rebuild the "
+            "index with write_dedup_index"
+        )
     return (
-        spark.read.parquet(p + "/banding"),
+        banding,
         spark.read.parquet(p + "/shingles"),
         params,
     )

@@ -697,9 +697,11 @@ def stream_near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         mt = _os.path.getmtime(src) if _os.path.exists(src) else 0.0
     key = hashlib.md5(
-        # v2: index invalidated when the signature math changes (r5
-        # one-parameter-lambda family fix regenerates the LSH banding)
-        f"{_os.path.abspath(src)}|{mt}|v2".encode()
+        # version tag: the index is a STORED FORMAT — bump whenever its
+        # schema/semantics change so stale indexes can't be probed.
+        # v2: r5 signature-math fix; v3: r10 bucket = xxhash64 long
+        # (was md5 hex string)
+        f"{_os.path.abspath(src)}|{mt}|v3".encode()
     ).hexdigest()[:12]
     base = _os.path.join(tempfile.gettempdir(), f"psq_gate_{key}")
     feed_dir = _os.path.join(base, "feed")

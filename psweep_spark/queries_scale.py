@@ -3065,6 +3065,9 @@ def corpus_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHK_M = 2147483647  # 2^31-1: modulus of the shard order checksum
+
+
 @_q(
     "docs_global_shuffle_shards",
     """
@@ -3081,7 +3084,8 @@ def corpus_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b
     )
     SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(pos * doc_id) AS BIGINT) AS ord_checksum,
+           CAST(SUM((pos % 2147483647) * (doc_id % 2147483647)
+                    % 2147483647) % 2147483647 AS BIGINT) AS ord_checksum,
            CAST(min_by(doc_id, pos) AS BIGINT) AS first_doc,
            CAST(max_by(doc_id, pos) AS BIGINT) AS last_doc
     FROM s GROUP BY shard ORDER BY shard
@@ -3097,9 +3101,13 @@ def docs_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``orderBy(rand())`` guarantees neither).
 
     The query returns per-shard accounting plus an ORDER-SENSITIVE
-    checksum (Σ pos·doc_id) and the first/last doc per shard, so the
-    oracle pins the exact within-shard sequence without materializing
-    the corpus-sized assignment in the comparison.
+    checksum (Σ of pos·doc_id in mod-2³¹−1 arithmetic — the r10 sf100
+    leg overflowed the raw Σ pos·doc_id past int64 on BOTH engines at
+    5M docs; the modular form is exact-equal across engines and safe
+    to ~3e9 rows/shard, i.e. past a 100 TB corpus) and the first/last
+    doc per shard, so the oracle pins the exact within-shard sequence
+    without materializing the corpus-sized assignment in the
+    comparison.
 
     Scale shape: ONE shuffle — the window's hash partitioning on shard
     IS the ``repartition(shard)`` a sharded-file writer needs, and the
@@ -3113,8 +3121,16 @@ def docs_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum(F.col("pos") * F.col("doc_id")).cast("long")
-            .alias("ord_checksum"),
+            # modular checksum: operands reduced below 2^31 so the
+            # product stays under 2^62 and the running sum under
+            # ~n_rows·2^31 — overflow-proof to ~3e9 rows per shard
+            (
+                F.sum(
+                    (F.col("pos") % _CHK_M) * (F.col("doc_id") % _CHK_M)
+                    % _CHK_M
+                )
+                % _CHK_M
+            ).cast("long").alias("ord_checksum"),
             F.min_by("doc_id", "pos").cast("long").alias("first_doc"),
             F.max_by("doc_id", "pos").cast("long").alias("last_doc"),
         )
