@@ -89,14 +89,51 @@ def _batch_norm(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _types_mapper(t):
+    """Arrow→pandas dtype pins for the CHUNKED path.  Converting per
+    BATCH makes the default mapping unstable for nullable columns: an
+    int64 batch WITH nulls lands as float64 ("5.0"), one without as
+    int64 ("5") — and the two engines batch differently, so identical
+    results hashed differently (caught by the r10 sf0.01 gate on 3
+    null-bearing queries).  Pandas' nullable dtypes keep ints ints and
+    bools bools in every batch on both sides."""
+    import pyarrow as pa
+
+    return {
+        pa.int8(): pd.Int8Dtype(),
+        pa.int16(): pd.Int16Dtype(),
+        pa.int32(): pd.Int32Dtype(),
+        pa.int64(): pd.Int64Dtype(),
+        pa.bool_(): pd.BooleanDtype(),
+    }.get(t)
+
+
 def multiset_stats(batches, schema_names) -> tuple[int, list[str], str]:
     """(row_count, sorted column names, multiset value hash) of a
     stream of Arrow record batches, in O(one batch) memory."""
     cols = sorted(schema_names)
     total = 0
     count = 0
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     for b in batches:
-        pdf = _batch_norm(b.to_pandas())
+        # DECIMAL → float64 at the Arrow level: duckdb's legacy .df()
+        # (the pre-chunked oracle path every green hash was minted
+        # against) converts DECIMAL to float64, but its record-batch
+        # reader keeps decimal128, whose Decimal cells stringify with
+        # their full scale ("1.000000000000000" vs "1.0")
+        if any(pa.types.is_decimal(f.type) for f in b.schema):
+            b = pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(b.column(i), pa.float64())
+                    if pa.types.is_decimal(f.type)
+                    else b.column(i)
+                    for i, f in enumerate(b.schema)
+                ],
+                names=b.schema.names,
+            )
+        pdf = _batch_norm(b.to_pandas(types_mapper=_types_mapper))
         for r in pdf.to_dict("records"):
             s = "|".join(_norm_cell(r[c]) for c in cols)
             h = int.from_bytes(
