@@ -549,3 +549,34 @@ def test_leakage_split_distributed_branch_identical(spark):
         spark, SF_DIR, driver_threshold=0
     ).orderBy("split")
     assert default.collect() == forced.collect()
+
+
+def test_lsh_verify_strategy_invariant(spark):
+    """The r10 sf100 leg showed the LSH verify join flipping from
+    broadcast to sort-merge once the candidate relation crosses the
+    64 MB threshold (BENCH_SCALE._lsh_flip_evidence).  The flip must be
+    a pure strategy change: identical pairs and jaccards with broadcast
+    disabled outright."""
+    from psweep_spark.operators.dedup import minhash_dedup
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    want = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_dedup(
+            docs, num_hashes=12, bands=4, threshold=0.5,
+            max_bucket_size=None,
+        ).collect()
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in minhash_dedup(
+                docs, num_hashes=12, bands=4, threshold=0.5,
+                max_bucket_size=None,
+            ).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want and len(want) > 0
