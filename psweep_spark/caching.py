@@ -80,14 +80,30 @@ def materialized_for_reuse(
     * above it → ``localCheckpoint`` the already-cached partitions:
       they stay distributed on the executors and the logical plan
       becomes a checkpointed-RDD scan, so no upstream lineage exists to
-      re-execute.  The checkpoint RDD is persistent, so the standard
-      :func:`clear_query_caches` drain reclaims it between queries.
+      re-execute.  The checkpointed relation is REGISTERED (under
+      ``tag + ":ckpt"``), so the standard :func:`clear_query_caches`
+      drain reclaims it between queries via the registry — the
+      leaked-block sweep deliberately won't touch it.
 
     Either way the expensive upstream cache is released before
     returning — the truncated relation fully replaces it.  Note a
     drained localCheckpoint cannot recompute (lineage is gone): consume
     the returned relation before the next between-queries drain, the
-    same lifetime every registered persist already has in practice."""
+    same lifetime every registered persist already has in practice.
+    (:func:`clear_query_caches` therefore skips checkpointed RDDs in
+    its leaked-block sweep — only an explicit registered drain or
+    session teardown reclaims them.)
+
+    **Fault-tolerance caveat (ADVICE r10 #3)**: ``localCheckpoint``
+    blocks live on executors and are LOST irrecoverably if an executor
+    dies or is decommissioned — Spark explicitly warns against it under
+    ``spark.dynamicAllocation.enabled``.  On a static-allocation
+    cluster (and in local mode) this is the right trade: plan dedup for
+    free, no HDFS round-trip.  On a dynamic-allocation / spot-instance
+    deployment, prefer a reliable checkpoint (``spark.sparkContext.
+    setCheckpointDir`` + ``.checkpoint()``) or a parquet spill for the
+    above-threshold branch — the ≤threshold Arrow-landing branch is
+    unaffected (the relation lives in the driver plan itself)."""
     spark = df.sparkSession
     rel = persisted_for_session(df, tag)
     try:
@@ -95,8 +111,13 @@ def materialized_for_reuse(
         if n <= driver_threshold:
             pdf = rel.toPandas()  # Arrow: columnar, no Row objects
             return spark.createDataFrame(pdf, df.schema)
-        # copies the cached partitions; upstream never re-executes
-        return rel.localCheckpoint(eager=True)
+        # copies the cached partitions; upstream never re-executes.
+        # Registered so the between-queries drain reclaims the blocks
+        # (the leaked-RDD sweep skips checkpointed RDDs on purpose).
+        ckpt = rel.localCheckpoint(eager=True)
+        with _LOCK:
+            _REGISTRY.append((tag + ":ckpt", ckpt))
+        return ckpt
     finally:
         with _LOCK:
             _REGISTRY[:] = [e for e in _REGISTRY if e[1] is not rel]
@@ -120,6 +141,17 @@ def clear_query_caches(spark: SparkSession | None = None, gc: bool = False) -> i
     ``spark=None`` every registered persist is drained (the
     whole-process teardown shape); only call that form when no other
     query is concurrently executing in this process.
+
+    The trailing leaked-RDD sweep is **context-wide, not
+    session-scoped** (``getPersistentRDDs`` is a SparkContext surface —
+    all SparkSessions in a process share one context).  It exists to
+    reclaim blocks that escaped registration; to avoid turning a
+    sibling session's recompute-on-miss into a hard "checkpoint block
+    not found" failure, the sweep SKIPS checkpointed RDDs
+    (``localCheckpoint`` / reliable-checkpoint blocks cannot recompute
+    once dropped — ADVICE r10 #2).  Checkpointed relations are
+    reclaimed only via their registered entry (the drain above) or
+    session teardown.
 
     This is the between-queries drain bench.py runs after each timed
     query: ``unpersist(blocking=True)`` so the release cannot land
@@ -154,6 +186,18 @@ def clear_query_caches(spark: SparkSession | None = None, gc: bool = False) -> i
         spark.catalog.clearCache()
         jsc = spark.sparkContext._jsc  # noqa: SLF001
         for rdd in list(jsc.getPersistentRDDs().values()):
+            try:
+                r = rdd.rdd()  # unwrap JavaRDD → RDD for the flags
+            except Exception:  # noqa: BLE001  (already the scala RDD)
+                r = rdd
+            try:
+                # a dropped checkpoint block CANNOT recompute (lineage
+                # is truncated) — leave those to their owner's
+                # registered drain (ADVICE r10 #2)
+                if r.isCheckpointed() or r.isLocallyCheckpointed():
+                    continue
+            except Exception:  # noqa: BLE001
+                pass
             rdd.unpersist()
         if gc:
             spark.sparkContext._jvm.System.gc()  # noqa: SLF001

@@ -259,9 +259,50 @@ class Database:
 
     # -- read ----------------------------------------------------------------
 
+    #: how long :meth:`load` waits out a concurrent :meth:`_rewrite`'s
+    #: rename window before concluding the table is genuinely absent.
+    #: The window itself is two ``os.rename`` calls (microseconds); the
+    #: budget is generous so a reader never mistakes an in-flight
+    #: rewrite for an empty DB (ADVICE r10 #1).
+    rewrite_wait_s: float = 10.0
+
+    def _exists_settling_rewrite(self) -> bool:
+        """:meth:`exists`, retrying through a concurrent rewrite swap.
+
+        :meth:`_rewrite` commits via ``rename(data → data.old)`` then
+        ``rename(data.rewrite → data)`` — between the two renames
+        ``data/`` is absent.  A plain existence check in that window
+        reports "table empty", which a concurrent ``run()``'s skip-dups
+        anti-join would silently believe (re-running every pset).  If
+        ``data/`` is absent but either swap marker (``data.old`` /
+        ``data.rewrite``) is present, a rewrite is in flight: wait it
+        out briefly instead of returning False.  No markers and no data
+        means the DB really is empty.
+        """
+        deadline = time.monotonic() + self.rewrite_wait_s
+        while True:
+            if self.exists():
+                return True
+            in_flight = os.path.isdir(self.data_path + ".old") or os.path.isdir(
+                self.data_path + ".rewrite"
+            )
+            if not in_flight:
+                # markers may have vanished in the instant AFTER our
+                # exists() check and the rewrite completed — re-check
+                # once so that interleaving still reads the new table
+                return self.exists()
+            if time.monotonic() >= deadline:
+                return self.exists()
+            time.sleep(0.05)
+
     def load(self, spark: SparkSession) -> DataFrame | None:
-        """Full table with union-of-keys schema (mergeSchema read)."""
-        if not self.exists():
+        """Full table with union-of-keys schema (mergeSchema read).
+
+        Waits out a concurrent rewrite's rename window (see
+        :meth:`_exists_settling_rewrite`) so readers racing a
+        pset-schema-widening rewrite never observe a phantom-empty
+        table."""
+        if not self._exists_settling_rewrite():
             return None
         return spark.read.option("mergeSchema", "true").parquet(self.data_path)
 

@@ -305,7 +305,9 @@ def _stacked_buckets(
     text_col: str,
 ) -> DataFrame:
     """(id, band_idx, bucket) LSH banding relation: band bucket =
-    md5(concat of that band's signature rows).
+    ``xxhash64`` LONG over that band's signature slice (r10 format,
+    index version 2 — the md5-string era is refused by
+    :func:`read_dedup_index`'s version guard).
 
     Single-projection form (r6, VERDICT r5 item 6): going through the
     ``mh_0..mh_{k-1}`` columns of :func:`minhash_signatures` lets
@@ -317,8 +319,11 @@ def _stacked_buckets(
     ONCE per row with the HOF let-binding idiom —
     ``transform(array(sig), s -> ...)`` evaluates ``sig`` a single
     time and the inner lambda references the bound variable — then the
-    per-band buckets are md5s over element_at slices of that bound
-    array.  Bucket values are bit-identical to the two-step form
+    per-band buckets are ``xxhash64`` longs over element_at slices of
+    that bound array, paired with a separate band_idx column (8-byte
+    shuffle keys vs
+    the md5 era's 32-char strings — the r10 verify-bytes fix).  Bucket
+    values are bit-identical to the two-step form
     (pinned by ``test_stacked_buckets_matches_two_step``); only the
     evaluation count changes."""
     if num_hashes % bands != 0:

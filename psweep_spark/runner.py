@@ -302,6 +302,26 @@ def uuid5_expr(run_id_col: Column, name_col: Column) -> Column:
 _PANDAS_TIME_UNIT = "s"  # reference psweep.py:32
 
 
+def _atomic_write(path: str, payload: bytes) -> None:
+    """Write ``payload`` to ``path`` atomically (unique temp +
+    ``os.replace``).
+
+    Per-pset artifact files (``calc_dir/<pset_id>/logs.txt``,
+    ``tmpsave/<run_id>/<pset_id>.pk``) are written from executor
+    tasks, which Spark may RETRY or speculatively DUPLICATE — a plain
+    ``open('w')`` truncates in place, so a reader racing a retry can
+    observe a half-written file (ADVICE r10 #5).  ``os.replace`` is
+    atomic on POSIX: readers see the old complete file or the new
+    complete one, never a truncation.  The temp name is task-unique so
+    two concurrent attempts never clobber each other's in-progress
+    temp; last rename wins, and both attempts write identical content
+    (the mapper is deterministic per pset)."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "wb") as fh:
+        fh.write(payload)
+    os.replace(tmp, path)
+
+
 def _pyval(v):
     """Arrow/pandas cell → plain Python value for the user's func."""
     if isinstance(v, np.generic):
@@ -469,10 +489,10 @@ def _make_mapper(
                         for pid, txt in zip(out["_pset_id"], logs_col):
                             d = os.path.join(calc_dir, str(pid))
                             os.makedirs(d, exist_ok=True)
-                            with open(
-                                os.path.join(d, "logs.txt"), "w"
-                            ) as fh:
-                                fh.write(txt or "")
+                            _atomic_write(
+                                os.path.join(d, "logs.txt"),
+                                (txt or "").encode(),
+                            )
                 out["_time_utc"] = _dt.datetime.fromtimestamp(
                     int(t0), _dt.timezone.utc
                 ).replace(tzinfo=None)
@@ -514,10 +534,10 @@ def _make_mapper(
                             calc_dir, "tmpsave", str(rec["_run_id"])
                         )
                         os.makedirs(d, exist_ok=True)
-                        with open(
-                            os.path.join(d, f"{rec['_pset_id']}.pk"), "wb"
-                        ) as fh:
-                            pickle.dump(rec, fh)
+                        _atomic_write(
+                            os.path.join(d, f"{rec['_pset_id']}.pk"),
+                            pickle.dumps(rec),
+                        )
                 yield out
 
         return vmapper
@@ -576,8 +596,9 @@ def _make_mapper(
                         if "file" in capture_logs:
                             d = os.path.join(calc_dir, str(pset["_pset_id"]))
                             os.makedirs(d, exist_ok=True)
-                            with open(os.path.join(d, "logs.txt"), "w") as fh:
-                                fh.write(logs)
+                            _atomic_write(
+                                os.path.join(d, "logs.txt"), logs.encode()
+                            )
                 else:
                     result = func(pset) or {}
                 pset.update(result)
@@ -587,10 +608,10 @@ def _make_mapper(
                         calc_dir, "tmpsave", str(pset["_run_id"])
                     )
                     os.makedirs(d, exist_ok=True)
-                    with open(
-                        os.path.join(d, f"{pset['_pset_id']}.pk"), "wb"
-                    ) as fh:
-                        pickle.dump(pset, fh)
+                    _atomic_write(
+                        os.path.join(d, f"{pset['_pset_id']}.pk"),
+                        pickle.dumps(pset),
+                    )
                 out_rows.append(tuple(_emit(pset, rec, c) for c in out_names))
             out = pd.DataFrame(out_rows, columns=out_names)
             # object → float for double columns so Arrow doesn't choke on

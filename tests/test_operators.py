@@ -1357,10 +1357,35 @@ def test_materialized_for_reuse_paths(spark):
 
     chk = materialized_for_reuse(src, "t_reuse_big", driver_threshold=0)
     assert "t_reuse_big" not in registered_caches()
+    # the checkpointed relation is registered for the between-queries
+    # drain (the leaked-RDD sweep skips checkpoints — ADVICE r10 #2)
+    assert "t_reuse_big:ckpt" in registered_caches()
     assert sorted((r.id_a, r.id_b) for r in chk.collect()) == want
     plan = chk._jdf.queryExecution().executedPlan().toString()
     # checkpointed RDD scan — no Range lineage left to re-execute
     assert "ExistingRDD" in plan and "Range" not in plan, plan[:400]
+
+
+def test_cache_sweep_spares_checkpoints(spark):
+    """ADVICE r10 #2: clear_query_caches' context-wide leaked-RDD sweep
+    must NOT unpersist checkpointed RDDs — a dropped checkpoint block
+    cannot recompute (lineage is truncated), so the old blanket sweep
+    turned a sibling session's recompute-on-miss into a hard
+    'checkpoint block not found' failure.  A checkpointed relation NOT
+    owned by the registry must survive a drain and still serve."""
+    from psweep_spark.caching import clear_query_caches
+
+    clear_query_caches(spark)
+    ck = spark.range(1000).selectExpr("id", "id * 3 as v").localCheckpoint(
+        eager=True
+    )
+    leaked = spark.range(100).rdd.persist()
+    leaked.count()
+    clear_query_caches(spark)
+    # the plain leaked RDD was swept, the checkpoint was spared
+    assert ck.count() == 1000
+    assert ck.agg(F.sum("v")).first()[0] == 3 * 999 * 1000 // 2
+    ck.unpersist(blocking=True)
 
 
 def test_cluster_cosine_pairs_blocked_identity(spark):

@@ -164,16 +164,17 @@ def reader(i: int, g: int, seq_upper: int, dbroot: str) -> None:
         try:
             df = db.load(spark)
             if df is None:
-                # load() returns None when the data dir is absent —
-                # either the table genuinely doesn't exist yet (fine,
-                # an empty read) or a _rewrite swap is mid-flight
-                # between its two renames (data -> data.old, then
-                # data.rewrite -> data).  If we have EVER seen rows, or
-                # swap debris is visible, this is the transient window:
-                # record it like the transient-error path and DON'T
-                # update prev_seqs — otherwise every previously-seen
-                # run would count as a 'regression' on the next read
-                # (ADVICE r9 #1).
+                # load() returns None when the data dir is absent.
+                # Since the ADVICE-r10 fix, load() itself waits out a
+                # _rewrite swap window (data -> data.old, then
+                # data.rewrite -> data) via _exists_settling_rewrite —
+                # so a None here while we have EVER seen rows, or while
+                # swap debris is visible, means the engine-side retry
+                # FAILED to mask the window.  Counted separately and
+                # required to be ZERO by the invariant check (it was a
+                # tolerated transient in r9/r10).  prev_seqs is still
+                # not updated, so the next good read isn't miscounted
+                # as a regression.
                 if prev_seqs or os.path.isdir(data_dir + ".old") \
                         or os.path.isdir(data_dir + ".rewrite"):
                     n_midswap_empty += 1
@@ -352,6 +353,9 @@ def stress(w: int, r: int, g: int, k: int = 3) -> dict:
         rep["torn_runs"] == 0
         and rep["regressions"] == 0
         and rep["phantoms"] == 0
+        # r11: load() retries through the rewrite swap engine-side, so
+        # a phantom-empty read is a violation, not a transient
+        and rep["midswap_empty_reads"] == 0
         and rep["reads"] >= 3
         for rep in rreports
     )
