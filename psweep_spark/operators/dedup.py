@@ -35,6 +35,7 @@ __all__ = [
     "minhash_dedup_incremental",
     "write_dedup_index",
     "read_dedup_index",
+    "migrate_dedup_index",
     "simhash",
     "embedding_near_dup_pairs",
     "cluster_cosine_pairs",
@@ -615,6 +616,12 @@ def minhash_dedup(
     )
 
 
+#: bucket-encoding version stamped into the index meta: 1 = md5 hex
+#: string buckets (pre-r10), 2 = xxhash64 long buckets.  Bump when the
+#: banding encoding changes; :func:`migrate_dedup_index` upgrades.
+DEDUP_INDEX_FORMAT_VERSION = 2
+
+
 def write_dedup_index(
     corpus_df: DataFrame,
     path: str,
@@ -688,7 +695,12 @@ def write_dedup_index(
     _write_meta_json(
         corpus_df.sparkSession,
         p + "/meta.json",
-        {"num_hashes": num_hashes, "bands": bands, "n": n},
+        {
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "n": n,
+            "format_version": DEDUP_INDEX_FORMAT_VERSION,
+        },
     )
     return path
 
@@ -739,6 +751,7 @@ def read_dedup_index(spark, path: str):
     """
     p = path.rstrip("/")
     params = _read_meta_json(spark, p + "/meta.json")
+    params.pop("format_version", None)  # banding params only
     banding = spark.read.parquet(p + "/banding")
     # format guard: r10 changed the bucket encoding to xxhash64 LONG
     # (was md5 hex string) — probing a stale string-bucket index with
@@ -747,14 +760,90 @@ def read_dedup_index(spark, path: str):
     if bt != "bigint":
         raise ValueError(
             f"dedup index at {path} has bucket type {bt!r}; this "
-            "engine writes bigint (xxhash64) buckets — rebuild the "
-            "index with write_dedup_index"
+            "engine writes bigint (xxhash64) buckets — run "
+            "migrate_dedup_index(spark, path) to upgrade in place "
+            "(reuses the stored shingles; no corpus re-scan), or "
+            "rebuild with write_dedup_index"
         )
     return (
         banding,
         spark.read.parquet(p + "/shingles"),
         params,
     )
+
+
+def migrate_dedup_index(spark, path: str) -> bool:
+    """Upgrade a v1 (md5-string-bucket) dedup index to the v2
+    (xxhash64-long-bucket) format IN PLACE — without re-shingling the
+    corpus (VERDICT r10 "next round" #3).
+
+    At 100 TB the expensive part of :func:`write_dedup_index` is the
+    corpus text scan (normalize + shingle + explode); the stored
+    ``shingles/`` relation already holds every doc's distinct shingle
+    set and is format-stable across the bucket-encoding bump.  The
+    MinHash signature is a pure function of those shingles, so the
+    banding relation can be recomputed from ``shingles/`` alone:
+    read shingles → ``_h30_of_shingles`` → ``_sig_of_h30`` →
+    :func:`_bands_of_sig` (the v2 encoder) → rewrite ``banding/`` with
+    the same range-partitioned, sorted layout the writer uses — bucket
+    pushdown keeps working.  Candidates served afterwards are
+    IDENTICAL to a full ``write_dedup_index`` rebuild (pinned by
+    ``test_migrate_dedup_index_v1_to_v2``) because both derive the
+    banding from the same shingle sets.
+
+    Swap discipline: the new banding lands in ``banding.migrate`` and
+    is committed with two FS renames (``banding → banding.v1.bak``,
+    ``banding.migrate → banding``); the backup is removed only after
+    the meta version stamp is rewritten, so a crash mid-migration
+    leaves either a refusable v1 index or a complete v2 one, never a
+    half-written banding directory.  Run it offline — concurrent
+    probes during the swap window would hit a missing directory (index
+    maintenance, like compaction, is a scheduled operation).
+
+    Returns True if a migration ran, False if the index was already
+    current (idempotent — safe to call unconditionally at startup).
+    """
+    p = path.rstrip("/")
+    meta = _read_meta_json(spark, p + "/meta.json")
+    banding = spark.read.parquet(p + "/banding")
+    if dict(banding.dtypes).get("bucket") == "bigint":
+        return False  # already v2
+    num_hashes, bands = int(meta["num_hashes"]), int(meta["bands"])
+
+    sh = spark.read.parquet(p + "/shingles")
+    sig = _sig_of_h30(
+        sh.select("id", _h30_of_shingles(F.col("__sh")).alias("__h30")),
+        num_hashes,
+    )
+    new_banding = _bands_of_sig(sig, num_hashes, bands)
+    (
+        new_banding.repartitionByRange("band_idx", "bucket")
+        .sortWithinPartitions("band_idx", "bucket")
+        .write.mode("overwrite")
+        .parquet(p + "/banding.migrate")
+    )
+
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    hp = jvm.org.apache.hadoop.fs.Path(p)
+    fs = hp.getFileSystem(conf)
+
+    def _hpath(name: str):
+        return jvm.org.apache.hadoop.fs.Path(p + "/" + name)
+
+    bak = _hpath("banding.v1.bak")
+    if fs.exists(bak):
+        fs.delete(bak, True)
+    if not fs.rename(_hpath("banding"), bak):
+        raise IOError(f"could not move aside v1 banding under {path}")
+    if not fs.rename(_hpath("banding.migrate"), _hpath("banding")):
+        # roll back so the index stays a valid (refusable) v1
+        fs.rename(bak, _hpath("banding"))
+        raise IOError(f"could not commit migrated banding under {path}")
+    meta = {**meta, "format_version": DEDUP_INDEX_FORMAT_VERSION}
+    _write_meta_json(spark, p + "/meta.json", meta)
+    fs.delete(bak, True)
+    return True
 
 
 def minhash_dedup_incremental(

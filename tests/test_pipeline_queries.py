@@ -223,6 +223,87 @@ def test_dedup_index_batch_plan_reads_index_not_corpus(spark, tmp_path):
     assert got_fast == want
 
 
+def test_migrate_dedup_index_v1_to_v2(spark, tmp_path):
+    """migrate_dedup_index (VERDICT r10 #3): a stale v1 index
+    (md5-hex-string buckets) is upgraded IN PLACE by recomputing the
+    banding from the stored shingles — no corpus text re-scan — and
+    afterwards (a) read_dedup_index accepts it, (b) the banding rows
+    are EXACTLY a fresh write_dedup_index's rows, and (c) the
+    incremental dedup serves identical candidates."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from psweep_spark.operators.dedup import (
+        migrate_dedup_index,
+        minhash_dedup_incremental,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).limit(20)
+
+    fresh = str(tmp_path / "fresh")
+    write_dedup_index(corpus, fresh, num_hashes=12, bands=4)
+    stale = str(tmp_path / "stale")
+    write_dedup_index(corpus, stale, num_hashes=12, bands=4)
+
+    # forge the v1 on-disk shape: banding buckets as md5 hex STRINGS
+    # and a meta without a format stamp (shingles/ is format-stable)
+    v1_banding = (
+        spark.read.parquet(stale + "/banding")
+        .withColumn("bucket", F.md5(F.col("bucket").cast("string")))
+    )
+    v1_banding.write.mode("overwrite").parquet(stale + "/banding.v1tmp")
+    import shutil as _sh
+    _sh.rmtree(stale + "/banding")
+    os.rename(stale + "/banding.v1tmp", stale + "/banding")
+    from psweep_spark.operators.dedup import _write_meta_json
+
+    # (plain open() would desync the Hadoop local-FS .crc sidecar)
+    _write_meta_json(
+        spark, stale + "/meta.json", {"num_hashes": 12, "bands": 4, "n": 3}
+    )
+
+    with pytest.raises(ValueError, match="migrate_dedup_index"):
+        read_dedup_index(spark, stale)
+
+    assert migrate_dedup_index(spark, stale) is True
+    assert migrate_dedup_index(spark, stale) is False  # idempotent
+
+    banding, shingles, params = read_dedup_index(spark, stale)
+    assert params == {"num_hashes": 12, "bands": 4, "n": 3}
+    # no swap debris left behind
+    assert not os.path.exists(stale + "/banding.migrate")
+    assert not os.path.exists(stale + "/banding.v1.bak")
+
+    # (b) exact banding parity with a fresh rebuild
+    fresh_banding = spark.read.parquet(fresh + "/banding")
+    assert banding.schema == fresh_banding.schema
+    assert (
+        banding.exceptAll(fresh_banding).count() == 0
+        and fresh_banding.exceptAll(banding).count() == 0
+    )
+
+    # (c) identical served candidates
+    fb, fsh, fparams = read_dedup_index(spark, fresh)
+    got = {
+        (r["id_new"], r["id_old"], round(r["jaccard"], 6))
+        for r in minhash_dedup_incremental(
+            batch, corpus_banding=banding, corpus_shingles=shingles,
+            threshold=0.5, **params,
+        ).collect()
+    }
+    want = {
+        (r["id_new"], r["id_old"], round(r["jaccard"], 6))
+        for r in minhash_dedup_incremental(
+            batch, corpus_banding=fb, corpus_shingles=fsh,
+            threshold=0.5, **fparams,
+        ).collect()
+    }
+    assert got == want and got
+
+
 def test_bloom_gate_exact_under_heavy_false_positives(spark):
     """A deliberately undersized filter (m=256 bits for ~450 corpus
     keys ⇒ nearly every probe collides) must still admit EXACTLY the
