@@ -90,7 +90,7 @@ sf10 — see CORRECTNESS_SF10_BINARYFILE_r9.json; no construction
 needed.)
 
 Usage: python tools/check_sf10_constructed.py [--validate-only]
-Writes CORRECTNESS_SF10_CONSTRUCTED_r10.json.
+Writes CORRECTNESS_SF10_CONSTRUCTED_r11.json.
 """
 
 from __future__ import annotations
@@ -1045,7 +1045,7 @@ def main() -> int:
 
 
 def _write(results: dict) -> None:
-    path = os.path.join(REPO, "CORRECTNESS_SF10_CONSTRUCTED_r10.json")
+    path = os.path.join(REPO, "CORRECTNESS_SF10_CONSTRUCTED_r11.json")
     with open(path, "w") as fh:
         json.dump(results, fh, indent=2, sort_keys=True)
     print(f"wrote {path}")

@@ -45,6 +45,11 @@ LEGS = [
      os.path.join(REPO, "scale_data", "sf10")),
     ("sf10_to_sf100", os.path.join(REPO, "scale_data", "sf10"),
      os.path.join(REPO, "scale_data", "sf100")),
+    # fourth decade, documents only (tools/gen_sf1000_docs.py): the
+    # state-bounded sketch family's "flat at any scale" claim gets one
+    # more decade of evidence without a 6B-row lineitem tile
+    ("sf100_to_sf1000_docs", os.path.join(REPO, "scale_data", "sf100"),
+     os.path.join(REPO, "scale_data", "sf1000_docs")),
 ]
 
 
