@@ -19,8 +19,9 @@ replicas are genuinely NEW data, not duplicates:
 
 Dimension tables (region, nation) stay fixed, TPC-H style.
 
-Usage: python tools/gen_scale_data.py [mult] [src_dir] [dst_dir]
-Defaults: 10 /root/testdata/sf0.1 /root/repo/scale_data/sf1
+Usage: python tools/gen_scale_data.py [mult] [src_dir] [dst_dir] [tables]
+Defaults: 10 /root/testdata/sf0.1 /root/repo/scale_data/sf1 (all tables);
+the optional 4th arg is a comma-separated table subset.
 """
 
 from __future__ import annotations
@@ -60,9 +61,10 @@ TABLES = (
 ).split()
 
 
-def tile(spark, src: str, dst: str, mult: int) -> None:
+def tile(spark, src: str, dst: str, mult: int,
+         tables: list[str] | None = None) -> None:
     os.makedirs(dst, exist_ok=True)
-    for t in TABLES:
+    for t in tables or TABLES:
         df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
         out_path = os.path.join(dst, f"{t}.parquet")
         if t in COPY_AS_IS:
@@ -173,5 +175,9 @@ if __name__ == "__main__":
         sys.argv[3] if len(sys.argv) > 3
         else os.path.join(REPO, "scale_data", "sf1")
     )
+    # optional 4th arg: comma-separated table subset, e.g. "documents"
+    # (the fourth-decade sketch legs only need documents — tiling 600M
+    # lineitem rows for them would be pure waste)
+    tables = sys.argv[4].split(",") if len(sys.argv) > 4 else None
     spark = get_spark(app_name="gen-scale-data", shuffle_partitions=32)
-    tile(spark, src, dst, mult)
+    tile(spark, src, dst, mult, tables)
