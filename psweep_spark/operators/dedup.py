@@ -30,6 +30,7 @@ __all__ = [
     "shingled",
     "word_shingles",
     "jaccard_pairs",
+    "minhash_family_constants",
     "minhash_signatures",
     "minhash_dedup",
     "minhash_dedup_incremental",
@@ -234,10 +235,11 @@ def minhash_signatures(
 
     ONE md5 per shingle (materialized as a 30-bit int array), then the
     k hash families are cheap universal-hash mixes
-    ``(a_i·h30 + b_i) mod (2^31−1)`` with ``a_i = 2i+1``,
-    ``b_i = 7919·i`` — pure 64-bit-safe integer arithmetic, identical
-    in any ANSI SQL engine (oracle parity), ~10× cheaper than one md5
-    per (family × shingle).
+    ``(a_i·h30 + b_i) mod (2^31−1)`` with splitmix64-derived random
+    constants (:func:`minhash_family_constants` — format v3; the
+    pre-v3 ``a_i = 2i+1`` family correlated across bands) — pure
+    64-bit-safe integer arithmetic, identical in any ANSI SQL engine
+    (oracle parity), ~10× cheaper than one md5 per (family × shingle).
 
     Scale: a pure per-row projection (array_min per family over the
     materialized hash array) — zero explode, zero shuffle; the
@@ -260,38 +262,102 @@ def _h30_of_shingles(sh: Column) -> Column:
     )
 
 
-def _sig_of_h30(df: DataFrame, num_hashes: int) -> DataFrame:
-    """(id, __h30) → (id, mh_0..mh_{k-1}) universal-hash family mins.
+#: MinHash family modulus: the Mersenne prime 2^31 − 1.
+_MH_PRIME = 2147483647
+
+
+def minhash_family_constants(i: int) -> "tuple[int, int]":
+    """``(a_i, b_i)`` of MinHash family i: ``h ↦ (a_i·h + b_i) mod p``
+    with ``p = 2³¹−1`` — the ONE definition shared by the Spark fold
+    (:func:`_mh_fold`), the DuckDB oracle generators, and the
+    known-answer test.
+
+    The constants are the splitmix64 finalizer of the family index
+    (public-domain mixing constants; Steele et al., "Fast splittable
+    pseudorandom number generators"), giving random-looking,
+    family-independent multipliers ``a_i ∈ [1, p−1]`` and offsets
+    ``b_i ∈ [0, p−1]``.  The pre-v3 family (``a_i = 2i+1``,
+    ``b_i = 7919·i``) used TINY multipliers: an affine map mod p with
+    multiplier a has ≤a monotonic segments, so it is largely
+    order-preserving and the k family argmins correlate strongly — a
+    doc whose unique shingle draws the globally minimal base hash won
+    ALL families (hence all LSH bands) at once and shared no bucket
+    with any near-duplicate sibling.  Measured on a 3000-family
+    near-dup corpus: 280/90,000 family members invisible to the pair
+    graph, ~500× the (1−(1−s^r)^b)-style independence bound
+    (CORRECTNESS_PAIRS1M_r11.json, NOTES_r11 §4).  Large random
+    multipliers restore effectively independent permutations at
+    identical per-row cost; dedup-index format v3.
+    """
+    x = (i + 1) * 0x9E3779B97F4A7C15 % 2**64
+    x ^= x >> 30
+    x = x * 0xBF58476D1CE4E5B9 % 2**64
+    x ^= x >> 27
+    x = x * 0x94D049BB133111EB % 2**64
+    x ^= x >> 31
+    return 1 + x % (_MH_PRIME - 1), (x >> 33) % _MH_PRIME
+
+
+def _mh_fold(h30: Column, k: int) -> Column:
+    """array<bigint> base hashes → array<bigint> of the k family
+    minima — the signature fold shared by :func:`_sig_of_h30` and
+    :func:`_stacked_buckets` (the two MUST agree bit-for-bit: the
+    incremental path joins batch bands against a stored corpus index).
 
     ONE pass over the hash array for all k families: an ``aggregate``
-    with a k-wide min accumulator, each element folding into every
-    family via ``zip_with`` against the family-index sequence.  The
-    k-separate-``transform`` formulation costs k array passes and k
-    near-identical generated expressions (measured at sf0.1: 4.1 s
-    cold / 0.75 s warm vs 0.68 s cold / 0.55 s warm for this one-pass
-    form).  The family index comes from the zip_with SEQUENCE, never
-    from a Python-closure default argument: pyspark passes
+    with a k-wide min accumulator; each element folds into every
+    family via ``zip_with`` against a constant array of per-family
+    ``(a, b)`` structs.  Zipping against the constants array (rather
+    than a 0..k−1 index sequence) keeps the per-family constants out
+    of Python-closure default arguments entirely — pyspark passes
     ``(element, array_index)`` to two-parameter lambdas, and a
     ``lambda h, i=i:`` closure gets its family index SHADOWED by the
-    element position — the r5 family-collapse recall bug
-    (CORRECTNESS_FULL_SF01_r5; pinned by
-    ``test_minhash_signatures_known_answer``)."""
-    k = num_hashes
-    idx = F.sequence(F.lit(0), F.lit(k - 1))
-    acc0 = F.array_repeat(F.lit(2147483647).cast("long"), k)
-    agg = F.aggregate(
-        F.col("__h30"),
+    element position (the r5 family-collapse recall bug, pinned by
+    ``test_minhash_signatures_known_answer``).
+
+    All arithmetic is 64-bit safe: ``a < 2³¹``, ``h < 2³⁰`` →
+    ``a·h + b < 2⁶¹ + 2³¹``.
+    """
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(minhash_family_constants(i)[0])
+                .cast("long")
+                .alias("a"),
+                F.lit(minhash_family_constants(i)[1])
+                .cast("long")
+                .alias("b"),
+            )
+            for i in range(k)
+        ]
+    )
+    acc0 = F.array_repeat(F.lit(_MH_PRIME).cast("long"), k)
+    return F.aggregate(
+        h30,
         acc0,
         lambda acc, h: F.zip_with(
             acc,
-            idx,
-            lambda a, i: F.least(
-                a,
-                ((F.lit(2) * i + 1) * h + F.lit(7919) * i)
-                % F.lit(2147483647),
+            ab,
+            lambda m, c: F.least(
+                m, (c["a"] * h + c["b"]) % F.lit(_MH_PRIME)
             ),
         ),
     )
+
+
+def _sig_of_h30(df: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, __h30) → (id, mh_0..mh_{k-1}) universal-hash family mins.
+
+    One-pass fold over the hash array for all k families — see
+    :func:`_mh_fold` for the shape and the family constants, and
+    :func:`minhash_family_constants` for why the constants are
+    splitmix64-derived (v3 decorrelation fix).  The
+    k-separate-``transform`` formulation costs k array passes and k
+    near-identical generated expressions (measured at sf0.1: 4.1 s
+    cold / 0.75 s warm vs 0.68 s cold / 0.55 s warm for the one-pass
+    form)."""
+    k = num_hashes
+    agg = _mh_fold(F.col("__h30"), k)
     return df.select(
         "id", *[F.element_at(agg, i + 1).alias(f"mh_{i}") for i in range(k)]
     )
@@ -331,22 +397,7 @@ def _stacked_buckets(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     d, sh = _shingle_parts(df, n, id_col, text_col)
-    k = num_hashes
-    idx = F.sequence(F.lit(0), F.lit(k - 1))
-    acc0 = F.array_repeat(F.lit(2147483647).cast("long"), k)
-    sig = F.aggregate(
-        _h30_of_shingles(sh),
-        acc0,
-        lambda acc, h: F.zip_with(
-            acc,
-            idx,
-            lambda a, i: F.least(
-                a,
-                ((F.lit(2) * i + 1) * h + F.lit(7919) * i)
-                % F.lit(2147483647),
-            ),
-        ),
-    )
+    sig = _mh_fold(_h30_of_shingles(sh), num_hashes)
     banded = F.element_at(
         F.transform(
             F.array(sig),
@@ -616,10 +667,14 @@ def minhash_dedup(
     )
 
 
-#: bucket-encoding version stamped into the index meta: 1 = md5 hex
-#: string buckets (pre-r10), 2 = xxhash64 long buckets.  Bump when the
+#: index-encoding version stamped into the index meta: 1 = md5 hex
+#: string buckets (pre-r10), 2 = xxhash64 long buckets over the
+#: correlated ``a_i = 2i+1`` hash families, 3 = xxhash64 long buckets
+#: over splitmix64-decorrelated families (the r11 recall-tail fix —
+#: see :func:`minhash_family_constants`; every stored signature/bucket
+#: changes, so v2 indexes are refused and migrated).  Bump when the
 #: banding encoding changes; :func:`migrate_dedup_index` upgrades.
-DEDUP_INDEX_FORMAT_VERSION = 2
+DEDUP_INDEX_FORMAT_VERSION = 3
 
 
 def write_dedup_index(
@@ -751,16 +806,19 @@ def read_dedup_index(spark, path: str):
     """
     p = path.rstrip("/")
     params = _read_meta_json(spark, p + "/meta.json")
-    params.pop("format_version", None)  # banding params only
+    ver = int(params.pop("format_version", 1))  # banding params only
     banding = spark.read.parquet(p + "/banding")
-    # format guard: r10 changed the bucket encoding to xxhash64 LONG
-    # (was md5 hex string) — probing a stale string-bucket index with
-    # long-bucket batch bands would silently match nothing
+    # format guard: probing a stale index with current batch bands
+    # would silently match nothing — v1 buckets are md5 hex strings
+    # (r10 moved to xxhash64 longs), and v2 longs hash the correlated
+    # pre-r11 signature families, so NO bucket value is comparable
+    # across versions even though the v2 column type matches
     bt = dict(banding.dtypes).get("bucket")
-    if bt != "bigint":
+    if bt != "bigint" or ver != DEDUP_INDEX_FORMAT_VERSION:
         raise ValueError(
-            f"dedup index at {path} has bucket type {bt!r}; this "
-            "engine writes bigint (xxhash64) buckets — run "
+            f"dedup index at {path} is format v{ver} (bucket type "
+            f"{bt!r}); this engine reads "
+            f"v{DEDUP_INDEX_FORMAT_VERSION} — run "
             "migrate_dedup_index(spark, path) to upgrade in place "
             "(reuses the stored shingles; no corpus re-scan), or "
             "rebuild with write_dedup_index"
@@ -773,41 +831,49 @@ def read_dedup_index(spark, path: str):
 
 
 def migrate_dedup_index(spark, path: str) -> bool:
-    """Upgrade a v1 (md5-string-bucket) dedup index to the v2
-    (xxhash64-long-bucket) format IN PLACE — without re-shingling the
-    corpus (VERDICT r10 "next round" #3).
+    """Upgrade a stale dedup index (v1 md5-string buckets, or v2
+    xxhash64 buckets over the correlated hash families) to the current
+    format IN PLACE — without re-shingling the corpus (VERDICT r10
+    "next round" #3; extended to v2→v3 for the r11 family-correlation
+    fix).
 
     At 100 TB the expensive part of :func:`write_dedup_index` is the
     corpus text scan (normalize + shingle + explode); the stored
     ``shingles/`` relation already holds every doc's distinct shingle
-    set and is format-stable across the bucket-encoding bump.  The
+    set and is format-stable across every encoding bump so far.  The
     MinHash signature is a pure function of those shingles, so the
     banding relation can be recomputed from ``shingles/`` alone:
     read shingles → ``_h30_of_shingles`` → ``_sig_of_h30`` →
-    :func:`_bands_of_sig` (the v2 encoder) → rewrite ``banding/`` with
-    the same range-partitioned, sorted layout the writer uses — bucket
-    pushdown keeps working.  Candidates served afterwards are
+    :func:`_bands_of_sig` (the current encoder) → rewrite ``banding/``
+    with the same range-partitioned, sorted layout the writer uses —
+    bucket pushdown keeps working.  Candidates served afterwards are
     IDENTICAL to a full ``write_dedup_index`` rebuild (pinned by
-    ``test_migrate_dedup_index_v1_to_v2``) because both derive the
+    ``test_migrate_dedup_index_v1_to_v3`` /
+    ``test_migrate_dedup_index_v2_to_v3``) because both derive the
     banding from the same shingle sets.
 
     Swap discipline: the new banding lands in ``banding.migrate`` and
-    is committed with two FS renames (``banding → banding.v1.bak``,
+    is committed with two FS renames (``banding → banding.v{old}.bak``,
     ``banding.migrate → banding``); the backup is removed only after
     the meta version stamp is rewritten, so a crash mid-migration
-    leaves either a refusable v1 index or a complete v2 one, never a
-    half-written banding directory.  Run it offline — concurrent
-    probes during the swap window would hit a missing directory (index
-    maintenance, like compaction, is a scheduled operation).
+    leaves either a refusable stale index or a complete current one,
+    never a half-written banding directory.  Run it offline —
+    concurrent probes during the swap window would hit a missing
+    directory (index maintenance, like compaction, is a scheduled
+    operation).
 
     Returns True if a migration ran, False if the index was already
     current (idempotent — safe to call unconditionally at startup).
     """
     p = path.rstrip("/")
     meta = _read_meta_json(spark, p + "/meta.json")
+    ver = int(meta.get("format_version", 1))
     banding = spark.read.parquet(p + "/banding")
-    if dict(banding.dtypes).get("bucket") == "bigint":
-        return False  # already v2
+    if (
+        ver >= DEDUP_INDEX_FORMAT_VERSION
+        and dict(banding.dtypes).get("bucket") == "bigint"
+    ):
+        return False  # already current
     num_hashes, bands = int(meta["num_hashes"]), int(meta["bands"])
 
     sh = spark.read.parquet(p + "/shingles")
@@ -831,13 +897,13 @@ def migrate_dedup_index(spark, path: str) -> bool:
     def _hpath(name: str):
         return jvm.org.apache.hadoop.fs.Path(p + "/" + name)
 
-    bak = _hpath("banding.v1.bak")
+    bak = _hpath(f"banding.v{ver}.bak")
     if fs.exists(bak):
         fs.delete(bak, True)
     if not fs.rename(_hpath("banding"), bak):
-        raise IOError(f"could not move aside v1 banding under {path}")
+        raise IOError(f"could not move aside v{ver} banding under {path}")
     if not fs.rename(_hpath("banding.migrate"), _hpath("banding")):
-        # roll back so the index stays a valid (refusable) v1
+        # roll back so the index stays a valid (refusable) stale one
         fs.rename(bak, _hpath("banding"))
         raise IOError(f"could not commit migrated banding under {path}")
     meta = {**meta, "format_version": DEDUP_INDEX_FORMAT_VERSION}

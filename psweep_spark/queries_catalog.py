@@ -863,10 +863,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+    from .operators.dedup import minhash_family_constants
+
     rpb = num_hashes // bands
     # one md5 per shingle → 30-bit base hash; family i = (a_i·h+b_i) mod p
+    # with the v3 splitmix64 constants — the SAME function the engine
+    # folds with, so oracle and engine agree by construction
     mins = ", ".join(
-        f"min(({2 * i + 1} * h30 + {7919 * i}) % 2147483647) AS mh_{i}"
+        "min(({a} * h30 + {b}) % 2147483647) AS mh_{i}".format(
+            a=minhash_family_constants(i)[0],
+            b=minhash_family_constants(i)[1],
+            i=i,
+        )
         for i in range(num_hashes)
     )
     band_rows = "\n      UNION ALL ".join(

@@ -573,11 +573,16 @@ def semdedup_kmeans_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+    from psweep_spark.operators.dedup import minhash_family_constants
     from psweep_spark.queries_catalog import _SHINGLES_CTE
 
     rpb = num_hashes // bands
     mins = ", ".join(
-        f"min(({2 * i + 1} * h30 + {7919 * i}) % 2147483647) AS mh_{i}"
+        "min(({a} * h30 + {b}) % 2147483647) AS mh_{i}".format(
+            a=minhash_family_constants(i)[0],
+            b=minhash_family_constants(i)[1],
+            i=i,
+        )
         for i in range(num_hashes)
     )
     band_rows = "\n      UNION ALL ".join(
@@ -696,12 +701,14 @@ def stream_near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:
         mt = _os.path.getmtime(src) if _os.path.exists(src) else 0.0
+    from psweep_spark.operators.dedup import DEDUP_INDEX_FORMAT_VERSION
+
     key = hashlib.md5(
-        # version tag: the index is a STORED FORMAT — bump whenever its
-        # schema/semantics change so stale indexes can't be probed.
-        # v2: r5 signature-math fix; v3: r10 bucket = xxhash64 long
-        # (was md5 hex string)
-        f"{_os.path.abspath(src)}|{mt}|v3".encode()
+        # the index is a STORED FORMAT — key the memo on the engine's
+        # format version so a format bump can never probe a stale
+        # cached index (a hand-maintained tag here went stale across
+        # the r11 v2→v3 bump and served a pre-fix index)
+        f"{_os.path.abspath(src)}|{mt}|fmt{DEDUP_INDEX_FORMAT_VERSION}".encode()
     ).hexdigest()[:12]
     base = _os.path.join(tempfile.gettempdir(), f"psq_gate_{key}")
     feed_dir = _os.path.join(base, "feed")
@@ -2261,11 +2268,16 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fuzzy_decontam_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+    from psweep_spark.operators.dedup import minhash_family_constants
     from psweep_spark.queries_catalog import _SHINGLES_CTE
 
     rpb = num_hashes // bands
     mins = ", ".join(
-        f"min(({2 * i + 1} * h30 + {7919 * i}) % 2147483647) AS mh_{i}"
+        "min(({a} * h30 + {b}) % 2147483647) AS mh_{i}".format(
+            a=minhash_family_constants(i)[0],
+            b=minhash_family_constants(i)[1],
+            i=i,
+        )
         for i in range(num_hashes)
     )
     band_rows = "\n      UNION ALL ".join(

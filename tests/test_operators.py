@@ -215,8 +215,32 @@ def test_minhash_signatures_known_answer(spark):
     position-mixed hash (identical mh_0..mh_{k-1} per doc, ~4% of
     true pairs lost at sf0.1).  The Python reference computes each
     family with explicit indices, so any arity/capture slip diverges.
+
+    The expected values use :func:`minhash_family_constants` (the
+    shared engine/oracle definition), plus an independent inline
+    recomputation of the splitmix64 finalizer for family 0 so a
+    drifting shared helper can't silently re-pin the test.
     """
     import hashlib
+
+    from psweep_spark.operators.dedup import minhash_family_constants
+
+    # independent recomputation of family 0's constants (splitmix64)
+    x = 0x9E3779B97F4A7C15
+    x ^= x >> 30
+    x = x * 0xBF58476D1CE4E5B9 % 2**64
+    x ^= x >> 27
+    x = x * 0x94D049BB133111EB % 2**64
+    x ^= x >> 31
+    assert minhash_family_constants(0) == (
+        1 + x % 2147483646,
+        (x >> 33) % 2147483647,
+    )
+    # families must be pairwise distinct and multipliers LARGE —
+    # tiny multipliers are the r11 correlated-family recall bug
+    consts = [minhash_family_constants(i) for i in range(12)]
+    assert len(set(consts)) == 12
+    assert min(a for a, _ in consts) > 1_000_000
 
     texts = [
         (1, "small join join merge scan group a big join key"),
@@ -235,7 +259,10 @@ def test_minhash_signatures_known_answer(spark):
             for s in shingles
         ]
         exp = [
-            min(((2 * i + 1) * h + 7919 * i) % 2147483647 for h in h30)
+            min(
+                (consts[i][0] * h + consts[i][1]) % 2147483647
+                for h in h30
+            )
             for i in range(12)
         ]
         assert got[doc_id] == exp, doc_id

@@ -223,7 +223,7 @@ def test_dedup_index_batch_plan_reads_index_not_corpus(spark, tmp_path):
     assert got_fast == want
 
 
-def test_migrate_dedup_index_v1_to_v2(spark, tmp_path):
+def test_migrate_dedup_index_v1_to_v3(spark, tmp_path):
     """migrate_dedup_index (VERDICT r10 #3): a stale v1 index
     (md5-hex-string buckets) is upgraded IN PLACE by recomputing the
     banding from the stored shingles — no corpus text re-scan — and
@@ -302,6 +302,67 @@ def test_migrate_dedup_index_v1_to_v2(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_migrate_dedup_index_v2_to_v3(spark, tmp_path):
+    """The r11 family-decorrelation fix changes every stored bucket
+    VALUE while keeping the bigint column type, so a v2 index is
+    bucket-incomparable with v3 batch bands despite a matching schema.
+    read_dedup_index must refuse on the version stamp alone, and
+    migrate_dedup_index must recompute from shingles/ and restore
+    exact parity with a fresh v3 build."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from psweep_spark.operators.dedup import (
+        _write_meta_json,
+        migrate_dedup_index,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    fresh = str(tmp_path / "fresh")
+    write_dedup_index(corpus, fresh, num_hashes=12, bands=4)
+    stale = str(tmp_path / "stale")
+    write_dedup_index(corpus, stale, num_hashes=12, bands=4)
+
+    # forge the v2 on-disk shape: bigint buckets whose VALUES come
+    # from a different (the correlated pre-r11) hash family — any
+    # bijective perturbation of the current buckets models that
+    v2_banding = (
+        spark.read.parquet(stale + "/banding")
+        .withColumn("bucket", F.col("bucket") + F.lit(1))
+    )
+    v2_banding.write.mode("overwrite").parquet(stale + "/banding.v2tmp")
+    import shutil as _sh
+
+    _sh.rmtree(stale + "/banding")
+    os.rename(stale + "/banding.v2tmp", stale + "/banding")
+    _write_meta_json(
+        spark,
+        stale + "/meta.json",
+        {"num_hashes": 12, "bands": 4, "n": 3, "format_version": 2},
+    )
+
+    # the column type matches v3, so only the version stamp can refuse
+    with pytest.raises(ValueError, match="format v2"):
+        read_dedup_index(spark, stale)
+
+    assert migrate_dedup_index(spark, stale) is True
+    assert migrate_dedup_index(spark, stale) is False  # idempotent
+
+    banding, shingles, params = read_dedup_index(spark, stale)
+    assert params == {"num_hashes": 12, "bands": 4, "n": 3}
+    assert not os.path.exists(stale + "/banding.migrate")
+    assert not os.path.exists(stale + "/banding.v2.bak")
+
+    fresh_banding = spark.read.parquet(fresh + "/banding")
+    assert (
+        banding.exceptAll(fresh_banding).count() == 0
+        and fresh_banding.exceptAll(banding).count() == 0
+    )
 
 
 def test_bloom_gate_exact_under_heavy_false_positives(spark):
