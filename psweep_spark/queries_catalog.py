@@ -920,7 +920,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 100 TB dedup path: shuffles are per-doc signature agg + bounded
     band-bucket join — never all-pairs.  max_bucket_size=None because
     the DuckDB oracle has no bucket cap: the checked query must stay
-    exact at every SF; production keeps the operator default (512)."""
+    exact at every SF; production keeps the operator default (512).
+    r11: hash families are splitmix64-decorrelated (index format v3) —
+    the old a_i=2i+1 family correlated argmins across ALL bands and
+    cost ~2.5 orders of magnitude of tail recall on boilerplate
+    families (minhash_family_constants; CORRECTNESS_PAIRS1M_r11)."""
     from .operators.dedup import minhash_dedup
 
     return minhash_dedup(
