@@ -92,21 +92,27 @@ def random_hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[f
     return rng.standard_normal((num_planes, dim)).tolist()
 
 
-def _sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id for one vector under the literal hyperplanes."""
-    bits = []
+def _sign_bucket(vec_name: str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id for the vector COLUMN named ``vec_name`` under
+    the literal hyperplanes.
+
+    Built as ONE parsed SQL expression, not num_planes·dim ``F.lit()``
+    calls: every lit() is a py4j round-trip, and at 8×64 planes the
+    ~1k round-trips cost ~0.8 s of DRIVER time per query construction
+    (measured r11) — several times the actual execution at bench scale
+    and pure planning overhead at any scale.  ``repr(float)`` is the
+    shortest round-trip form, so the parsed double is bit-identical to
+    the literal the lit() path produced (same contract the DuckDB
+    oracle generator relies on)."""
+    terms = []
     for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(w)) for w in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, lit_plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        arr = ", ".join(repr(float(w)) + "D" for w in plane)
+        terms.append(
+            f"CASE WHEN aggregate(zip_with({vec_name}, array({arr}),"
+            " (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+            f" (acc, x) -> acc + x) > 0.0D THEN {2**p}L ELSE 0L END"
         )
-        bits.append(F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+    return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
 
 
 def lsh_topk(
@@ -119,6 +125,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share the query's sign-LSH
     bucket; exact rerank within the bucket.
@@ -131,17 +138,20 @@ def lsh_topk(
     high-cosine neighbors (near-dups) is ≈1; on near-orthogonal random
     vectors sign-LSH recall is low by construction — that's the
     accuracy/cost dial, not a bug.
+
+    ``dim``: vector dimensionality.  Pass it when statically known (the
+    catalog queries pin dim=64, same as their oracles) — the fallback
+    probes the corpus with ``first()``, an extra driver job per call.
     """
-    dim = len(
-        corpus.select(F.col(vec_col)).first()[0]
-    )
+    if dim is None:
+        dim = len(corpus.select(F.col(vec_col)).first()[0])
     planes = random_hyperplanes(dim, num_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", _sign_bucket(F.col("cv"), planes))
+    ).withColumn("bucket", _sign_bucket("cv", planes))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket0", _sign_bucket(F.col("qv"), planes))
+    ).withColumn("bucket0", _sign_bucket("qv", planes))
     if multiprobe >= 1:
         probes = F.array(
             F.col("bucket0"),

@@ -81,13 +81,31 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
-def _ld(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+#: sessions whose reader confs are already pinned — `_ld`/`_ld_events`
+#: run once per query construction, and each `conf.set` is a py4j
+#: round-trip (~2-5 ms × several loads × 136 queries ≈ seconds of pure
+#: driver overhead per bench run, r11).  Keyed by id(SparkSession); a
+#: dead session's entry is harmless (ids are not reused while the
+#: session object is registered, and re-pinning is idempotent anyway).
+_CONF_PINNED: set[int] = set()
+
+
+def _pin_reader_confs(spark: SparkSession) -> None:
+    if id(spark) in _CONF_PINNED:
+        return
     # Naive parquet timestamps (no isAdjustedToUTC) must surface as
     # TIMESTAMP, not TIMESTAMP_NTZ: the session tz is UTC so the epoch is
     # identical, every ts function (unix_micros, window, ...) accepts it,
     # and — unlike a post-read cast — the reader-level conf keeps filter
     # pushdown on the timestamp columns intact.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # events.parquet historically used TIMESTAMP(NANOS); read as long ns
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _CONF_PINNED.add(id(spark))
+
+
+def _ld(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _pin_reader_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
@@ -96,11 +114,25 @@ def _ld_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated to µs — DuckDB's CAST(ts_ns AS TIMESTAMP) truncates
     identically); newer generations write TIMESTAMP(MICROS), which `_ld`
     already surfaces as TIMESTAMP.  Handle both."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _ld(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return ev
+
+
+def _ldp(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """`_ld` + `ensure_parallelism`: the fact-scan loader for queries
+    whose FIRST stage does the heavy per-row work (wide aggregation,
+    Python evaluation, explode/regex pipelines).  A single-row-group
+    parquet file scans as one task and serializes that stage (guide
+    §2.5 input skew); the round-robin repartition restores parallelism
+    and is a NO-OP whenever the scan already splits to ≥ the session
+    shuffle parallelism — i.e. on any realistically-sized table."""
+    from .plans import ensure_parallelism
+
+    # scan_only: _ld returns a bare scan, so the file-stat partition
+    # estimate is decision-exact — no df.rdd planning probe needed
+    return ensure_parallelism(_ld(spark, sf_dir, table), scan_only=True)
 
 
 def _dsum(col, scale_type="decimal(18,4)"):
@@ -182,8 +214,11 @@ _REV_SQL = (
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-aggregate. Filter + the two grouping
     and seven aggregate columns are the only things read (column
-    pruning + predicate pushdown to parquet)."""
-    li = _ld(spark, sf_dir, "lineitem")
+    pruning + predicate pushdown to parquet).  The seven exact-decimal
+    partial aggregates are the heavy stage — `_ldp` restores scan
+    parallelism when the input is a single row group (r11; no-op at
+    scale)."""
+    li = _ldp(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
@@ -1044,10 +1079,12 @@ def _lang_id_oracle() -> str:
 @_q("text_language_id", _lang_id_oracle())
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID (argmax with deterministic lexicographic
-    tie-break).  Per-row expression only — no shuffle."""
+    tie-break).  Per-row expression only — no shuffle keyed on data
+    (`_ldp` adds the round-robin split when the scan is one row group —
+    the regex marker scoring is the whole cost; r11)."""
     from .operators.text import lang_id
 
-    return lang_id(_ld(spark, sf_dir, "documents")).select(
+    return lang_id(_ldp(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "lang_pred", "lang_score"
     )
 
@@ -1200,7 +1237,7 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _ld(spark, sf_dir, "embeddings")
     return lsh_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, num_planes=8, seed=42,
-        multiprobe=1, query_id_col="vec_id",
+        multiprobe=1, query_id_col="vec_id", dim=64,
     )
 
 
@@ -2291,8 +2328,9 @@ def q_rollup_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All 2^2 grouping-set combinations in one shuffle via ``cube``."""
-    li = _ld(spark, sf_dir, "lineitem")
+    """All 2^2 grouping-set combinations in one shuffle via ``cube``.
+    `_ldp`: the 4×-expanded partial aggregate is the heavy stage (r11)."""
+    li = _ldp(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from psweep_spark.queries_catalog import _ld, _q
+from psweep_spark.queries_catalog import _ld, _ldp, _q
 
 # --------------------------------------------------------------------------
 # exact duplicated token-window detection
@@ -926,10 +926,11 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     card: docs, redaction counts per category, and the cleaned char
     total — which only matches the oracle if every span was replaced
     identically.  The scrub itself is a zero-shuffle scan projection;
-    the audit rollup is one tiny groupBy(lang)."""
+    the audit rollup is one tiny groupBy(lang).  `_ldp`: the regex
+    scrub is the whole cost and rides the scan (r11)."""
     from psweep_spark.operators.text import scrub_pii
 
-    docs = _ld(spark, sf_dir, "documents")
+    docs = _ldp(spark, sf_dir, "documents")
     did = F.col("doc_id")
     injected = docs.withColumn(
         "text",
@@ -1898,8 +1899,9 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the count relation broadcast-joins, and the only shuffle keys on
     doc_id for the per-doc mean.  Add-one smoothing as in
     docs_lm_perplexity; doubles enter only at the final averaged
-    log-ratio (counts are exact integers in both engines)."""
-    docs = _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    log-ratio (counts are exact integers in both engines).  `_ldp`:
+    tokenize + bucket-hash explode ride the scan (r11)."""
+    docs = _ldp(spark, sf_dir, "documents").filter(F.trim("text") != "")
     tok = docs.select(
         "doc_id", "lang",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
@@ -2226,8 +2228,9 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free on the corpus side).  The bucket hash is the engine's
     md5-low-60-bit (DuckDB-parity, same as the minhash base hash).
     Empty docs score 0.5 (sigmoid of nothing) and keep=true, matching
-    the oracle's LEFT JOIN + COALESCE."""
-    docs = _ld(spark, sf_dir, "documents").select("doc_id", "text")
+    the oracle's LEFT JOIN + COALESCE.  `_ldp`: the per-token md5+mix
+    scoring fold rides the scan (r11)."""
+    docs = _ldp(spark, sf_dir, "documents").select("doc_id", "text")
     t = F.split(F.lower(F.trim("text")), r"\s+")
     nonempty = (F.size(t) > 0) & ~(
         (F.size(t) == 1) & (F.element_at(t, 1) == "")

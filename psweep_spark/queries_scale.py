@@ -20,6 +20,7 @@ from psweep_spark.queries_catalog import (
     _dsum,
     _ld,
     _ld_events,
+    _ldp,
     _q,
     _revenue_expr,
 )
@@ -822,7 +823,9 @@ def docs_token_runs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = j + 1
 
     spark.udtf.register("token_runs", TokenRuns)
-    docs = _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    # _ldp: the lateral UDTF is per-row Python — one row group would
+    # drive a single Python worker (r11)
+    docs = _ldp(spark, sf_dir, "documents").filter(F.trim("text") != "")
     docs.createOrReplaceTempView("__runs_docs")
     return spark.sql(
         """
@@ -2420,6 +2423,8 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid coordinates (de-quantized)."""
     import math
 
+    from psweep_spark.operators.similarity import assign_nearest_centroid
+
     DIM, K, ITERS = 64, 4, 3
     emb = _ld(spark, sf_dir, "embeddings")
     qexpr = F.transform(
@@ -2431,20 +2436,12 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = v.orderBy("vec_id").limit(K).collect()
     cents = [(i, [int(x) for x in r["q"]]) for i, r in enumerate(init)]
 
-    def assign_col():
-        dists = []
-        for _, num in cents:
-            num_lit = F.array(*[F.lit(n) for n in num])
-            sq = F.zip_with(
-                F.col("q"), num_lit, lambda a, b: (a - b) * (a - b)
-            )
-            dists.append(
-                F.aggregate(sq, F.lit(0).cast("long"), lambda s, x: s + x)
-            )
-        darr = F.array(*dists)
-        pos = F.array_position(darr, F.array_min(darr)).cast("int") - 1
-        cid_lit = F.array(*[F.lit(c) for c, _ in cents])
-        return F.element_at(cid_lit, pos + 1)
+    # assignment via assign_nearest_centroid's literal-codebook path:
+    # ONE parsed SQL string instead of k·(dim+1) F.lit() py4j
+    # round-trips per round (~0.3 s of driver time per round at k=4,
+    # d=64 — measured r11; the expression tree and tie-break semantics
+    # are identical: argmin of the exact bigint Σ(q−c)², first-position
+    # min ⇒ lowest cid on ties).
 
     # Per-round sums via posexplode + (cid, pos) groupBy instead of 64
     # per-column sum aggregates: the wide agg spends ~1 s/round COMPILING
@@ -2458,7 +2455,9 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         # explode: CollapseProject would otherwise merge the HOF
         # distance fold INTO the generate and re-evaluate it once per
         # exploded element (64× — measured 3× slower overall)
-        assigned = v.select("q", assign_col().alias("cid")).persist()
+        assigned = assign_nearest_centroid(
+            v.select("q"), cents, q_col="q", out_col="cid"
+        ).persist()
         rows = (
             assigned.select("cid", F.posexplode("q"))
             .groupBy("cid", "pos")
@@ -2482,7 +2481,7 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     final = (
-        v.select("q", assign_col().alias("cid"))
+        assign_nearest_centroid(v.select("q"), cents, q_col="q", out_col="cid")
         .groupBy("cid")
         .agg(
             F.count("*").alias("n"),
