@@ -119,7 +119,12 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v_ts") <= F.col("p_ts")),
         "inner",
     ).select("purchase_id", "view_id", "user_id")
-    return run_available_now(j, _mem_name("vpjoin"), output_mode="append")
+    # state_partitions=2: a stream-stream join commits FOUR state stores
+    # per partition per micro-batch; for this bounded drain 8 -> 2 saved
+    # ~0.4 s with identical output (r11; the stream_cms_freq precedent)
+    return run_available_now(
+        j, _mem_name("vpjoin"), output_mode="append", state_partitions=2
+    )
 
 
 @_q(
