@@ -2768,15 +2768,25 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(
         _ld(spark, sf_dir, "documents").filter(F.trim("text") != "")
     )
-    tk = F.split(F.trim("text"), r"\s+")
+    # materialize the token array as a column BEFORE the bigram
+    # transform: common-subexpression elimination does not cross the
+    # HOF lambda boundary, so an inline split() expression re-runs the
+    # regex per element_at — O(tokens^2) regex work per doc (measured
+    # 1.7-4.8 s -> 0.5 s for the bigram count at sf0.1, and the
+    # quadratic burn was the source of this query's 3-18 s bench
+    # variance; r11)
     bigrams = docs.select(
+        F.split(F.trim("text"), r"\s+").alias("t")
+    ).select(
         F.explode(
             F.when(
-                F.size(tk) >= 2,
+                F.size("t") >= 2,
                 F.transform(
-                    F.sequence(F.lit(0), F.size(tk) - 2),
+                    F.sequence(F.lit(0), F.size("t") - 2),
                     lambda i: F.concat_ws(
-                        " ", F.element_at(tk, i + 1), F.element_at(tk, i + 2)
+                        " ",
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
                     ),
                 ),
             ).otherwise(F.array().cast("array<string>"))
