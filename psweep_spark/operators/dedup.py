@@ -183,7 +183,17 @@ def jaccard_pairs(
     — with the denominator still exact, reported jaccard is a lower
     bound, so τ-filtering loses only pairs held together by
     boilerplate.  Default None keeps the operator an exact oracle."""
-    sh = word_shingles(df, n=n, id_col=id_col, text_col=text_col)
+    # the self-join runs in 64-BIT HASH SPACE (r11, the same trade the
+    # minhash verify join made in r10): an (id, shingle-string) relation
+    # shuffles ~3x the bytes of (id, xxhash64) and the intersection
+    # counts — hence every jaccard — are unchanged unless two distinct
+    # shingles of one pair's union collide in 64 bits (~1e-16/pair).
+    # Denominators come from the array form below and are exact either
+    # way.  Measured at sf0.1: 16.6 -> ~6 MB self-join shuffle, wall
+    # 1.6-3.9 s -> 1.3-1.7 s, byte-identical pair set.
+    sh = word_shingles(df, n=n, id_col=id_col, text_col=text_col).select(
+        "id", F.xxhash64("shingle").alias("shingle")
+    )
     if max_shingle_df is not None:
         from pyspark.sql.window import Window
 
