@@ -174,6 +174,58 @@ def test_minhash_incremental_new_vs_corpus_only(spark, docs):
     }
 
 
+def test_jaccard_pairs_hashed_join_matches_string_join(spark, docs):
+    """r11: jaccard_pairs runs its shingle self-join in 64-bit hash
+    space (xxhash64 of the shingle instead of the raw string — ~3x
+    fewer shuffle bytes).  Pair set AND jaccard values must be
+    identical to the string-shingle formulation — the hash only
+    relabels the join key; counts change only on a 64-bit collision
+    inside one pair's union (~1e-16/pair, absent here)."""
+    from psweep_spark.operators.dedup import (
+        jaccard_pairs,
+        shingled,
+        word_shingles,
+    )
+
+    d = docs.limit(40)
+    dup = d.limit(8).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = d.unionByName(dup)
+
+    got = sorted(map(tuple, jaccard_pairs(both, threshold=0.3).collect()))
+
+    # reference: the pre-r11 string-key formulation, inlined
+    sh = word_shingles(both).repartition("shingle")
+    sizes = shingled(both).select(
+        "id", F.coalesce(F.size("__sh"), F.lit(-1)).alias("sz")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ref = (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+        .select("id_a", "id_b", "jaccard")
+    )
+    exp = sorted(map(tuple, ref.collect()))
+    assert got == exp and len(got) > 0
+
+
 def test_jaccard_shingle_df_cap_lower_bounds(spark, docs):
     """With a df cap, reported jaccard is a lower bound of the exact
     value and exact-duplicate pairs (sharing rare shingles too)
