@@ -22,6 +22,8 @@ Scale notes inline per operator.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -99,6 +101,20 @@ def _shingle_parts(df: DataFrame, n: int, id_col: str, text_col: str):
         .select(F.col(id_col).alias("id"), _norm(F.col(text_col)).alias("__norm"))
         .withColumn("__toks", F.split(F.col("__norm"), " "))
     )
+    return d, _sh_expr(n)
+
+
+@functools.lru_cache(maxsize=16)
+def _sh_expr(n: int) -> Column:
+    """Distinct-shingle array expression over the ``__toks``/``__norm``
+    projection columns of :func:`_shingle_parts` — memoized per ``n``.
+
+    The tree is ~70 ms of py4j round-trips to build; an unresolved
+    Column is an immutable expression tree bound only to column NAMES
+    (the analyzer resolves a copy per plan, never mutating the
+    original), so one instance serves every caller — this matters in
+    the per-micro-batch paths, where the whole minhash expression
+    pipeline used to be rebuilt on every ``foreachBatch`` call."""
     toks = F.col("__toks")
     cnt = F.size(toks)
     sh = F.when(
@@ -110,7 +126,7 @@ def _shingle_parts(df: DataFrame, n: int, id_col: str, text_col: str):
             ),
         ),
     ).otherwise(F.array(F.col("__norm")))
-    return d, F.array_distinct(sh)
+    return F.array_distinct(sh)
 
 
 def _in_literals(col_name: str, values) -> Column:
@@ -366,10 +382,17 @@ def _sig_of_h30(df: DataFrame, num_hashes: int) -> DataFrame:
     near-identical generated expressions (measured at sf0.1: 4.1 s
     cold / 0.75 s warm vs 0.68 s cold / 0.55 s warm for the one-pass
     form)."""
-    k = num_hashes
+    return df.select("id", *_mh_cols(num_hashes))
+
+
+@functools.lru_cache(maxsize=16)
+def _mh_cols(k: int) -> "tuple[Column, ...]":
+    """mh_0..mh_{k-1} projection columns over ``__h30`` — memoized;
+    the k-struct constants array alone is ~100 py4j calls per build
+    (see :func:`_sh_expr` for why Column reuse is safe)."""
     agg = _mh_fold(F.col("__h30"), k)
-    return df.select(
-        "id", *[F.element_at(agg, i + 1).alias(f"mh_{i}") for i in range(k)]
+    return tuple(
+        F.element_at(agg, i + 1).alias(f"mh_{i}") for i in range(k)
     )
 
 
@@ -405,10 +428,27 @@ def _stacked_buckets(
     evaluation count changes."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
+    d, _ = _shingle_parts(df, n, id_col, text_col)
+    # explode_outer: see _bands_of_sig (the array is always size
+    # `bands`; outer avoids InferFiltersFromGenerate duplication)
+    return d.select(
+        "id", F.explode_outer(_banded_expr(n, num_hashes, bands)).alias("bb")
+    ).select(
+        "id",
+        F.col("bb.band_idx").alias("band_idx"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _banded_expr(n: int, num_hashes: int, bands: int) -> Column:
+    """The per-row array<struct<band_idx,bucket>> banding expression of
+    :func:`_stacked_buckets` — memoized per parameter triple (~340 ms
+    of py4j round-trips per build otherwise, paid per micro-batch in
+    the streaming gate; see :func:`_sh_expr` for the reuse contract)."""
     rows_per_band = num_hashes // bands
-    d, sh = _shingle_parts(df, n, id_col, text_col)
-    sig = _mh_fold(_h30_of_shingles(sh), num_hashes)
-    banded = F.element_at(
+    sig = _mh_fold(_h30_of_shingles(_sh_expr(n)), num_hashes)
+    return F.element_at(
         F.transform(
             F.array(sig),
             lambda s: F.transform(
@@ -436,13 +476,6 @@ def _stacked_buckets(
             ),
         ),
         1,
-    )
-    # explode_outer: see _bands_of_sig (the array is always size
-    # `bands`; outer avoids InferFiltersFromGenerate duplication)
-    return d.select("id", F.explode_outer(banded).alias("bb")).select(
-        "id",
-        F.col("bb.band_idx").alias("band_idx"),
-        F.col("bb.bucket").alias("bucket"),
     )
 
 

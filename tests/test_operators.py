@@ -174,6 +174,22 @@ def test_minhash_incremental_new_vs_corpus_only(spark, docs):
     }
 
 
+def test_banding_expr_memoized_builds_identical(spark, docs):
+    """r11: the shingle/signature/banding Column trees are lru_cache-
+    memoized (an unresolved Column is immutable — the analyzer resolves
+    a copy per plan), cutting ~340 ms of py4j round-trips per build in
+    the per-micro-batch paths.  Two independent builds must hit the
+    cache AND produce identical relations."""
+    from psweep_spark.operators import dedup as D
+
+    a = D._stacked_buckets(docs, 12, 4, 3, "doc_id", "text")
+    hits0 = D._banded_expr.cache_info().hits
+    b = D._stacked_buckets(docs, 12, 4, 3, "doc_id", "text")
+    assert D._banded_expr.cache_info().hits > hits0
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect())) and len(ra) > 0
+
+
 def test_jaccard_pairs_hashed_join_matches_string_join(spark, docs):
     """r11: jaccard_pairs runs its shingle self-join in 64-bit hash
     space (xxhash64 of the shingle instead of the raw string — ~3x
