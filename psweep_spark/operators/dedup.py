@@ -114,7 +114,14 @@ def _sh_expr(n: int) -> Column:
     (the analyzer resolves a copy per plan, never mutating the
     original), so one instance serves every caller — this matters in
     the per-micro-batch paths, where the whole minhash expression
-    pipeline used to be rebuilt on every ``foreachBatch`` call."""
+    pipeline used to be rebuilt on every ``foreachBatch`` call.
+
+    Single-JVM-per-process assumption (ADVICE r11 #2): in classic
+    PySpark these cached Columns hold py4j handles into the gateway
+    JVM.  One process keeps one gateway for its lifetime (stopping a
+    SparkSession does not tear the JVM down), so the cache stays valid
+    across session restarts; a hypothetical in-process gateway relaunch
+    would require clearing these three lru_caches."""
     toks = F.col("__toks")
     cnt = F.size(toks)
     sh = F.when(

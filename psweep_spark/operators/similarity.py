@@ -104,6 +104,10 @@ def _sign_bucket(vec_name: str, planes: list[list[float]]) -> Column:
     shortest round-trip form, so the parsed double is bit-identical to
     the literal the lit() path produced (same contract the DuckDB
     oracle generator relies on)."""
+    # backtick-quote the interpolated column name (ADVICE r11 #3): a
+    # caller passing a name needing quoting (spaces/dots/hyphens) must
+    # get the column reference, not a parse error or mis-binding
+    vec_name = "`" + vec_name.replace("`", "``") + "`"
     terms = []
     for p, plane in enumerate(planes):
         arr = ", ".join(repr(float(w)) + "D" for w in plane)

@@ -84,14 +84,18 @@ def _q(name: str, oracle: str | None = None):
 #: sessions whose reader confs are already pinned — `_ld`/`_ld_events`
 #: run once per query construction, and each `conf.set` is a py4j
 #: round-trip (~2-5 ms × several loads × 136 queries ≈ seconds of pure
-#: driver overhead per bench run, r11).  Keyed by id(SparkSession); a
-#: dead session's entry is harmless (ids are not reused while the
-#: session object is registered, and re-pinning is idempotent anyway).
-_CONF_PINNED: set[int] = set()
+#: driver overhead per bench run, r11).  A WeakSet (ADVICE r11 #1): an
+#: id()-keyed set could see a NEW session allocated at a dead session's
+#: address and silently skip pinning it — weak references auto-evict
+#: when the session object is collected, so membership always means
+#: "this live session object was pinned".
+import weakref as _weakref
+
+_CONF_PINNED: "_weakref.WeakSet[SparkSession]" = _weakref.WeakSet()
 
 
 def _pin_reader_confs(spark: SparkSession) -> None:
-    if id(spark) in _CONF_PINNED:
+    if spark in _CONF_PINNED:
         return
     # Naive parquet timestamps (no isAdjustedToUTC) must surface as
     # TIMESTAMP, not TIMESTAMP_NTZ: the session tz is UTC so the epoch is
@@ -101,7 +105,7 @@ def _pin_reader_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # events.parquet historically used TIMESTAMP(NANOS); read as long ns
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    _CONF_PINNED.add(id(spark))
+    _CONF_PINNED.add(spark)
 
 
 def _ld(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

@@ -60,7 +60,8 @@ def main() -> int:
     if not names:
         names = list(benchmod.HEADLINE)
 
-    plans_dir = os.path.join(REPO, "plans", "r11")
+    rnd = os.environ.get("PSQ_PROFILE_ROUND", "r12")
+    plans_dir = os.path.join(REPO, "plans", rnd)
     os.makedirs(plans_dir, exist_ok=True)
 
     # Same warmup as bench.py: JVM/codegen/Arrow init + memoized landings.
@@ -145,7 +146,7 @@ def main() -> int:
         time.sleep(0.3)
         print(json.dumps({name: row}), flush=True)
 
-    path = os.path.join(REPO, f"PROFILE_{tag}_r11.json")
+    path = os.path.join(REPO, f"PROFILE_{tag}_{rnd}.json")
     with open(path, "w") as fh:
         json.dump({"sf_dir": sf_dir, "queries": out}, fh, indent=1, sort_keys=True)
     print(f"# wrote {path}", file=sys.stderr)
