@@ -458,13 +458,23 @@ def sdk_lloyd_state(
         assign_nearest_centroid_blas,
     )
 
+    from psweep_spark.caching import persisted_for_session
+
     emb = _ld(spark, sf_dir, "embeddings")
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     qx = F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * 1000).cast("long"),
     )
-    v = emb.select("vec_id", e.alias("e"), qx.alias("q"))
+    # Cache the (vec_id, e, q) training relation for the Lloyd loop
+    # (guide §5: consumed by the optional count, the init collect, every
+    # round's assignment, the final assignment AND the downstream pair
+    # stage — uncached, each re-scans parquet and re-runs both HOF
+    # projections).  The standard "cache the training set" Lloyd trade;
+    # registered for the between-queries drain.
+    v = persisted_for_session(
+        emb.select("vec_id", e.alias("e"), qx.alias("q")), "sdk_lloyd_v"
+    )
 
     if k is None:
         k = scaled_semdedup_k(v.count())

@@ -2431,7 +2431,14 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * 1000).cast("long"),
     )
-    v = emb.select("vec_id", qexpr.alias("q"))
+    # Cache the quantized training relation for the Lloyd loop (guide
+    # §5: reused by init + every round + the final assignment — 5
+    # consumers; uncached, each round re-scans parquet and re-runs the
+    # quantize HOF).  Same "cache the training set" trade MLlib's
+    # k-means makes; registered for the standard between-queries drain.
+    v = persisted_for_session(
+        emb.select("vec_id", qexpr.alias("q")), "kmeans_lloyd_v"
+    )
 
     init = v.orderBy("vec_id").limit(K).collect()
     cents = [(i, [int(x) for x in r["q"]]) for i, r in enumerate(init)]
@@ -2638,14 +2645,28 @@ def pq_kmeans_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
 
     def code_col():
-        """Per-row PQ code: nested literal codebooks indexed by s."""
-        all_cents = F.array(*[
-            F.array(*[
-                F.array(*[F.lit(x) for x in num])
-                for _cid, num in cents[s]
-            ])
-            for s in range(NSUB)
-        ])
+        """Per-row PQ code: nested literal codebooks indexed by s.
+
+        Both codebook literals are ONE parsed SQL string each (the
+        assign_nearest_centroid / _sign_bucket pattern): the previous
+        nested ``F.lit()`` construction was NSUB·K·SUBD ≈ 600 py4j
+        round-trips PER CALL, and code_col is built ITERS+1 times —
+        measured ~1.7 s of pure driver time per query build at sf0.1
+        (r12).  The parsed tree and the per-row arithmetic are
+        identical."""
+        all_cents = F.expr(
+            "array("
+            + ", ".join(
+                "array("
+                + ", ".join(
+                    "array(" + ", ".join(f"{x}L" for x in num) + ")"
+                    for _cid, num in cents[s]
+                )
+                + ")"
+                for s in range(NSUB)
+            )
+            + ")"
+        )
         cands = F.element_at(all_cents, F.col("s") + 1)
         dists = F.transform(
             cands,
@@ -2656,9 +2677,14 @@ def pq_kmeans_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         pos = F.array_position(dists, F.array_min(dists)).cast("int") - 1
-        cid_lits = F.array(*[
-            F.array(*[F.lit(c) for c, _ in cents[s]]) for s in range(NSUB)
-        ])
+        cid_lits = F.expr(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(str(c) for c, _ in cents[s]) + ")"
+                for s in range(NSUB)
+            )
+            + ")"
+        )
         return F.element_at(F.element_at(cid_lits, F.col("s") + 1), pos + 1)
 
     for _ in range(ITERS):

@@ -819,3 +819,59 @@ def test_stream_feed_compaction_plan_contract(spark):
     # all-pairs shingle self-join pattern would show as a join keyed
     # ONLY on `shingle`; candidate-restricted verification joins on ids
     assert "Join" in plan  # sanity: the dedup does join
+
+
+def test_pq_codebook_sql_literal_matches_lit_tree(spark):
+    """pq_kmeans_codes builds its nested codebook literals as ONE parsed
+    SQL string (r12: the previous nested F.lit() construction was ~600
+    py4j round-trips per build round).  Pin the parsed form against the
+    lit-built tree: identical values, identical distances/argmin inputs."""
+    K, NSUB, SUBD = 3, 2, 4
+    cents = {
+        s: [
+            (c, [((c * 31 + s * 7 + d * 3) % 11) - 5 for d in range(SUBD)])
+            for c in range(K)
+        ]
+        for s in range(NSUB)
+    }
+    lit_cents = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(x).cast("long") for x in num])
+            for _cid, num in cents[s]
+        ])
+        for s in range(NSUB)
+    ])
+    sql_cents = F.expr(
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{x}L" for x in num) + ")"
+                for _cid, num in cents[s]
+            )
+            + ")"
+            for s in range(NSUB)
+        )
+        + ")"
+    )
+    lit_cids = F.array(*[
+        F.array(*[F.lit(c) for c, _ in cents[s]]) for s in range(NSUB)
+    ])
+    sql_cids = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(str(c) for c, _ in cents[s]) + ")"
+            for s in range(NSUB)
+        )
+        + ")"
+    )
+    row = (
+        spark.range(1)
+        .select(
+            lit_cents.alias("lc"), sql_cents.alias("sc"),
+            lit_cids.alias("li"), sql_cids.alias("si"),
+        )
+        .first()
+    )
+    assert row["lc"] == row["sc"]
+    assert row["li"] == row["si"]
