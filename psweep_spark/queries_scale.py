@@ -1157,26 +1157,52 @@ def events_resample_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", "m").agg(F.count("*").alias("n")),
         "events_resample_counts",
     )
+    # Gap fill WITHOUT the grid join (r12, guide §3 "one broadcast, not
+    # per-leg jobs"): the old shape built the dense grid as
+    # types × minutes and LEFT-JOINED the counts back onto it — four
+    # broadcast legs (bounds, minutes, types, grid), each a scheduled
+    # job, re-deriving from `counts` what one pass over it can emit.
+    # Instead each counts row emits its own minute plus the gap up to
+    # the type's NEXT minute (a lead() window on the tiny grid-bounded
+    # relation), the first row per type additionally backfills from the
+    # global lo, and the last row runs out to the global hi.  Every
+    # (type, minute ∈ [lo, hi]) is generated exactly once with
+    # n = counts[m] or 0 — row set and values identical to the join
+    # form.  One tiny window exchange + one 1-row broadcast replace the
+    # four legs; nothing is ever joined on the dense grid.  (A
+    # per-type map_from_entries lookup was tried first and measured
+    # WORSE: Spark map lookups are linear scans, O(|minutes|) per grid
+    # cell.)
     bounds = counts.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
-    minutes = bounds.select(
-        F.explode(
-            F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))
-        ).alias("m")
+    w = Window.partitionBy("event_type").orderBy("m")
+    one_min = F.expr("INTERVAL 1 MINUTE")
+    x = (
+        counts.crossJoin(F.broadcast(bounds))
+        .withColumn("prv", F.lag("m").over(w))
+        .withColumn("nxt", F.lead("m").over(w))
     )
-    types = counts.select("event_type").distinct()
-    grid = types.crossJoin(minutes)
+    head = F.when(
+        F.col("prv").isNull() & (F.col("m") > F.col("lo")),
+        F.sequence(F.col("lo"), F.col("m") - one_min, one_min),
+    ).otherwise(F.expr("CAST(array() AS array<timestamp>)"))
+    body = F.sequence(
+        F.col("m"),
+        F.coalesce(F.col("nxt") - one_min, F.col("hi")),
+        one_min,
+    )
     return (
-        grid.alias("g")
-        .join(
-            counts.alias("c"),
-            (F.col("g.event_type") == F.col("c.event_type"))
-            & (F.col("g.m") == F.col("c.m")),
-            "left",
+        x.select(
+            "event_type",
+            "m",
+            "n",
+            F.explode(F.concat(head, body)).alias("minute"),
         )
         .select(
-            F.col("g.event_type").alias("event_type"),
-            F.col("g.m").alias("minute"),
-            F.coalesce(F.col("c.n"), F.lit(0)).alias("n_events"),
+            "event_type",
+            "minute",
+            F.when(F.col("minute") == F.col("m"), F.col("n"))
+            .otherwise(F.lit(0))
+            .alias("n_events"),
         )
     )
 

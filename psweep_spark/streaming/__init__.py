@@ -31,6 +31,7 @@ __all__ = [
     "running_user_stats",
     "stream_to_database",
     "run_available_now",
+    "state_partitions_for_volume",
 ]
 
 #: driver testdata events schema (ts stored as TIMESTAMP(NANOS) → long ns)
@@ -231,6 +232,38 @@ def stream_to_database(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def state_partitions_for_volume(
+    src_path: str,
+    bytes_per_partition: int = 256 << 20,
+    floor: int = 2,
+) -> int:
+    """Derive a drain's state-store partition count from its INPUT
+    VOLUME instead of a hard-coded constant (VERDICT r11 #8): the count
+    is frozen at the first checkpoint and every micro-batch pays one
+    commit (file create+sync) per state partition, so a bounded demo
+    drain wants the floor while a 100 TB feed needs the count to grow
+    with the data.  Input bytes are the observable proxy for state-key
+    cardinality available before the stream starts; a production
+    deployment that KNOWS its peak key cardinality should size from
+    that instead (see :func:`run_available_now`).  Local paths only —
+    anything unreadable returns ``floor`` (the caller's bounded-drain
+    default)."""
+    import math
+
+    total = 0
+    try:
+        if os.path.isdir(src_path):
+            for root, _dirs, files in os.walk(src_path):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+        elif os.path.exists(src_path):
+            total = os.path.getsize(src_path)
+    except OSError:
+        return floor
+    return max(floor, math.ceil(total / bytes_per_partition))
 
 
 def run_available_now(

@@ -273,3 +273,34 @@ def test_session_window_exact_gap_boundary(spark):
     )
     got = {r["user_id"]: r["n_sessions"] for r in out.collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_state_partitions_for_volume(tmp_path):
+    """The drain state-partition dial derives from input volume
+    (VERDICT r11 #8): bounded demo inputs hit the floor (bench shape
+    unchanged), large inputs scale the count with the data, and an
+    unreadable path falls back to the floor."""
+    f = tmp_path / "events.parquet"
+    f.write_bytes(b"x" * 1024)
+    # 1 KiB input -> floor
+    assert st.state_partitions_for_volume(str(f)) == 2
+    # synthetic large volume: 10 "bytes" per partition -> ceil(1024/10)
+    assert st.state_partitions_for_volume(
+        str(f), bytes_per_partition=10
+    ) == 103
+    # directory input sums recursively
+    d = tmp_path / "feed"
+    d.mkdir()
+    (d / "a").write_bytes(b"x" * 30)
+    (d / "b").write_bytes(b"x" * 30)
+    assert st.state_partitions_for_volume(
+        str(d), bytes_per_partition=10
+    ) == 6
+    # missing path -> floor (bounded-drain default)
+    assert st.state_partitions_for_volume(str(tmp_path / "nope")) == 2
+    # the real driver testdata is bounded: the vpjoin drain keeps its
+    # measured r11 shape (2 state partitions) at every test SF
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/events.parquet"
+        if os.path.exists(p):
+            assert st.state_partitions_for_volume(p) == 2
